@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All real logic lives in ``tijdloze_musicbrainz_spark``; the registry
+(``tijdloze_musicbrainz_spark.plans.REGISTRY``) is the single source
+of truth for the operator inventory.
 """
 
 from __future__ import annotations
@@ -13,26 +16,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Per-part canonical order selection: multi-join -> group-min ->
+    lexicographic sort-key -> window top-1 (the reference's core
+    algorithm, /root/reference/src/main.py:242, re-expressed as one
+    declarative Spark plan).
+    """
+    from tijdloze_musicbrainz_spark.plans.relational import (  # noqa: PLC0415
+        flagship_canonical_order,
+    )
+
+    return flagship_canonical_order(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from tijdloze_musicbrainz_spark.plans import queries_map  # noqa: PLC0415
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_map()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (omitted for non-SQL-expressible
+    ops → driver records a weaker rows-only check)."""
+    from tijdloze_musicbrainz_spark.plans import oracle_sql_map  # noqa: PLC0415
+
+    return oracle_sql_map()

@@ -1,0 +1,153 @@
+"""Schema registry + loaders for the test star schema.
+
+The driver testdata is a TPC-H-ish star schema plus ``events`` (a
+timestamped JSON-props stream table), ``documents`` (text corpus) and
+``embeddings`` (float vectors). Schemas are declared explicitly
+(never inferred) — the reference declares its export schemas the same
+way (``/root/reference/sql/2_export_tables.sql:1-55``); inference is a
+correctness hazard at 100 TB (one bad file re-types a column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# TPC-H fixes region=5 and nation=25 rows; customer/supplier/part grow
+# with SF so they are NOT on this list.
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Parquet carries its own schema; we read as-is so
+    Catalyst's parquet pushdown/pruning applies, but validate the field
+    names against the registry to fail fast on drift."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    expected = {f.name for f in SCHEMAS[name].fields}
+    got = set(df.columns)
+    if not expected <= got:
+        missing = sorted(expected - got)
+        raise ValueError(f"table {name} at {sf_dir} missing columns: {missing}")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so SQL-form plans can run."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,113 @@
+"""String normalization (SURVEY §2.8 F1/F2/F6).
+
+The reference's workhorse is ``search_key``: unidecode → lower → strip
+everything non-alphanumeric (``/root/reference/src/util.py:14-16``;
+SQL twin ``LOWER(REGEXP_REPLACE(UNACCENT(name), '\\W', '', 'g'))`` at
+``sql/4_artist_alias_data.sql:32`` and ``sql/5_song_alias_data.sql:34``).
+The two reference variants disagree on ``_`` (``\\W`` keeps it,
+``[^a-zA-Z0-9]`` strips it); we canonicalize on the Python variant —
+strip underscores too — and document that choice here.
+
+``unaccent`` has no Spark built-in. Strategy:
+
+1. ``F.translate`` over a Latin-1/Latin-2 fold table — a pure JVM
+   column expression, whole-stage-codegen friendly, covers the
+   overwhelming majority of western-script music metadata.
+2. An optional vectorized ``pandas_udf`` fallback using ``unidecode``
+   for full-fidelity transliteration, gated behind an import-try
+   (the package is not in this container).
+
+Everything stays a column expression: no row-at-a-time Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Latin fold table: each accented char maps to one ASCII char.
+# (F.translate is strictly 1 char -> 1 char, so multi-char folds like
+# æ -> "ae" are handled by regexp_replace below.)
+_ACCENTED = (
+    "àáâãäåāăąçćĉċčďđèéêëēĕėęěĝğġģĥħìíîïĩīĭįıĵķĺļľŀłñńņňòóôõöøōŏőŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżž"
+    "ÀÁÂÃÄÅĀĂĄÇĆĈĊČĎĐÈÉÊËĒĔĖĘĚĜĞĠĢĤĦÌÍÎÏĨĪĬĮİĴĶĹĻĽĿŁÑŃŅŇÒÓÔÕÖØŌŎŐŔŖŘŚŜŞŠŢŤŦÙÚÛÜŨŪŬŮŰŲŴÝŸŶŹŻŽ"
+)
+_FOLDED = (
+    "aaaaaaaaacccccddeeeeeeeeegggghhiiiiiiiiijklllllnnnnoooooooooorrrsssstttuuuuuuuuuuwyyyzzz"
+    "AAAAAAAAACCCCCDDEEEEEEEEEGGGGHHIIIIIIIIIJKLLLLLNNNNOOOOOOOOOORRRSSSSTTTUUUUUUUUUUWYYYZZZ"
+)
+assert len(_ACCENTED) == len(_FOLDED)
+
+# Multi-char folds that translate() cannot express.
+_MULTI_FOLDS = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss"), ("þ", "th"), ("Þ", "Th"), ("ð", "d"), ("Ð", "D")]
+
+
+def unaccent(col: Column | str) -> Column:
+    """Latin-script accent folding as a JVM-side expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    for src, dst in _MULTI_FOLDS:
+        c = F.regexp_replace(c, src, dst)
+    return F.translate(c, _ACCENTED, _FOLDED)
+
+
+def unaccent_full(col: Column | str) -> Column:
+    """Full-fidelity transliteration via unidecode, vectorized.
+
+    Falls back to the translate-map ``unaccent`` when unidecode is not
+    installed (it is not in this container). Only use when the corpus
+    has non-Latin scripts that must round-trip to ASCII.
+    """
+    try:
+        from unidecode import unidecode  # noqa: PLC0415
+    except ImportError:
+        return unaccent(col)
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    @F.pandas_udf(T.StringType())
+    def _unidecode(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unidecode(x) if x is not None else None)
+
+    return _unidecode(F.col(col) if isinstance(col, str) else col)
+
+
+def search_key(col: Column | str) -> Column:
+    """The reference's canonical matching key (src/util.py:14-16):
+    unaccent → lower → drop "(live)" → strip non-[a-z0-9].
+
+    The "(live)" removal happens before the strip, mirroring the
+    reference exactly (it is a no-op on the final key because '(' and
+    ')' are stripped anyway — kept for fidelity, see SURVEY F1).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(unaccent(c))
+    c = F.replace(c, F.lit("(live)"), F.lit(""))
+    return F.regexp_replace(c, "[^a-z0-9]+", "")
+
+
+# DuckDB twin of search_key(), for oracle SQL strings. DuckDB's
+# strip_accents covers the same Latin folds.
+def search_key_sql(expr: str) -> str:
+    return (
+        "regexp_replace(replace(lower(strip_accents(" + expr + ")), '(live)', ''),"
+        " '[^a-z0-9]+', '', 'g')"
+    )
+
+
+# Unicode punctuation canonicalization (benchmark.py:14-21): the
+# reference maps … ’ “ ” ‐ to ASCII. '…' is a 1→3 fold so it goes
+# through replace(); the 1→1 folds go through translate().
+def clean(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.replace(c, F.lit("…"), F.lit("..."))
+    return F.translate(c, "’“”‐", "'\"\"-")
+
+
+def clean_sql(expr: str) -> str:
+    e = f"replace({expr}, '…', '...')"
+    e = f"replace({e}, '’', '''')"
+    e = f"replace({e}, '“', '\"')"
+    e = f"replace({e}, '”', '\"')"
+    return f"replace({e}, '‐', '-')"
