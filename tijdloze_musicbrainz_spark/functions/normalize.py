@@ -29,15 +29,36 @@ from pyspark.sql import functions as F
 # Latin fold table: each accented char maps to one ASCII char.
 # (F.translate is strictly 1 char -> 1 char, so multi-char folds like
 # æ -> "ae" are handled by regexp_replace below.)
+#
+# _FOLDED is DERIVED from _ACCENTED at import time (NFD-decompose and
+# strip combining marks, with an explicit map for letters whose ASCII
+# fold is not a decomposition: ø đ ħ ı ł ŧ). A hand-typed twin table
+# went misaligned once (round 1); a generated one cannot.
 _ACCENTED = (
     "àáâãäåāăąçćĉċčďđèéêëēĕėęěĝğġģĥħìíîïĩīĭįıĵķĺļľŀłñńņňòóôõöøōŏőŕŗřśŝşšţťŧùúûüũūŭůűųŵýÿŷźżž"
     "ÀÁÂÃÄÅĀĂĄÇĆĈĊČĎĐÈÉÊËĒĔĖĘĚĜĞĠĢĤĦÌÍÎÏĨĪĬĮİĴĶĹĻĽĿŁÑŃŅŇÒÓÔÕÖØŌŎŐŔŖŘŚŜŞŠŢŤŦÙÚÛÜŨŪŬŮŰŲŴÝŸŶŹŻŽ"
 )
-_FOLDED = (
-    "aaaaaaaaacccccddeeeeeeeeegggghhiiiiiiiiijklllllnnnnoooooooooorrrsssstttuuuuuuuuuuwyyyzzz"
-    "AAAAAAAAACCCCCDDEEEEEEEEEGGGGHHIIIIIIIIIJKLLLLLNNNNOOOOOOOOOORRRSSSSTTTUUUUUUUUUUWYYYZZZ"
-)
-assert len(_ACCENTED) == len(_FOLDED)
+
+_NO_DECOMPOSITION = {
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H",
+    "ı": "i", "ł": "l", "Ł": "L", "ŧ": "t", "Ŧ": "T", "ŀ": "l", "Ŀ": "L",
+}
+
+
+def _ascii_fold_char(ch: str) -> str:
+    if ch in _NO_DECOMPOSITION:
+        return _NO_DECOMPOSITION[ch]
+    import unicodedata  # noqa: PLC0415
+
+    base = "".join(
+        c for c in unicodedata.normalize("NFD", ch) if not unicodedata.combining(c)
+    )
+    if len(base) != 1 or ord(base) > 0x7F:
+        raise ValueError(f"char {ch!r} has no single-ASCII fold; extend _NO_DECOMPOSITION")
+    return base
+
+
+_FOLDED = "".join(_ascii_fold_char(ch) for ch in _ACCENTED)
 
 # Multi-char folds that translate() cannot express.
 _MULTI_FOLDS = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss"), ("þ", "th"), ("Þ", "Th"), ("ð", "d"), ("Ð", "D")]
@@ -88,10 +109,17 @@ def search_key(col: Column | str) -> Column:
 
 
 # DuckDB twin of search_key(), for oracle SQL strings. DuckDB's
-# strip_accents covers the same Latin folds.
+# strip_accents covers the single-char Latin folds but leaves
+# ligatures/specials (æ ø ß đ þ ð …) intact, which the [^a-z0-9] strip
+# would then delete — so apply the same _MULTI_FOLDS and
+# _NO_DECOMPOSITION replacements explicitly before strip_accents to
+# keep both engines' keys identical on non-ASCII input.
 def search_key_sql(expr: str) -> str:
+    e = expr
+    for src, dst in list(_MULTI_FOLDS) + sorted(_NO_DECOMPOSITION.items()):
+        e = f"replace({e}, '{src}', '{dst}')"
     return (
-        "regexp_replace(replace(lower(strip_accents(" + expr + ")), '(live)', ''),"
+        "regexp_replace(replace(lower(strip_accents(" + e + ")), '(live)', ''),"
         " '[^a-z0-9]+', '', 'g')"
     )
 

@@ -64,8 +64,14 @@ def canonical_sort_key(
        at equal year.
     3. ``type_priority``: main album < soundtrack < compilation < other.
     """
-    year = F.coalesce(release_year, F.lit(9999))
-    year_value = F.when(is_single_from | main_album, year).otherwise(year + 1)
+    # NULL year is 9999 UNCONDITIONALLY (src/main.py:51-52) — it must
+    # not also take the +1 penalty, or a NULL-year compilation would
+    # sort after a 9998-year "other" instead of tying on year_value.
+    year_value = (
+        F.when(release_year.isNull(), F.lit(9999))
+        .when(is_single_from | main_album, release_year)
+        .otherwise(release_year + 1)
+    )
     ref_priority = F.when(is_single_from, 0).otherwise(1)
     type_priority = (
         F.when(main_album, 1)

@@ -42,6 +42,36 @@ def top1_per_group(
     )
 
 
+def argmin_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Single-row-winner argmin as ONE aggregation:
+    ``min_by(struct(payload), struct(order_by))``.
+
+    Scale rationale vs the window form (``top1_per_group``): an
+    aggregate gets map-side partial combine — every map task reduces
+    its local rows to one candidate per group before the shuffle, so a
+    hot group (one artist with 10^6 candidate rows) ships ~#tasks rows
+    instead of 10^6 to a single window partition. AQE skew-join does
+    NOT split window partitions, so at 100× data the window form
+    serializes on the hot key while this form stays balanced.
+
+    ``order_by`` must be ascending column names forming a total order
+    within each group (include a unique id last). Returns df's columns
+    (group keys first), one row per group.
+    """
+    payload_cols = [c for c in df.columns if c not in group_by]
+    key = F.struct(*[F.col(c) for c in order_by])
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    return (
+        df.groupBy(*group_by)
+        .agg(F.min_by(payload, key).alias("__best"))
+        .select(*group_by, *[F.col(f"__best.{c}").alias(c) for c in payload_cols])
+    )
+
+
 def argmax_with_threshold(
     df: DataFrame,
     group_by: Sequence[str | Column],

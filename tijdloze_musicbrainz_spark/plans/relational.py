@@ -21,10 +21,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import search_key, search_key_sql
-from ..operators.canonical import argmax_with_threshold, top1_per_group
+from ..operators.canonical import (
+    argmax_with_threshold,
+    argmin_per_group,
+    top1_per_group,
+)
 from ..operators.upsert import accuracy_report
 from .registry import register
-from .util import epoch, epoch_sql, round2, t
+from .util import (
+    epoch,
+    epoch_sql,
+    money_avg,
+    money_avg_sql,
+    money_sum,
+    money_sum_sql,
+    round2,
+    t,
+)
 
 # ---------------------------------------------------------------------------
 # Flagship — Milestone 1 vertical slice
@@ -98,15 +111,13 @@ def flagship_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("type_priority"),
     )
-    return top1_per_group(
+    # Argmin via min_by aggregation, not a window: map-side partial
+    # combine keeps a hot p_partkey balanced at 100× (see
+    # operators.canonical.argmin_per_group).
+    return argmin_per_group(
         scored,
         ["p_partkey"],
-        [
-            F.col("year_value"),
-            F.col("ref_priority"),
-            F.col("type_priority"),
-            F.col("o_orderkey"),
-        ],
+        ["year_value", "ref_priority", "type_priority", "o_orderkey"],
     ).select(
         "p_partkey",
         "p_name",
@@ -126,15 +137,15 @@ def flagship_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q1_pricing_summary",
     survey_ids=("A1", "F15", "O1"),
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 2) AS avg_qty,
-       round(avg(l_extendedprice), 2) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       {money_sum_sql('l_quantity')} AS sum_qty,
+       {money_sum_sql('l_extendedprice')} AS sum_base_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {money_avg_sql('l_quantity')} AS avg_qty,
+       {money_avg_sql('l_extendedprice')} AS avg_price,
+       {money_avg_sql('l_discount', 4)} AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -146,13 +157,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        round2(F.sum("l_quantity")).alias("sum_qty"),
-        round2(F.sum("l_extendedprice")).alias("sum_base_price"),
-        round2(F.sum(disc_price)).alias("sum_disc_price"),
-        round2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-        round2(F.avg("l_quantity")).alias("avg_qty"),
-        round2(F.avg("l_extendedprice")).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(disc_price).alias("sum_disc_price"),
+        money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        money_avg(F.col("l_quantity")).alias("avg_qty"),
+        money_avg(F.col("l_extendedprice")).alias("avg_price"),
+        money_avg(F.col("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -162,7 +173,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("J1", "A1", "O1", "O4"),
     oracle=f"""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        {epoch_sql('o.o_orderdate')} AS orderdate_epoch,
        o.o_orderpriority
 FROM customer c
@@ -186,8 +197,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            round2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -204,9 +215,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     survey_ids=("J1", "J2", "A1"),
-    oracle="""
+    oracle=f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -247,8 +258,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            round2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -257,8 +268,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     survey_ids=("P2", "F15"),
-    oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    oracle=f"""
+SELECT {money_sum_sql('l_extendedprice * l_discount')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -277,7 +288,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(round2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+        )
     )
 
 
@@ -419,10 +432,10 @@ def f_coalesce_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j_multiway_candidates",
     survey_ids=("J1", "J2", "J7"),
-    oracle="""
+    oracle=f"""
 SELECT r.r_name, p.p_brand,
        CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l.l_extendedprice), 2) AS gross
+       {money_sum_sql('l.l_extendedprice')} AS gross
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -462,7 +475,7 @@ def j_multiway_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "p_brand")
         .agg(
             F.count("*").alias("n_lines"),
-            round2(F.sum("l_extendedprice")).alias("gross"),
+            money_sum(F.col("l_extendedprice")).alias("gross"),
         )
     )
 
@@ -751,6 +764,7 @@ SELECT CAST(count(*) AS BIGINT) AS total,
        round(100.0 * sum(CASE WHEN actual IS NULL THEN 1 ELSE 0 END) / count(*), 2) AS missing_pct,
        round(100.0 * sum(CASE WHEN actual IS NOT NULL AND actual <> expected THEN 1 ELSE 0 END) / count(*), 2) AS wrong_pct,
        round(100.0 * sum(CASE WHEN actual = expected THEN 1 ELSE 0 END) / count(*), 2) AS correct_pct
+FROM f
 """,
     doc="Benchmark accuracy fold: correct/missing/wrong + percentages "
     "(benchmark.py:245-274) as one aggregation.",

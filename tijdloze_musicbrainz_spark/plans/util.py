@@ -1,5 +1,8 @@
 """Shared helpers for query builders and their DuckDB oracles.
 
+Money sums use exact DECIMAL accumulation (``money_sum``) so the
+result is independent of partial-aggregation order on both engines.
+
 Cross-engine hash-stability rules (see plans.registry docstring):
 floats rounded, timestamps as epoch BIGINT, arrays sorted+joined.
 """
@@ -29,3 +32,36 @@ def epoch_sql(expr: str) -> str:
 
 def round2(col: Column) -> Column:
     return F.round(col, 2)
+
+
+# Money aggregates: double summation is order-dependent, and with 32
+# shuffle partitions the partial-agg order differs from DuckDB's —
+# round(x, 2) can then straddle a cent boundary (seen at sf0.001:
+# 289145.57 vs .58). Casting each term to exact DECIMAL before SUM
+# makes the aggregate associative-exact on both engines; the final
+# cent-rounding then happens on identical values. Result is cast back
+# to DOUBLE so the schema stays engine-neutral.
+
+
+def money_sum(col: Column) -> Column:
+    return F.round(F.sum(col.cast("decimal(25,6)")), 2).cast("double")
+
+
+def money_sum_sql(expr: str) -> str:
+    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(25,6))), 2) AS DOUBLE)"
+
+
+def money_avg(col: Column, digits: int = 2) -> Column:
+    """avg as exact-sum / count: both engines divide the same exact
+    decimal-sum (as double) by the same integer count."""
+    c = col
+    return F.round(
+        F.sum(c.cast("decimal(25,6)")).cast("double") / F.count(c), digits
+    )
+
+
+def money_avg_sql(expr: str, digits: int = 2) -> str:
+    return (
+        f"round(CAST(sum(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / count({expr}), {digits})"
+    )
