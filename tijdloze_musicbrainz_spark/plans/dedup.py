@@ -1,1 +1,334 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline extension surface (BASELINE.json north star;
+no reference twin, the reference ends at relational dedup A10/S8).
+
+Three tiers, each a registered query:
+
+1. **Exact** (``dedup_exact_first_wins``): group by the normalized
+   text itself, first-writer-wins (min doc_id) — one hash shuffle on
+   the dedup key. At 100 TB you'd group on ``xxhash64(text)`` +
+   resolve rare collisions, but grouping on the key column keeps the
+   DuckDB oracle engine-neutral; the plan shape (single hash
+   aggregate) is identical.
+2. **Blocked n-gram Jaccard** (``dedup_ngram_jaccard_blocked``):
+   3-word-shingle Jaccard >= 0.9 within cheap blocks (first-5-words
+   key). Fully SQL-expressible → exact differential oracle. Recall is
+   bounded by the blocker (documented); it is the classic cheap
+   pre-filter before MinHash.
+3. **MinHash + LSH** (``dedup_minhash_lsh``): 64-perm MinHash
+   signatures, 16 bands x 4 rows, banded bucket join — NEVER
+   all-pairs — then exact-Jaccard verification of bucket candidates.
+
+LSH scale math (the 100 TB case): with n docs and b=16 bands, the
+bucket join shuffles 16n (band_key, doc) rows; pairs are generated
+only within buckets. False-positive candidate rate per band is
+s^4 for a pair with true Jaccard s (s=0.3 → 0.8%/band), so candidate
+volume stays ~O(n·dup_rate). A pair with s=0.9 is missed by all 16
+bands with probability (1-0.9^4)^16 ≈ 3e-8 — at the verification
+threshold 0.8 used here, recall is effectively 1, which is why the
+exhaustive exact-Jaccard DuckDB oracle hash-matches the LSH plan
+(tested at sf0.01 and sf0.001; if the driver data ever plants pairs
+hovering exactly at the threshold, this entry degrades to rows-only).
+
+Signatures/bands use ``xxhash64`` — JVM-side, whole-stage-codegen
+friendly; zero Python UDFs in any of these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t
+
+N_PERMS = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+# ---------------------------------------------------------------------------
+# Column helpers (all pure JVM expressions)
+# ---------------------------------------------------------------------------
+
+
+def words_col(text: str = "text"):
+    return F.split(F.col(text), " ")
+
+
+def shingles_col(ws) -> object:
+    """Distinct 3-word shingles; short docs fall back to one shingle."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, F.lit(3))),
+        )
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(ws)-2, 1)+1), "
+    "i -> array_to_string(list_slice(ws, i, i+2), ' ')))"
+)
+
+
+# Universal-hash permutation constants: h_k(x) = (a_k*x + b_k) mod P
+# over the Mersenne prime P = 2^31-1. Products stay < 2^62, so ANSI
+# long arithmetic cannot overflow. Seeded Python PRNG → deterministic
+# across runs/sessions.
+_P = 2_147_483_647
+
+
+def _perm_constants() -> list[tuple[int, int]]:
+    import random  # noqa: PLC0415
+
+    rng = random.Random(42)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(N_PERMS)]
+
+
+_PERMS = _perm_constants()
+
+
+def minhash_agg_exprs() -> list:
+    """64 min-hash aggregate expressions over an exploded
+    (doc, shingle_hash) relation. IMPORTANT perf note: Spark's
+    higher-order functions (transform/aggregate lambdas) are
+    INTERPRETED, not whole-stage-codegen'd — a nested
+    transform(64) x transform(#shingles) formulation of MinHash runs
+    ~100x slower than this flat form, where each permutation is a
+    literal-constant arithmetic expression inside a codegen'd hash
+    aggregate with map-side partial min."""
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+    return [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"m{k}")
+        for k, (a, b) in enumerate(_PERMS)
+    ]
+
+
+def band_key_cols() -> list:
+    """16 band keys from the m0..m63 signature columns: band b hashes
+    its 4 slots plus the band index (buckets from different bands can
+    never collide). Plain codegen expressions."""
+    return [
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def jaccard(a, b) -> object:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_first_wins",
+    survey_ids=("A10", "S8"),
+    oracle="""
+SELECT lower(trim(text)) AS text_key,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+""",
+    doc="Exact dedup, first-writer-wins: one hash aggregate on the "
+    "normalized text. The insert-if-absent semantics of the "
+    "reference's artist upsert (src/main.py:306-313) applied to a "
+    "document corpus.",
+)
+def dedup_exact_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("text_key"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_blocked",
+    survey_ids=(),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, 1, 5), ' ') AS blk,
+         {_SHINGLES_SQL} AS sgs
+  FROM w
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sgs, b.sgs)) * 1.0
+             / len(list_distinct(list_concat(a.sgs, b.sgs))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
+      / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.9
+""",
+    doc="Near-dup pairs by 3-shingle Jaccard >= 0.9 inside first-5-"
+    "words blocks: an equi-join on the block key (recall bounded by "
+    "the blocker — the cheap pre-LSH tier).",
+)
+def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    sh = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
+        shingles_col(F.col("ws")).alias("sgs"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = jaccard(F.col("a.sgs"), F.col("b.sgs"))
+    return pairs.filter(jac >= 0.9).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey_ids=(),
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sgs, b.sgs)) * 1.0
+             / len(list_distinct(list_concat(a.sgs, b.sgs))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
+      / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
+""",
+    doc="MinHash(64) + LSH(16x4) banded bucket join, then exact-"
+    "Jaccard verify >= 0.8. The oracle is the exhaustive pair scan — "
+    "valid because miss probability at s>=0.8 is (1-s^4)^16 <= 3e-4 "
+    "and the planted pairs sit at s~0.97 (miss < 1e-17); the Spark "
+    "plan itself NEVER does the O(n^2) scan.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    sh = docs.select("doc_id", shingles_col(F.col("ws")).alias("sgs"))
+
+    # (doc, shingle) rows -> 64 permutation-mins in ONE codegen'd hash
+    # aggregate (map-side partial min), then 16 band keys.
+    exploded_sh = sh.select("doc_id", F.explode("sgs").alias("shingle"))
+    sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_exprs())
+    bands = sig.select("doc_id", F.array(*band_key_cols()).alias("bands"))
+
+    # (band_key, doc) — 16 rows per doc, shuffled once on band_key.
+    exploded = bands.select("doc_id", F.explode("bands").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        # same pair can collide in several bands — dedupe before verify
+        .distinct()
+    )
+    # Verify bucket candidates with exact Jaccard: join the (small)
+    # candidate set back to the shingle arrays instead of carrying the
+    # arrays through the band shuffle.
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    jac = jaccard(F.col("sgs_a"), F.col("sgs_b"))
+    return verified.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    survey_ids=(),
+    oracle=None,  # Spark-internal 64-bit hashing is not reproducible in DuckDB
+    doc="SimHash(64) near-dup: per-token xxhash64 bit-votes folded to "
+    "a 64-bit fingerprint; candidate pairs share one of 4 16-bit "
+    "segments (pigeonhole: hamming<=3 pairs always share a segment); "
+    "verified by exact hamming via bit_count(xor). Rows-only check.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    # (doc, token) rows; bit b of the fingerprint = majority vote of
+    # bit b of xxhash64(token). 64 literal-shift vote aggregates in one
+    # codegen'd groupBy (same flat-over-nested-lambda rationale as
+    # minhash_agg_exprs), folded into one 64-bit long.
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct("ws")).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    fp_expr = None
+    for bit in range(64):
+        term = F.when(
+            F.col(f"v{bit}") > 0, F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = votes.select("doc_id", fp_expr.alias("fp"))
+    # 4 segments of 16 bits: hamming<=3 => at least one segment equal
+    # (pigeonhole). Literal shifts keep everything in codegen.
+    seg = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{s}:"),
+                        F.shiftright(F.col("fp"), s * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("seg_key"),
+    )
+    a = seg.alias("a")
+    b = seg.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg_key") == F.col("b.seg_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.filter(hamming <= 3).select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    )
