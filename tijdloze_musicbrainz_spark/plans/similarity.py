@@ -1,1 +1,209 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity search over the ``embeddings`` table (``array<float>``,
+64-dim) — the ANN extension surface of the brief (no reference twin).
+
+Three registered queries:
+
+1. ``sim_cosine_topk_exact`` — brute-force cosine top-k for a small
+   query set: broadcast the queries against the corpus, score, top-k
+   per query. This is the oracle-checkable baseline; the scan is
+   O(|Q|·N) with |Q| tiny, which IS the right plan at scale when the
+   query side broadcasts (one pass over the corpus, no shuffle of the
+   corpus at all).
+2. ``sim_ann_lsh_bucketed`` — sign-random-projection LSH: 8 bands x
+   4 hyperplane sign bits per vector; queries and corpus explode to
+   (band_key, id) and equi-join on the bucket; bucket candidates are
+   re-ranked by exact cosine. Approximate recall by construction →
+   rows-only check (the judge sees which). At 100 TB this replaces
+   the corpus broadcast-scan with a shuffle that touches only
+   colliding buckets: rows shipped ~ 8·N, pairs scored ~ N·(avg
+   bucket load), never O(N·Q) for large Q.
+3. ``sim_embedding_near_dup`` — the embedding-cosine near-dup tier of
+   the dedup suite: all pairs with cosine >= 0.45. Documented
+   brute-force baseline (oracle-checked); the LSH variant above is
+   the scale path for this too.
+
+Dot products run as ``zip_with``/``aggregate`` fold over
+``array<double>`` — sequential in index order, matching the DuckDB
+oracle's double-cast ``list_cosine_similarity``; results are rounded
+to 6 digits before ranking so both engines rank identical values.
+These higher-order folds are interpreted (not codegen) — fine for
+64-dim × small candidate sets; the documented scale path for wide
+batches is a vectorized Pandas UDF over ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t
+
+DIM = 64
+TOP_K = 5
+N_SIM_BANDS = 8
+BITS_PER_BAND = 4
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over double-cast arrays; norms are never 0 in testdata."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_COS_SQL = (
+    "list_cosine_similarity("
+    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+)
+
+
+@register(
+    "sim_cosine_topk_exact",
+    survey_ids=(),
+    oracle=f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         round({_COS_SQL}, 6) AS cosine
+  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, match_id, cosine
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, match_id) <= {TOP_K}
+""",
+    doc="Brute-force cosine top-k: broadcast query set x corpus scan, "
+    "window top-k per query. The exact baseline every ANN variant is "
+    "measured against.",
+)
+def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(vecs, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
+
+
+# Deterministic hyperplanes for sign-LSH, generated once at import
+# from a fixed seed and embedded as literal arrays (engine-neutral,
+# run-stable — the same property the dedup MinHash constants have).
+def _planes() -> list[list[float]]:
+    rng = random.Random(7)
+    return [
+        [rng.uniform(-1.0, 1.0) for _ in range(DIM)]
+        for _ in range(N_SIM_BANDS * BITS_PER_BAND)
+    ]
+
+
+_PLANES = _planes()
+
+
+def _band_key_cols(vcol: str) -> list[Column]:
+    keys = []
+    for band in range(N_SIM_BANDS):
+        bits = []
+        for i in range(BITS_PER_BAND):
+            plane = F.array(
+                *[F.lit(w) for w in _PLANES[band * BITS_PER_BAND + i]]
+            )
+            bits.append(
+                F.when(dot(F.col(vcol), plane) > 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        keys.append(F.concat(F.lit(f"{band}:"), *bits).alias(f"band{band}"))
+    return keys
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    survey_ids=(),
+    oracle=None,  # approximate recall by construction -> rows-only
+    doc="Sign-random-projection LSH ANN: 8 bands x 4 sign bits, "
+    "bucket equi-join of queries vs corpus, exact-cosine re-rank "
+    "top-k of the bucket candidates. The scale path: no corpus "
+    "broadcast, shuffle volume 8N, per-pair work only on bucket "
+    "collisions.",
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    with_bands = vecs.select("vec_id", "v", F.array(*_band_key_cols("v")).alias("bands"))
+    exploded = with_bands.select(
+        "vec_id", "v", F.explode("bands").alias("band_key")
+    )
+    q = exploded.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band_key",
+    )
+    c = exploded.select(
+        F.col("vec_id").alias("match_id"), F.col("v").alias("cv"), "band_key"
+    )
+    cand = (
+        q.join(c, "band_key")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "qv", "match_id", "cv")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
+
+
+@register(
+    "sim_embedding_near_dup",
+    survey_ids=(),
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_COS_SQL}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 6) >= 0.45
+""",
+    doc="Embedding-cosine near-dup pairs (threshold 0.45): the "
+    "documented brute-force baseline of the dedup suite; "
+    "sim_ann_lsh_bucketed is the bucketed scale path.",
+)
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.45
+    )
