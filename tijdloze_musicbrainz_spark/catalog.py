@@ -11,6 +11,7 @@ correctness hazard at 100 TB (one bad file re-types a column).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -133,8 +134,19 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet carries its own schema; we read as-is so
     Catalyst's parquet pushdown/pruning applies, but validate the field
-    names against the registry to fail fast on drift."""
-    df = spark.read.parquet(table_path(sf_dir, name))
+    names against the registry to fail fast on drift.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    refuses to read natively: read it as long nanos and convert to a
+    microsecond timestamp — the exact truncation DuckDB applies when
+    it loads the same file, so both engines see identical instants."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     expected = {f.name for f in SCHEMAS[name].fields}
     got = set(df.columns)
     if not expected <= got:

@@ -1,1 +1,134 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Event-stream operators over ``events`` (timestamped rows with a
+JSON ``props`` payload) — the semi-structured / event-time tier of
+the brief. Batch forms here; the same plans run under Structured
+Streaming via ``streaming.jobs`` (readStream + watermark).
+
+All JSON parsing is ``from_json`` with an EXPLICIT schema — at 100 TB
+schema inference is a full extra pass; an explicit schema keeps the
+scan single-pass and lets Catalyst prune into the parse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import register
+from .util import t
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+@register(
+    "events_json_extract",
+    survey_ids=(),
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+    doc="from_json with explicit schema over the props payload "
+    "(never schema inference at scale).",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    survey_ids=("A1",),
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="10-minute tumbling-window aggregation keyed by event_type — "
+    "the batch twin of the streaming windowed agg (window start "
+    "emitted as epoch seconds for the cross-engine hash).",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    survey_ids=("A1", "O3"),
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT *, sum(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM d
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+    doc="Gap-based sessionization (30-min inactivity gap) via "
+    "lag + running-sum session ids — the batch equivalent of a "
+    "session window; the streaming twin uses "
+    "applyInPandasWithState (streaming.jobs).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    d = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    d = d.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        d.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq"))
+        .agg(
+            F.unix_timestamp(F.min("ts")).cast("long").alias("session_start_epoch"),
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )

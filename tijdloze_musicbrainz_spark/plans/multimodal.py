@@ -1,0 +1,93 @@
+"""Multimodal-column plumbing — the brief's image/audio/video tier.
+
+The pattern at 100 TB: media lives as an opaque ``binary`` column
+with typed metadata beside it; decode / feature-extract runs as an
+Arrow-batched Pandas iterator (``mapInPandas``) so bytes cross the
+JVM<->Python boundary once per batch, not once per row, and the
+pipeline repartitions BEFORE the expensive stage so decode
+parallelism is independent of upstream file layout.
+
+The container has no image/audio libs, so the real decoders are
+STUBS behind ``NotImplementedError`` (``decode_image_real``); the
+Spark-side plumbing — binary schema, batch iterator signature,
+explicit output schema, pre-stage repartition — is real and tested
+via a deterministic fake "decoder" (byte-level features) that a
+DuckDB oracle can reproduce (``multimodal_fake_decode``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t
+
+DECODE_OUT_SCHEMA = (
+    "event_id bigint, n_bytes bigint, first_byte bigint, byte_sum_mod bigint"
+)
+
+
+def decode_image_real(blob: bytes) -> dict:
+    """Real decoder stub: would PIL-open the blob and emit
+    (width, height, channels). The imaging libraries are not in this
+    container — the plumbing around this function is what's tested."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; use the fake byte-feature decoder for plumbing tests"
+    )
+
+
+def fake_byte_features(spark: SparkSession, media: DataFrame) -> DataFrame:
+    """Deterministic 'decoder': byte length, first byte, byte-sum mod
+    256 — computed in an Arrow-batched pandas iterator with the exact
+    shape a real decoder would use (one binary column in, typed
+    feature columns out)."""
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "n_bytes": blobs.map(len),
+                    "first_byte": blobs.map(lambda b: b[0] if len(b) else -1),
+                    "byte_sum_mod": blobs.map(lambda b: sum(b) % 256),
+                }
+            )
+
+    # Repartition before the Python stage: decode cost is per-byte,
+    # not per-row, so parallelism must not be inherited from however
+    # few parquet files the scan produced.
+    return media.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        decode, DECODE_OUT_SCHEMA
+    )
+
+
+@register(
+    "multimodal_fake_decode",
+    survey_ids=(),
+    oracle="""
+SELECT event_id,
+       CAST(length(props) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(props) > 0
+            THEN ascii(substring(props, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
+       CAST(list_reduce(
+            list_transform(range(1, length(props) + 1),
+                           i -> ascii(substring(props, i, 1))),
+            (acc, x) -> (acc + x) % 256) % 256 AS BIGINT) AS byte_sum_mod
+FROM events
+""",
+    doc="The multimodal decode pattern end-to-end with a fake decoder: "
+    "binary column (props bytes) -> repartition -> mapInPandas Arrow "
+    "batches -> typed feature columns. Swap fake_byte_features for a "
+    "real decoder (decode_image_real) when the codec libs exist.",
+)
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    media = ev.select("event_id", F.col("props").cast("binary").alias("blob"))
+    return fake_byte_features(spark, media)

@@ -1,1 +1,198 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis operators over ``documents`` — the LLM-pipeline text
+tier of the brief: language-ID, quality scoring, token counting,
+fingerprinting. All pure JVM column expressions (regex + arithmetic),
+each with a DuckDB oracle. No reference twin (the reference's text
+layer stops at search_key normalization, ``src/util.py:14-16``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t
+
+# Tiny per-language stopword lists for the n-gram-free heuristic
+# language ID: score = #hits of language-specific common words. The
+# testdata's lang column is the ground truth we evaluate against.
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def _hits(words, lang: str):
+    return F.size(
+        F.filter(words, lambda w: w.isin(*_STOPWORDS[lang]))
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return f"len(list_filter(ws, w -> w IN ({inlist})))"
+
+
+@register(
+    "text_token_stats",
+    survey_ids=("F4", "F15"),
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS chars_per_token
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + a BPE-ish regex token "
+    "count (letter runs / digit runs / single other), chars-per-token "
+    "ratio — the standard pre-training corpus accounting pass.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.col("text"), " "))
+    bpe_ish = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        ws_tokens.cast("long").alias("n_ws_tokens"),
+        bpe_ish.cast("long").alias("n_bpe_ish_tokens"),
+        F.round(F.length("text").cast("double") / ws_tokens, 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    survey_ids=("F4", "F15", "P7"),
+    oracle="""
+WITH q AS (
+  SELECT doc_id, lang, length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(CAST(n_punct AS DOUBLE) / n, 4) AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
+       (n >= 100 AND n <= 20000
+        AND CAST(n_punct AS DOUBLE) / n < 0.1) AS passes_quality
+FROM q
+""",
+    doc="Quality scoring: length gate, punctuation ratio, stopword "
+    "ratio — the Gopher-style heuristic filter stack as one "
+    "projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.col("text"), " "),
+            lambda w: w.isin("the", "a", "and", "of", "to"),
+        )
+    )
+    punct_ratio = n_punct.cast("double") / n
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        ((n >= 100) & (n <= 20000) & (punct_ratio < 0.1)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_language_id",
+    survey_ids=(),
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS s_en, {_hits_sql('de')} AS s_de,
+         {_hits_sql('fr')} AS s_fr, {_hits_sql('es')} AS s_es,
+         {_hits_sql('zh')} AS s_zh
+  FROM w
+)
+SELECT doc_id, lang AS lang_actual,
+       CASE greatest(s_en, s_de, s_fr, s_es, s_zh)
+            WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+            WHEN s_es THEN 'es' ELSE 'zh' END AS lang_predicted,
+       (CASE greatest(s_en, s_de, s_fr, s_es, s_zh)
+            WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_fr THEN 'fr'
+            WHEN s_es THEN 'es' ELSE 'zh' END = lang) AS correct
+FROM scores
+""",
+    doc="Heuristic language ID: per-language stopword-hit scores, "
+    "argmax with a fixed precedence order (en>de>fr>es>zh on ties), "
+    "evaluated against the lang ground-truth column.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ").alias("ws")
+    )
+    langs = ["en", "de", "fr", "es", "zh"]
+    scored = docs.select(
+        "doc_id", "lang", *[_hits(F.col("ws"), lg).alias(f"s_{lg}") for lg in langs]
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.when(F.col("s_en") == best, "en")
+    for lg in langs[1:-1]:
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    pred = pred.otherwise("zh")
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_predicted"),
+        (pred == F.col("lang")).alias("correct"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    survey_ids=("F1",),
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(list_reduce(
+           list_transform(ws, t -> CAST(length(t) + 31 AS BIGINT)),
+           (acc, x) -> (acc * x) % 1000000007) AS BIGINT) AS weak_shape_fp,
+       array_to_string(list_slice(ws, 1, 3), ' ') AS head_key,
+       array_to_string(list_slice(ws, greatest(len(ws)-2, 1), len(ws)), ' ') AS tail_key
+FROM w
+""",
+    doc="Document fingerprinting: a rolling-hash-style shape "
+    "fingerprint (product of token lengths mod large prime — "
+    "engine-neutral arithmetic) plus head/tail keys, the cheap "
+    "pre-cluster pass before shingle/minhash tiers.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("ws")
+    )
+    # product of (len+31) mod p as a fold — small arrays, interpreted
+    # lambda acceptable; engine-neutral unlike xxhash64.
+    fp = F.aggregate(
+        F.transform(F.col("ws"), lambda w: (F.length(w) + 31).cast("long")),
+        F.lit(1).cast("long"),
+        lambda acc, x: (acc * x) % 1_000_000_007,
+    )
+    return docs.select(
+        "doc_id",
+        fp.alias("weak_shape_fp"),
+        F.concat_ws(" ", F.slice(F.col("ws"), 1, 3)).alias("head_key"),
+        F.expr("concat_ws(' ', slice(ws, greatest(size(ws)-2, 1), 3))").alias(
+            "tail_key"
+        ),
+    )
