@@ -1,0 +1,284 @@
+"""ETL edges: the remaining SURVEY §2 rows (J6, P9, P12, F12, P10,
+S5) and the verified write path (S2 CSV round-trip, S7/S8/A10 upsert
+round-trip). Sink queries write to deterministic /tmp paths in
+overwrite mode, read their own output back, and return it — so the
+DuckDB oracle (which only sees the source tables) checks the whole
+write→read cycle end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import search_key, search_key_sql
+from ..operators.upsert import write_upsert
+from ..sources.readers import read_csv_golden
+from .registry import register
+from .util import t
+
+SINK_ROOT = os.environ.get("SPARK_GRAFT_SINK_DIR", "/tmp/spark_graft_sinks")
+
+
+@register(
+    "j6_edge_traversal",
+    survey_ids=("J6",),
+    oracle="""
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_linked_parts
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+    doc="Edge-traversal join with a link-type filter on the edge "
+    "table (artist -[link_type=11]- url, src/main.py:84-87, "
+    "sql/4:24-27): lineitem is the edge set, l_returnflag the link "
+    "type; the filter sits in the JOIN so it prunes edges at the scan.",
+)
+def j6_edge_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = t(spark, sf_dir, "supplier")
+    edges = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    part = t(spark, sf_dir, "part")
+    return (
+        supp.join(edges, edges.l_suppkey == supp.s_suppkey)
+        .join(part, part.p_partkey == edges.l_partkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count_distinct("l_partkey").alias("n_linked_parts"))
+    )
+
+
+@register(
+    "p9_nonequi_join_predicate",
+    survey_ids=("P9",),
+    oracle="""
+SELECT o.o_orderkey, l.l_linenumber, l.l_partkey
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_linenumber <= 1
+WHERE o.o_orderstatus = 'F'
+""",
+    doc="Non-equi predicate INSIDE the join condition "
+    "(link_order <= 1, src/main.py:140): Catalyst pushes the "
+    "single-sided bound to the lineitem scan, keeping the join equi.",
+)
+def p9_nonequi_join_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    return orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey) & (li.l_linenumber <= 1),
+    ).select("o_orderkey", "l_linenumber", "l_partkey")
+
+
+@register(
+    "p12_exact_key_match",
+    survey_ids=("P12", "F1", "J11"),
+    oracle=f"""
+WITH k AS (
+  SELECT p_partkey, p_name, {search_key_sql('p_name')} AS name_key FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, a.name_key
+FROM k a JOIN k b ON a.name_key = b.name_key AND a.p_partkey < b.p_partkey
+""",
+    doc="Exact match on the normalized search key (src/main.py:39-40 "
+    "is_exact_match): equi-join on search_key — normalization "
+    "materialized once, compared cheaply, the reference's core "
+    "write-time optimization (sql/4:32).",
+)
+def p12_exact_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = t(spark, sf_dir, "part").select(
+        "p_partkey", search_key(F.col("p_name")).alias("name_key")
+    )
+    a = k.alias("a")
+    b = k.alias("b")
+    return a.join(
+        b,
+        (F.col("a.name_key") == F.col("b.name_key"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        F.col("a.name_key").alias("name_key"),
+    )
+
+
+@register(
+    "f12_ci_startswith",
+    survey_ids=("F12", "P6"),
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE lower(p_name) LIKE lower('BL') || '%'
+""",
+    doc="Case-insensitive startswith (the driver-side golden-set "
+    "filter, src/benchmark.py:239-242) as lower() LIKE — "
+    "sargable-by-prefix after lowering both sides.",
+)
+def f12_ci_startswith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_name")).startswith("bl"))
+        .select("p_partkey", "p_name")
+    )
+
+
+def build_filtered_orders(
+    segment: str | None = None,
+    min_total: float | None = None,
+    status: str | None = None,
+):
+    """P10: the parameterized driver-filter builder (argparse filters,
+    src/benchmark.py:239-242) — composes only the predicates that are
+    actually set, so Catalyst sees a minimal pushed-down filter."""
+
+    def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cust = t(spark, sf_dir, "customer")
+        orders = t(spark, sf_dir, "orders")
+        if segment is not None:
+            cust = cust.filter(F.col("c_mktsegment") == segment)
+        if status is not None:
+            orders = orders.filter(F.col("o_orderstatus") == status)
+        if min_total is not None:
+            orders = orders.filter(F.col("o_totalprice") >= min_total)
+        return cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+            "o_orderkey", "c_custkey", "c_mktsegment", "o_orderstatus"
+        )
+
+    return builder
+
+
+@register(
+    "p10_parameterized_filters",
+    survey_ids=("P10",),
+    oracle="""
+SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_orderstatus
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'F'
+  AND o.o_totalprice >= 100000
+""",
+    doc="One registered instance of the parameterized builder "
+    "(segment=BUILDING, status=F, min_total=1e5).",
+)
+def p10_parameterized_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_filtered_orders(
+        segment="BUILDING", min_total=100000.0, status="F"
+    )(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Verified write path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s5_append_sink_roundtrip",
+    survey_ids=("S5", "S4"),
+    oracle="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+""",
+    doc="INSERT INTO ... SELECT semantics (sql/3:7-10): write batch 1 "
+    "(status F) in overwrite mode, append batch 2 (status O), read "
+    "the sink back and aggregate — proves append accumulates without "
+    "clobbering.",
+)
+def s5_append_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{SINK_ROOT}/s5_append"
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus"]
+    orders.filter(F.col("o_orderstatus") == "F").select(cols).write.mode(
+        "overwrite"
+    ).parquet(path)
+    orders.filter(F.col("o_orderstatus") == "O").select(cols).write.mode(
+        "append"
+    ).parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "s7_upsert_roundtrip",
+    survey_ids=("S7", "S8", "A10"),
+    oracle="""
+WITH both_batches AS (
+  SELECT o_orderkey, o_totalprice, 1 AS batch_id
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS batch_id
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(batch_id AS BIGINT) AS batch_id
+FROM both_batches
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderkey ORDER BY batch_id DESC) = 1
+""",
+    doc="Upsert sink round-trip (ON CONFLICT DO UPDATE, "
+    "src/main.py:298-323): batch 2 overwrites the shared keys "
+    "(last-writer-wins window dedup), written to parquet and read "
+    "back — the reference's idempotent re-run story, verified "
+    "through the sink.",
+)
+def s7_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{SINK_ROOT}/s7_upsert"
+    orders = t(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("batch_id")
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("batch_id"),
+    )
+    write_upsert(
+        b1.unionByName(b2),
+        path,
+        keys=["o_orderkey"],
+        priority=[F.desc("batch_id")],
+    )
+    out = spark.read.parquet(path)
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "batch_id"
+    )
+
+
+@register(
+    "s2_csv_golden_roundtrip",
+    survey_ids=("S2",),
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment,
+       c_name || ', ' || c_mktsegment AS quoted_field
+FROM customer WHERE c_custkey < 100
+""",
+    doc="CSV golden-set round-trip (header + quoted fields with "
+    "embedded commas, src/benchmark.py:236-238): write via the CSV "
+    "sink, read back via read_csv_golden with explicit schema.",
+)
+def s2_csv_golden_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{SINK_ROOT}/s2_csv"
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.concat_ws(", ", F.col("c_name"), F.col("c_mktsegment")).alias(
+                "quoted_field"
+            ),
+        )
+    )
+    src.write.mode("overwrite").option("header", True).option("quote", '"').option(
+        "escape", '"'
+    ).csv(path)
+    out = read_csv_golden(
+        spark,
+        path,
+        schema="c_custkey long, c_name string, c_mktsegment string, quoted_field string",
+    )
+    return out

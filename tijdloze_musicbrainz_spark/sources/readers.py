@@ -28,7 +28,9 @@ def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = N
     return reader.parquet(path)
 
 
-def read_csv_golden(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+def read_csv_golden(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
     """CSV with header + quoted fields (benchmark/default.csv shape)."""
     reader = (
         spark.read.option("header", True)

@@ -1,0 +1,169 @@
+"""Structured Streaming jobs over the events table (SURVEY §7 /
+brief: streams as first-class). Each batch plan in ``plans.events``
+has a streaming twin here built from the same expressions:
+
+- file-source ``readStream`` with an EXPLICIT schema (streaming
+  sources cannot infer), ``pathGlobFilter`` so only the events file
+  in the sf dir is picked up;
+- event-time tumbling window + watermark for late data;
+- gap sessionization via ``applyInPandasWithState`` (the custom
+  stateful operator path Spark's built-ins don't cover);
+- ``availableNow`` trigger + memory sink to drain a bounded backlog
+  and hand the result back as a normal DataFrame — which is how the
+  registered query ``streaming_tumbling_window`` gets oracle-checked
+  against the SAME DuckDB SQL as its batch twin.
+
+At scale the file source becomes Kafka and the memory sink becomes a
+parquet/Delta sink with checkpointing; the middle of the plan — the
+part that matters — is unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import register
+
+# Explicit source schema: ts arrives as long nanos (the parquet
+# physical type); converted to a micros timestamp in stream_events.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 10-min window per event_type with a late-data
+    watermark — identical aggregation expressions to the batch
+    events_tumbling_window plan."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "window_start_epoch"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: gap-based sessions per user via
+    applyInPandasWithState (what window()/session_window can't express
+    when the emission logic is custom). Emits closed sessions."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = (
+        "user_id bigint, session_start_epoch bigint, n_events bigint, "
+        "total_value double"
+    )
+    state_schema = "start bigint, last bigint, n bigint, total double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for _, r in pdf.iterrows():
+                ts = int(r["ts"].timestamp())
+                if state.exists:
+                    start, last, n, total = state.get
+                    if ts - last > gap_seconds:
+                        rows.append((key[0], start, n, round(total, 2)))
+                        state.update((ts, ts, 1, float(r["value"])))
+                    else:
+                        state.update((start, ts, n + 1, total + float(r["value"])))
+                else:
+                    state.update((ts, ts, 1, float(r["value"])))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "session_start_epoch",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain a bounded stream (availableNow) into a memory sink and
+    return the result as a batch DataFrame."""
+    table = name or f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(table)
+
+
+@register(
+    "streaming_tumbling_window",
+    survey_ids=("A1",),
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="The streaming path end-to-end: readStream(parquet, explicit "
+    "schema) -> watermark -> tumbling window agg -> availableNow "
+    "drain to memory sink — checked against the SAME oracle as the "
+    "batch twin, proving batch/stream parity.",
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(windowed_counts(stream_events(spark, sf_dir)))
