@@ -1,0 +1,76 @@
+"""Headline benchmark: runs the flagship + representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line to stdout:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+is collected to the driver) so the timing measures the plan, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINERS = [
+    "flagship_canonical_order",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "j_multiway_candidates",
+    "set_union_distinct_aliases",
+    "fuzzy_two_phase_search",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk_exact",
+    "events_sessionize",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        builder = REGISTRY[name].builder
+        best = None
+        # best-of-2: the box is shared, single runs are noisy; the
+        # first run also pays file listing for cold tables.
+        for _ in range(2):
+            t0 = time.monotonic()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

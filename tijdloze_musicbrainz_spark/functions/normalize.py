@@ -65,10 +65,12 @@ _MULTI_FOLDS = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "
 
 
 def unaccent(col: Column | str) -> Column:
-    """Latin-script accent folding as a JVM-side expression."""
+    """Latin-script accent folding as a JVM-side expression.
+    Multi-char folds use literal ``replace`` (plain substring scan),
+    not ``regexp_replace`` — same semantics, no regex engine per row."""
     c = F.col(col) if isinstance(col, str) else col
     for src, dst in _MULTI_FOLDS:
-        c = F.regexp_replace(c, src, dst)
+        c = F.replace(c, F.lit(src), F.lit(dst))
     return F.translate(c, _ACCENTED, _FOLDED)
 
 
