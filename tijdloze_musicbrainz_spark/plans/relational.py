@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.normalize import search_key, search_key_sql
+from ..functions.normalize import clean_sql, search_key, search_key_sql
 from ..operators.canonical import (
     argmax_with_threshold,
     argmin_per_group,
@@ -967,3 +967,208 @@ def f_split_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duet_name"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rows the round-1 verdict marked "partial" — dedicated entries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j8_benchmark_3way",
+    survey_ids=("J8",),
+    oracle=f"""
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {money_sum_sql('l.l_extendedprice')} AS gross
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_mktsegment
+""",
+    doc="The benchmark's 3-way join shape (customer-orders-lineitem, "
+    "src/benchmark.py:100-117) as its own entry: two fact-fact "
+    "shuffles on the join keys, aggregate after.",
+)
+def j8_benchmark_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum(F.col("l_extendedprice")).alias("gross"),
+        )
+    )
+
+
+def _uuid_sql(expr: str) -> str:
+    return (
+        f"substring(md5({expr}), 1, 8) || '-' || "
+        f"substring(md5({expr}), 9, 4) || '-' || "
+        f"substring(md5({expr}), 13, 4) || '-' || "
+        f"substring(md5({expr}), 17, 4) || '-' || "
+        f"substring(md5({expr}), 21, 12)"
+    )
+
+
+def _uuid_col(c):
+    h = F.md5(c)
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+@register(
+    "j10_uuid_equi_join",
+    survey_ids=("J10",),
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey, {_uuid_sql("CAST(o_orderkey AS VARCHAR)")} AS gid
+  FROM orders
+),
+b AS (
+  SELECT l_orderkey, l_partkey,
+         {_uuid_sql("CAST(l_orderkey AS VARCHAR)")} AS gid
+  FROM lineitem WHERE l_linenumber = 1
+)
+SELECT a.o_orderkey, a.gid, b.l_partkey
+FROM a JOIN b ON a.gid = b.gid
+""",
+    doc="UUID-keyed equi-join (the reference joins on MusicBrainz "
+    "gid uuids, sql/2:4,23): 36-char canonical-form string keys — "
+    "Spark has no native UUID type, the join hashes the string.",
+)
+def j10_uuid_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", _uuid_col(F.col("o_orderkey").cast("string")).alias("gid")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_partkey",
+            _uuid_col(F.col("l_orderkey").cast("string")).alias("gid"),
+        )
+    )
+    return orders.join(li, "gid").select("o_orderkey", "gid", "l_partkey")
+
+
+@register(
+    "a6_keyed_multimap",
+    survey_ids=("A6",),
+    oracle="""
+SELECT o_custkey,
+       array_to_string(list_sort(array_agg(DISTINCT o_orderpriority)), ',')
+         AS priorities
+FROM orders
+GROUP BY o_custkey
+""",
+    doc="Group-to-set keyed multimap (the alias->ids dict build, "
+    "src/main.py:90-95): collect_set per key, emitted sorted+joined "
+    "for the cross-engine hash.",
+)
+def a6_keyed_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+    )
+
+
+@register(
+    "a7_group_to_list",
+    survey_ids=("A7",),
+    oracle="""
+SELECT o_custkey,
+       array_to_string(
+         list_transform(
+           list_sort(array_agg([CAST(epoch(o_orderdate) AS BIGINT), o_orderkey])),
+           x -> CAST(x[2] AS VARCHAR)),
+         ',') AS orderkeys_by_date
+FROM orders
+GROUP BY o_custkey
+""",
+    doc="Group-to-list preserving a deterministic order (the per-group "
+    "candidate lists, src/main.py:227-233): collect_list of "
+    "(sortkey, id) structs, sorted, projected to ids.",
+)
+def a7_group_to_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.array(
+                                F.unix_timestamp("o_orderdate").cast("long"),
+                                F.col("o_orderkey"),
+                            )
+                        )
+                    ),
+                    lambda x: F.element_at(x, 2).cast("string"),
+                ),
+                ",",
+            ).alias("orderkeys_by_date")
+        )
+    )
+
+
+@register(
+    "f6_unicode_clean",
+    survey_ids=("F6",),
+    oracle=f"""
+SELECT c_custkey,
+       {clean_sql("c_name || '…' || '’' || '“' || '”' || '‐'")} AS cleaned
+FROM customer
+""",
+    doc="Unicode punctuation canonicalization (clean(), "
+    "src/benchmark.py:14-21) exercised on synthesized non-ASCII "
+    "punctuation (the testdata itself is pure ASCII).",
+)
+def f6_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.normalize import clean  # noqa: PLC0415
+
+    decorated = F.concat(
+        F.col("c_name"), F.lit("…"), F.lit("’"), F.lit("“"), F.lit("”"), F.lit("‐")
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", clean(decorated).alias("cleaned")
+    )
+
+
+@register(
+    "f8_relevance_generation",
+    survey_ids=("F8",),
+    oracle=f"""
+SELECT p_partkey,
+       round(CASE WHEN {search_key_sql('p_name')} = 'coldwidget'
+             THEN CAST(p_size AS DOUBLE)
+             ELSE p_size / 10.0 END, 2) AS relevance
+FROM part
+""",
+    doc="Relevance v1 (generation path, src/main.py:42-48): exact key "
+    "match keeps the score, fuzzy match is worth a tenth.",
+)
+def f8_relevance_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scoring import relevance_generation  # noqa: PLC0415
+
+    part = t(spark, sf_dir, "part")
+    rel = relevance_generation(
+        search_key(F.col("p_name")) == "coldwidget", F.col("p_size")
+    )
+    return part.select("p_partkey", round2(rel).alias("relevance"))
