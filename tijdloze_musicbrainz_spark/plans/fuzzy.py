@@ -287,19 +287,28 @@ def fuzzy_two_phase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     songs = _songs(spark, sf_dir)
     resolved = _resolved(spark, sf_dir)
 
-    joined = resolved.join(songs, "artist_id")
-    p1 = joined.filter(F.col("alias_key").startswith(F.col("title_key"))).withColumn(
-        "phase", F.lit(1)
-    )
-    # Adaptive fallback, set-oriented: only queries with ZERO phase-1
-    # rows (src/benchmark.py:121-126) proceed to the fuzzy phase.
-    remainder = joined.join(p1.select("qid").distinct(), "qid", "left_anti")
-    p2 = remainder.filter(
-        (F.length("alias_key") < 255)
-        & (F.levenshtein(F.col("title_key"), F.col("alias_key"), 1) >= 0)
-    ).withColumn("phase", F.lit(2))
+    # resolved is |workload|-sized (queries x matched artists), tiny
+    # next to the song catalog: broadcast it so the catalog — the
+    # 100 TB side — is never shuffled for this join.
+    joined = songs.join(F.broadcast(resolved), "artist_id")
 
-    cand = p1.unionByName(p2)
+    # One pass over the join instead of three: keep rows matching
+    # EITHER phase predicate, then realize the reference's "phase 2
+    # only if phase 1 found nothing" (src/benchmark.py:121-126) with a
+    # per-query window flag — the anti-join formulation re-evaluated
+    # the whole songs subtree two extra times.
+    is_p1 = F.col("alias_key").startswith(F.col("title_key"))
+    is_p2 = (F.length("alias_key") < 255) & (
+        F.levenshtein(F.col("title_key"), F.col("alias_key"), 1) >= 0
+    )
+    matched = joined.filter(is_p1 | is_p2).withColumn("__is_p1", is_p1)
+    has_p1 = F.max(F.col("__is_p1").cast("int")).over(Window.partitionBy("qid"))
+    cand = (
+        matched.withColumn("__has_p1", has_p1)
+        .filter(F.col("__is_p1") | (F.col("__has_p1") == 0))
+        .withColumn("phase", F.when(F.col("__is_p1"), 1).otherwise(2))
+        .drop("__is_p1", "__has_p1")
+    )
     boost = lambda flag: F.when(flag, F.lit(10.0)).otherwise(F.lit(1.0))  # noqa: E731
     scored = cand.withColumn(
         "relevance",
