@@ -107,3 +107,11 @@ def test_song_aliases_four_branches(outputs):
     # the link_order>1 work ("Ignored Work") is still an alias source
     # in sql/5 (no link_order filter there)
     assert ("r200", "ignoredwork") in got
+
+
+def test_language_pick(outputs):
+    w = _winners(outputs)
+    # Song A's work has English (usable via iso_code_1)
+    assert w["r200"]["language"] == "en"
+    # recordings without a usable work language get NULL
+    assert w["r201"]["language"] is None

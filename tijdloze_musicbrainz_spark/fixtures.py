@@ -133,6 +133,13 @@ _TABLES: dict[str, tuple[list, str]] = {
         "id int, gid string, name string",
     ),
     "work_alias": ([(300, "Werk Ä")], "work int, name string"),
+    # languages: 1 = English (usable), 2 = "no language" zxx (usable
+    # via iso_code_3), 3 = iso_code_1-less real language (NOT usable)
+    "language": (
+        [(1, "en", "eng"), (2, None, "zxx"), (3, None, "abc")],
+        "id int, iso_code_1 string, iso_code_3 string",
+    ),
+    "work_language": ([(300, 1), (301, 3)], "work int, language int"),
     "recording_alias": ([(200, "Song A (live)")], "recording int, name string"),
 }
 

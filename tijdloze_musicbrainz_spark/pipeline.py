@@ -272,6 +272,25 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
         .groupBy(F.col("artist_credit").alias("ac_id"))
         .agg(F.min("artist").alias("second_artist_id"))
     )
+    # language pick per work (main.py:121-128): any usable language
+    # (iso_code_1 set, or iso_code_3 = 'zxx' = "no language"); the
+    # reference's LIMIT 1 is made deterministic with MIN (A5).
+    lang_pick = (
+        tables["work_language"]
+        .join(
+            tables["language"].select(
+                F.col("id").alias("language"), "iso_code_1", "iso_code_3"
+            ),
+            "language",
+        )
+        .filter(F.col("iso_code_1").isNotNull() | (F.col("iso_code_3") == "zxx"))
+        .groupBy(F.col("work").alias("work_id"))
+        .agg(
+            F.min(F.coalesce(F.col("iso_code_1"), F.col("iso_code_3"))).alias(
+                "language"
+            )
+        )
+    )
 
     # The spine: recording -> track -> medium -> release(official) ->
     # release_country + release_group, credits on both branches ------
@@ -333,6 +352,7 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
             work.select(F.col("id").alias("work_id"), F.col("gid").alias("work_mb_id")),
             "work_id",
         )
+        .join(lang_pick, "work_id", "left")
     )
     with_work = pooled.join(work_edge, "recording_id", "left")
 
@@ -348,6 +368,7 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
         "release_group_name",
         "release_type",
         "work_mb_id",
+        "language",
     ).agg(F.min("date_year").alias("release_year"))
 
     return (
@@ -414,6 +435,7 @@ def canonical_selection(
         "recording_score",
         "second_artist_id",
         "work_mb_id",
+        "language",
         "is_single_from",
         main_album.alias("is_main_album"),
         is_soundtrack(F.col("release_type"), F.col("secondary_types")).alias(
@@ -528,6 +550,7 @@ def run_pipeline(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         F.col("second_artist_id"),
         F.col("release_group_mb_id").alias("album_mb_id"),
         F.col("is_single"),
+        F.col("language"),
         F.col("recording_score").alias("score"),
     ).drop("_tmp")
 
