@@ -52,6 +52,11 @@ def get_spark(
         # 128 MB input splits: keeps scan parallelism aligned with the
         # parquet row-group size at any SF.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # managed tables (bucketed writes) live outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,54 @@
+"""Bucketed tables — Spark's replacement for the reference's B-tree
+indexes (``sql/2:17-18,45,53-54``).
+
+Postgres used per-row index lookups on alias/FK columns; at Spark
+scale the equivalents are (a) broadcast for small dims, (b) BUCKETED
+tables for the big fact-fact joins: both sides hash-clustered into
+the same number of buckets on the join key at WRITE time, so the join
+at READ time needs no shuffle at all — the 100 TB co-location lever.
+
+Bucket-count sizing at scale: pick buckets so one bucket of the
+larger table is ~128-256 MB compressed (e.g. 600 GB lineitem → ~4096
+buckets). Both join sides must share the bucket count (or one must
+be a multiple — Spark 3.1+ bucket coalescing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sort-bucketed) managed
+    table. Sorting within buckets additionally enables sort-merge
+    joins without a per-task sort."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str) -> bool:
+    """True when both tables are bucketed (callers can assert the
+    no-shuffle property before relying on it)."""
+
+    def desc(tbl: str) -> str:
+        return "\n".join(
+            r["data_type"] or ""
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+            if r["col_name"] in ("Num Buckets", "Bucket Columns")
+        )
+
+    return bool(desc(table_a)) and bool(desc(table_b))
