@@ -207,3 +207,135 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
         F.col("cosine") >= 0.45
     )
+
+
+@register(
+    "sim_cosine_topk_pandas",
+    survey_ids=(),
+    oracle=f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+         round({_COS_SQL}, 6) AS cosine
+  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, match_id, cosine
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine DESC, match_id) <= {TOP_K}
+""",
+    doc="The vectorized scale path for wide batches: the broadcast "
+    "query matrix is scored against each Arrow batch with one numpy "
+    "matmul inside mapInPandas (bytes cross the JVM boundary once per "
+    "batch), then the per-batch partial top-k is re-ranked globally. "
+    "Same oracle as the expression-based exact variant — both must "
+    "produce identical rounded cosines.",
+)
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    vecs = _vecs(spark, sf_dir)
+    q_rows = (
+        vecs.filter(F.col("vec_id") % 100 == 0).collect()
+    )  # workload-sized query set: tiny, broadcast as plain locals
+    import numpy as np  # noqa: PLC0415
+
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, match_id long, cosine double"
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # sequential per-pair dot (index order) matches the
+            # fold/list_cosine_similarity summation order, keeping the
+            # 6-digit rounding identical across all three variants
+            sims = np.round(q_norm @ m_norm.T, 6)
+            n_q, n_m = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_m),
+                    "match_id": np.tile(ids, n_q),
+                    "cosine": sims.reshape(-1),
+                }
+            )
+
+    scored = vecs.mapInPandas(score, out_schema).filter(
+        F.col("query_id") != F.col("match_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
+
+
+N_PROBE = 3  # centroids probed per query
+
+
+@register(
+    "sim_ann_ivf_bucketed",
+    survey_ids=(),
+    oracle=None,  # approximate recall by construction -> rows-only
+    doc="IVF-style ANN: deterministic coarse centroids (every 50th "
+    "vector), corpus bucketed by nearest centroid (one broadcast "
+    "scan), queries probe their N_PROBE nearest centroid buckets and "
+    "re-rank with exact cosine. At 100 TB the inverted lists are "
+    "written partitioned by centroid id so a query touches only its "
+    "probed partitions (partition pruning on the list table).",
+)
+def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def nearest(df, id_col, vec_col, k):
+        scored = df.join(F.broadcast(cents)).select(
+            id_col,
+            vec_col,
+            "cent_id",
+            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn", "__sim")
+        )
+
+    # inverted lists: every vector in exactly one centroid bucket
+    lists = nearest(vecs, "vec_id", "v", 1).select(
+        "cent_id", F.col("vec_id").alias("match_id"), F.col("v").alias("mv")
+    )
+    # queries probe their N_PROBE nearest buckets
+    queries = nearest(
+        vecs.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "query_id",
+        "qv",
+        N_PROBE,
+    ).select("query_id", "qv", "cent_id")
+
+    cand = queries.join(lists, "cent_id").filter(
+        F.col("query_id") != F.col("match_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("qv"), F.col("mv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
