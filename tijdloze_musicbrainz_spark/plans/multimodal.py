@@ -91,3 +91,69 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     media = ev.select("event_id", F.col("props").cast("binary").alias("blob"))
     return fake_byte_features(spark, media)
+
+
+FRAME_BYTES = 4
+FRAME_STRIDE = 2  # keep every 2nd frame
+
+
+def resize_image_real(blob: bytes, width: int, height: int) -> bytes:
+    """Real resize stub: would decode, resample, re-encode. Imaging
+    libs are absent in this container — see module docstring."""
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this container"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    survey_ids=(),
+    oracle=f"""
+WITH idx AS (
+  SELECT event_id, props,
+         unnest(range(0, CAST(ceil(length(props)
+           / {FRAME_BYTES * FRAME_STRIDE}.0) AS INTEGER))) AS frame_no
+  FROM events
+)
+SELECT event_id, CAST(frame_no AS BIGINT) AS frame_no,
+       substring(props, (frame_no * {FRAME_BYTES * FRAME_STRIDE}) + 1,
+                 {FRAME_BYTES}) AS frame
+FROM idx
+WHERE length(substring(props, (frame_no * {FRAME_BYTES * FRAME_STRIDE}) + 1,
+             {FRAME_BYTES})) > 0
+""",
+    doc="Video-style frame sampling on an opaque binary column: the "
+    "payload is cut into fixed-size frames and every STRIDE-th frame "
+    "is kept — one Arrow-batched pass (mapInPandas), emitting "
+    "(event_id, frame_no, frame). The real decoder would replace the "
+    "byte-slicing with codec calls; schema, batching, and the "
+    "explode shape are the production plumbing.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("props").cast("binary").alias("blob")
+    )
+    out_schema = "event_id bigint, frame_no bigint, frame string"
+    step = FRAME_BYTES * FRAME_STRIDE
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for eid, blob in zip(pdf["event_id"], pdf["blob"]):
+                for n, off in enumerate(range(0, len(blob), step)):
+                    chunk = blob[off : off + FRAME_BYTES]
+                    if chunk:
+                        ids.append(eid)
+                        frame_nos.append(n)
+                        frames.append(chunk.decode("utf-8", errors="replace"))
+            yield pd.DataFrame(
+                {"event_id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        sample, out_schema
+    )
