@@ -29,7 +29,21 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (and optionally sort-bucketed) managed
     table. Sorting within buckets additionally enables sort-merge
-    joins without a per-task sort."""
+    joins without a per-task sort.
+
+    Drops any stale table AND its leftover warehouse directory first:
+    a managed-table location can outlive the (per-process Derby)
+    metastore entry, and saveAsTable refuses to reuse an orphaned
+    location."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    if warehouse.startswith("/"):
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
