@@ -282,3 +282,31 @@ def s2_csv_golden_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="c_custkey long, c_name string, c_mktsegment string, quoted_field string",
     )
     return out
+
+
+_PORTABLE_Q6 = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "sql_api_q6",
+    survey_ids=("P2", "F15", "S1"),
+    oracle=_PORTABLE_Q6,
+    doc="The SQL front-end surface: the reference drives everything "
+    "through SQL strings; here the IDENTICAL ANSI text runs on BOTH "
+    "engines — spark.sql over registered temp views vs DuckDB — "
+    "proving the engine accepts plain SQL, with the same pushed-down "
+    "plan Catalyst builds for the DataFrame form.",
+)
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views  # noqa: PLC0415
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_PORTABLE_Q6)
