@@ -1,0 +1,100 @@
+"""Property-based tests (SURVEY §5): randomized inputs, engine
+parity and model-based checks.
+
+- search_key: Spark expression vs DuckDB SQL twin must agree on ANY
+  string drawn from the documented supported charset (ASCII + the
+  Latin fold table + multi-char folds + unicode punctuation).
+- upsert dedup: last-writer-wins over random batches must equal a
+  Python dict replay.
+
+Each example batches many strings/rows into ONE DataFrame so Spark
+overhead stays sane.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tijdloze_musicbrainz_spark.functions import normalize
+
+SUPPORTED_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " _-',.()&#!\"…’“”‐"
+    + normalize._ACCENTED
+    + "".join(src for src, _ in normalize._MULTI_FOLDS)
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    st.lists(
+        st.text(alphabet=SUPPORTED_ALPHABET, max_size=40),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_search_key_engine_parity(spark, duck, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got_spark = [
+        r[0] for r in df.select(normalize.search_key(F.col("s"))).collect()
+    ]
+    got_duck = [
+        duck.execute(
+            f"SELECT {normalize.search_key_sql('?')}", [s]
+        ).fetchone()[0]
+        for s in strings
+    ]
+    assert got_spark == got_duck, [
+        (s, a, b) for s, a, b in zip(strings, got_spark, got_duck) if a != b
+    ][:5]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),  # key
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(**_SETTINGS)
+def test_upsert_last_writer_wins_model(spark, batches):
+    from tijdloze_musicbrainz_spark.operators.upsert import dedup_last_wins
+
+    rows = [(k, v, i) for i, (k, v) in enumerate(batches)]
+    df = spark.createDataFrame(rows, "k int, v int, seq int")
+    got = {
+        r["k"]: r["v"]
+        for r in dedup_last_wins(df, ["k"], [F.desc("seq")]).collect()
+    }
+    model: dict[int, int] = {}
+    for k, v in batches:
+        model[k] = v
+    assert got == model
+
+
+@given(
+    st.lists(
+        st.text(alphabet=SUPPORTED_ALPHABET, max_size=30),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_search_key_idempotent(spark, strings):
+    # applying search_key to its own output is a no-op (keys are
+    # already lowercase alphanumerics)
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    once = df.select(normalize.search_key(F.col("s")).alias("k"))
+    twice = once.select(normalize.search_key(F.col("k")).alias("k2"))
+    assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()]
