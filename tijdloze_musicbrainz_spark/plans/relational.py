@@ -945,7 +945,7 @@ def f_relevance_multiplicative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f_split_concat",
-    survey_ids=("F10", "F11"),
+    survey_ids=("P1", "F10", "F11"),
     oracle="""
 SELECT c_custkey,
        split_part(c_name, '#', 1) AS name_part,
