@@ -30,6 +30,9 @@ HEADLINERS = [
     "sim_cosine_topk_exact",
     "events_sessionize",
     "text_token_stats",
+    # the composed dataset-generation DAG at data scale — the closest
+    # analog to the reference's headline 8-hour job (BASELINE.md)
+    "mb_pipeline_scale",
 ]
 
 

@@ -115,3 +115,16 @@ def test_language_pick(outputs):
     assert w["r200"]["language"] == "en"
     # recordings without a usable work language get NULL
     assert w["r201"]["language"] is None
+
+
+def test_scale_pipeline_smoke(spark, sf_dir):
+    from tijdloze_musicbrainz_spark.plans.mb_pipeline import mb_pipeline_scale
+
+    best = mb_pipeline_scale(spark, sf_dir)
+    n = best.count()
+    assert n > 0
+    # one winner per (artist, recording)
+    assert (
+        best.groupBy("artist_id", "recording_mb_id").count().filter("count > 1").count()
+        == 0
+    )

@@ -68,3 +68,126 @@ def mb_pipeline_artist_aliases_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     return run_pipeline(tables)["mb_artist_alias"].select(
         F.col("artist_id").cast("int").alias("artist_id"), "alias"
     )
+
+
+def mb_scale_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Volume-bearing MusicBrainz-shaped world derived from the TPC-H
+    testdata (sf-scaled), for benching the composed DAG at data scale:
+    suppliers play artists, (part, supplier) pairs play recordings,
+    orders play release groups / releases, lineitems play tracks.
+    Every derivation is a column expression — the derivation cost is
+    part of the measured job, exactly like the reference's job reads
+    raw MusicBrainz tables."""
+    from .util import t as _t  # noqa: PLC0415
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
+
+    recording = (
+        li.select(F.col("l_partkey"), F.col("l_suppkey"))
+        .distinct()
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("id"),
+            (F.col("l_partkey") * 100000 + F.col("l_suppkey"))
+            .cast("string")
+            .alias("gid"),
+            F.col("p_name").alias("name"),
+            F.col("l_suppkey").alias("artist_credit"),
+        )
+    )
+    rg_credit = li.groupBy("l_orderkey").agg(F.min("l_suppkey").alias("rg_ac"))
+    release_group = orders.join(
+        rg_credit, orders.o_orderkey == rg_credit.l_orderkey
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderkey").cast("string").alias("gid"),
+        F.concat(F.lit("order-"), F.col("o_orderkey")).alias("name"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2).otherwise(1).alias("type"),
+        F.col("rg_ac").alias("artist_credit"),
+    )
+    return {
+        "area": nation.select(F.col("n_nationkey").alias("id")),
+        "iso_3166_1": nation.select(
+            F.col("n_nationkey").alias("area"),
+            F.upper(F.substring("n_name", 1, 2)).alias("code"),
+        ),
+        "l_area_area": empty("link int, entity0 int, entity1 int"),
+        "artist": supplier.select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_suppkey").cast("string").alias("gid"),
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").alias("area"),
+        ),
+        "l_artist_url": li.select(
+            F.col("l_suppkey").alias("entity0"),
+            F.col("l_orderkey").alias("entity1"),
+        ).distinct(),
+        "artist_alias": empty("artist int, name string"),
+        "link": empty("id int, link_type int"),
+        "link_attribute": empty("link int, attribute_type int"),
+        "l_artist_artist": empty("link int, entity0 int, entity1 int"),
+        "artist_credit": supplier.select(F.col("s_suppkey").alias("id")),
+        "artist_credit_name": supplier.select(
+            F.col("s_suppkey").alias("artist_credit"),
+            F.lit(0).alias("position"),
+            F.col("s_suppkey").alias("artist"),
+            F.col("s_name").alias("name"),
+        ),
+        "release_group": release_group,
+        "release_group_secondary_type_join": orders.filter(
+            F.col("o_orderpriority") == "2-HIGH"
+        )
+        .select(F.col("o_orderkey").alias("release_group"), F.lit(2).alias("secondary_type"))
+        .unionByName(
+            orders.filter(F.col("o_orderpriority") == "3-MEDIUM").select(
+                F.col("o_orderkey").alias("release_group"),
+                F.lit(1).alias("secondary_type"),
+            )
+        ),
+        "l_rg_rg": empty("entity0 int, entity1 int, link int"),
+        "release": orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderkey").alias("release_group"),
+            F.when(F.col("o_orderstatus") == "P", 2).otherwise(1).alias("status"),
+        ),
+        "release_country": orders.select(
+            F.col("o_orderkey").alias("release"),
+            F.year("o_orderdate").alias("date_year"),
+        ),
+        "medium": orders.select(
+            F.col("o_orderkey").alias("id"), F.col("o_orderkey").alias("release")
+        ),
+        "track": li.select(
+            F.monotonically_increasing_id().alias("id"),
+            F.col("l_orderkey").alias("medium"),
+            (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("recording"),
+        ),
+        "recording": recording,
+        "recording_alias": empty("recording int, name string"),
+        "l_recording_work": empty("entity0 bigint, entity1 int, link_order int"),
+        "work": empty("id int, gid string, name string"),
+        "work_alias": empty("work int, name string"),
+        "language": empty("id int, iso_code_1 string, iso_code_3 string"),
+        "work_language": empty("work int, language int"),
+    }
+
+
+@register(
+    "mb_pipeline_scale",
+    survey_ids=(),
+    oracle=None,  # volume bench — counts checked in tests, timing in bench.py
+    doc="The composed dataset-generation DAG at data scale: the full "
+    "run_pipeline over an sf-scaled MusicBrainz-shaped derivation of "
+    "the TPC-H tables (~600k tracks at sf0.1). This is the workload "
+    "the reference runs in ~8 h on a t2.large via a per-artist loop; "
+    "here it is one set-oriented Spark job (see bench.py).",
+)
+def mb_pipeline_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = mb_scale_tables(spark, sf_dir)
+    return run_pipeline(tables)["canonical"]
