@@ -388,10 +388,9 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
             "left",
         )
         .drop("ac_id")
-        # duplicate rows across the two pools collapse (same grouping
-        # keys) — the reference appends both lists; dedupe is safe
-        # because all derived columns are functionally dependent
-        .dropDuplicates(["artist_id", "recording_mb_id", "rg_id", "work_mb_id"])
+        # no dropDuplicates needed: the groupBy above already collapses
+        # duplicate rows across the two pools (union happens BEFORE the
+        # grouping), and every join after it is 1:1 on its key
     )
 
 
