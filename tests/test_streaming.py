@@ -37,3 +37,36 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_upsert_sink(spark, sf_dir, tmp_path_factory):
+    import shutil
+
+    from tijdloze_musicbrainz_spark.streaming import stream_events
+    from tijdloze_musicbrainz_spark.streaming.jobs import stream_upsert_to_parquet
+
+    base = str(tmp_path_factory.mktemp("stream_upsert"))
+    target = f"{base}/events_latest"
+    shutil.rmtree(f"{target}__checkpoint", ignore_errors=True)
+
+    # keep the latest event per user via the streaming upsert
+    stream = stream_events(spark, sf_dir).select("user_id", "event_id", "ts")
+    stream_upsert_to_parquet(
+        stream.withColumn("seq", F.col("event_id")),
+        target,
+        keys=["user_id"],
+        priority_col="seq",
+    )
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+
+    from tijdloze_musicbrainz_spark.plans.util import t as load
+
+    ev = load(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["max(event_id)"])
+        for r in ev.groupBy("user_id").agg({"event_id": "max"}).collect()
+    }
+    assert got == want

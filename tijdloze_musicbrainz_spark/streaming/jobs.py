@@ -167,3 +167,47 @@ GROUP BY 1, 2
 )
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(windowed_counts(stream_events(spark, sf_dir)))
+
+
+def stream_upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    priority_col: str,
+) -> None:
+    """Stream → idempotent sink: every micro-batch merges into the
+    parquet target with last-writer-wins semantics (foreachBatch +
+    the batch upsert operator). Exactly-once effect under retries:
+    a replayed batch re-merges the same rows and the dedup keeps the
+    same winners. At scale the target is a partitioned table with
+    dynamic partition overwrite (or Delta MERGE)."""
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from ..operators.upsert import dedup_last_wins  # noqa: PLC0415
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(path):
+            existing = spark.read.parquet(path)
+            merged = existing.unionByName(batch_df)
+        else:
+            merged = batch_df
+        out = dedup_last_wins(merged, keys, [F.desc(priority_col)])
+        # write to a temp dir then swap: the source of the read above
+        # cannot be overwritten in place
+        tmp = f"{path}__tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
