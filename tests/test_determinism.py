@@ -1,0 +1,33 @@
+"""Partition-count determinism: float-aggregating queries must
+produce BIT-IDENTICAL results under different shuffle-partition
+counts (3-way local vs 4096-way cluster must hash the same). This is
+the property the exact-DECIMAL money aggregation buys; plain double
+sums fail it at cent boundaries."""
+
+from __future__ import annotations
+
+import pytest
+
+FLOAT_QUERIES = [
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "events_tumbling_window",
+    "a_accuracy_report",
+]
+
+
+@pytest.mark.parametrize("name", FLOAT_QUERIES)
+def test_result_independent_of_partitioning(spark, sf_dir, name):
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    few = spark.newSession()
+    few.conf.set("spark.sql.shuffle.partitions", "3")
+    many = spark.newSession()
+    many.conf.set("spark.sql.shuffle.partitions", "27")
+
+    def rows(session):
+        df = REGISTRY[name].builder(session, sf_dir)
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(few) == rows(many)

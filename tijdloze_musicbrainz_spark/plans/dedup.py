@@ -248,10 +248,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify bucket candidates with exact Jaccard: join the (small)
     # candidate set back to the shingle arrays instead of carrying the
-    # arrays through the band shuffle.
+    # arrays through the band shuffle. The candidate side broadcasts,
+    # so the shingle relation is never shuffled with its arrays.
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b"))
-    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    verified = sh_b.join(F.broadcast(sh_a.join(F.broadcast(cand), "doc_a")), "doc_b")
     jac = jaccard(F.col("sgs_a"), F.col("sgs_b"))
     return verified.filter(jac >= 0.8).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
