@@ -26,6 +26,7 @@ HEADLINERS = [
     "j_multiway_candidates",
     "set_union_distinct_aliases",
     "fuzzy_two_phase_search",
+    "fuzzy_search_precomputed",
     "dedup_minhash_lsh",
     "sim_cosine_topk_exact",
     "events_sessionize",

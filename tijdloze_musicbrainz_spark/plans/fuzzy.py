@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import search_key, search_key_sql
 from ..operators.canonical import argmin_per_group
-from .registry import register
+from .registry import REGISTRY, register
 from .util import t
 
 # ---------------------------------------------------------------------------
@@ -284,9 +284,12 @@ QUALIFY row_number() OVER (
     "argmax, set-oriented end to end.",
 )
 def fuzzy_two_phase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    songs = _songs(spark, sf_dir)
-    resolved = _resolved(spark, sf_dir)
+    return _search_over(_songs(spark, sf_dir), _resolved(spark, sf_dir))
 
+
+def _search_over(songs: DataFrame, resolved: DataFrame) -> DataFrame:
+    """The two-phase search given a song catalog and a resolved query
+    set (shared by the build-inline and precomputed-catalog variants)."""
     # resolved is |workload|-sized (queries x matched artists), tiny
     # next to the song catalog: broadcast it so the catalog — the
     # 100 TB side — is never shuffled for this join.
@@ -398,3 +401,25 @@ def fuzzy_duet_split_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return both
+
+
+@register(
+    "fuzzy_search_precomputed",
+    survey_ids=("P6", "P7", "P8", "F5", "F9", "A9", "O4"),
+    oracle=REGISTRY["fuzzy_two_phase_search"].oracle,
+    doc="The reference's ACTUAL read-path economics: the song catalog "
+    "and alias keys are materialized once (the export-table pattern, "
+    "sql/4:32 / sql/5:34) and the interactive two-phase search runs "
+    "against the materialization — same oracle, same results as "
+    "fuzzy_two_phase_search, but the measured cost is query-time "
+    "only. bench.py carries both so the catalog-build vs query split "
+    "is visible.",
+)
+def fuzzy_search_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.materialize import materialized  # noqa: PLC0415
+
+    songs = materialized(
+        spark, sf_dir, "song_catalog", lambda: _songs(spark, sf_dir)
+    )
+    resolved = _resolved(spark, sf_dir)
+    return _search_over(songs, resolved)
