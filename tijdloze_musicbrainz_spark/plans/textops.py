@@ -196,3 +196,97 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_key"
         ),
     )
+
+
+@register(
+    "corpus_clean_pipeline",
+    survey_ids=("A1", "J9", "F4"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+quality AS (
+  SELECT * FROM base
+  WHERE n >= 100 AND n <= 20000 AND CAST(n_punct AS DOUBLE) / n < 0.1
+),
+exact_canon AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY lower(trim(text))
+),
+survivors AS (
+  SELECT q.* FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id
+),
+sh AS (
+  SELECT doc_id, lang, n_tok,
+         array_to_string(list_slice(ws, 1, 5), ' ') AS blk,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws)-2, 1)+1),
+           i -> array_to_string(list_slice(ws, i, i+2), ' '))) AS sgs
+  FROM survivors
+),
+near_dup_losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
+        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.9
+),
+clean AS (
+  SELECT s.* FROM sh s LEFT JOIN near_dup_losers l ON s.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM clean GROUP BY lang
+""",
+    doc="The training-data pipeline composed end to end as ONE plan: "
+    "quality gate (length + punctuation ratio) -> exact dedup "
+    "(first-writer-wins) -> near-dup removal (blocked 3-shingle "
+    "Jaccard >= 0.9, keep the lower doc_id) -> per-language doc and "
+    "token accounting. Each tier is the cheap pre-filter for the next "
+    "(gates before dedup before pairwise) — the ordering that keeps "
+    "the expensive stages small at 100 TB.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import jaccard, shingles_col, words_col  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    quality = docs.filter(
+        (n >= 100) & (n <= 20000) & (n_punct.cast("double") / n < 0.1)
+    ).select("doc_id", "lang", "text", words_col().alias("ws"))
+
+    exact_canon = quality.groupBy(F.lower(F.trim(F.col("text"))).alias("k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality.join(exact_canon.select("doc_id"), "doc_id", "left_semi")
+
+    sh = survivors.select(
+        "doc_id",
+        "lang",
+        F.size("ws").alias("n_tok"),
+        F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
+        shingles_col(F.col("ws")).alias("sgs"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jaccard(F.col("a.sgs"), F.col("b.sgs")) >= 0.9)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = sh.join(losers, "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
