@@ -128,3 +128,21 @@ def test_scale_pipeline_smoke(spark, sf_dir):
         best.groupBy("artist_id", "recording_mb_id").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_album_export_uses_group_year_not_official_year(outputs):
+    # Album One wins Song A via official 1991, but the group has a
+    # 1985 bootleg: mb_album.release_year is the group-wide min
+    # (no status filter), while the canonical pick still keys off the
+    # official-only year.
+    w = _winners(outputs)
+    assert w["r200"]["release_group_mb_id"] == "rg101"
+    assert w["r200"]["release_year"] == 1991
+    albums = {r["mb_id"]: r for r in outputs[0]["mb_album"].collect()}
+    assert albums["rg101"]["release_year"] == 1985
+
+
+def test_song_export_is_single_is_the_single_from_flag(outputs):
+    songs = {r["mb_id"]: r for r in outputs[0]["mb_song"].collect()}
+    assert songs["r202"]["is_single"] is True  # single-from-flagged winner
+    assert songs["r200"]["is_single"] is False  # plain album winner

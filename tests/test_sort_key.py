@@ -92,9 +92,23 @@ def test_null_year_is_9999_without_penalty(spark):
             ("other", 9998, SINGLE, [SOUNDTRACK, COMPILATION], False),
         ],
     )
-    # other: year_value 9999, type_priority soundtrack=2 (checked first)
-    # nullcomp: year_value 9999, type_priority 3 -> other wins
-    assert winner == "other"
+    # other: a SINGLE with secondary types is NOT a soundtrack album
+    # (release_type==1 guard, src/main.py:36-37) -> type_priority 4;
+    # nullcomp: year_value 9999 (no +1), type_priority 3 -> wins
+    assert winner == "nullcomp"
+
+
+def test_secondary_types_on_single_do_not_make_it_an_album(spark):
+    # same-year: a SINGLE carrying a soundtrack secondary must rank as
+    # "other" (4), losing to a true soundtrack ALBUM (2)
+    winner = _pick_winner(
+        spark,
+        [
+            ("fake", 1995, SINGLE, [SOUNDTRACK], False),
+            ("real", 1995, ALBUM, [SOUNDTRACK], False),
+        ],
+    )
+    assert winner == "real"
 
 
 def test_soundtrack_outranks_compilation_same_year(spark):

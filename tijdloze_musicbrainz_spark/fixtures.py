@@ -82,6 +82,10 @@ _TABLES: dict[str, tuple[list, str]] = {
             (306, 106, 1),
             (307, 107, 1),
             (308, 108, 1),
+            # trackless 1985 bootleg of Album One: must NOT affect the
+            # canonical pick (official-only spine) but MUST set
+            # mb_album.release_year (group-wide, no status filter)
+            (309, 101, 2),
         ],
         "id int, release_group int, status int",
     ),
@@ -96,6 +100,7 @@ _TABLES: dict[str, tuple[list, str]] = {
             (306, 1995),
             (307, 1997),
             (308, None),
+            (309, 1985),
         ],
         "release int, date_year int",
     ),

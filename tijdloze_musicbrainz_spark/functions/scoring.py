@@ -35,11 +35,15 @@ def is_main_album(rg_type: Column, sec_types: Column) -> Column:
 
 
 def is_compilation(rg_type: Column, sec_types: Column) -> Column:
-    return F.array_contains(_arr(sec_types), COMPILATION)
+    """type == album AND compilation secondary (src/main.py:33-34 —
+    the release_type==1 guard is part of the predicate: a SINGLE with
+    a compilation secondary type is NOT a compilation album)."""
+    return (rg_type == ALBUM) & F.array_contains(_arr(sec_types), COMPILATION)
 
 
 def is_soundtrack(rg_type: Column, sec_types: Column) -> Column:
-    return F.array_contains(_arr(sec_types), SOUNDTRACK)
+    """type == album AND soundtrack secondary (src/main.py:36-37)."""
+    return (rg_type == ALBUM) & F.array_contains(_arr(sec_types), SOUNDTRACK)
 
 
 def is_single(rg_type: Column) -> Column:

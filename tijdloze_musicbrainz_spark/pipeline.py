@@ -81,6 +81,12 @@ def area_country_map(
                 F.coalesce(F.col("c0"), F.col("c1"), F.col("c2"), F.col("c3"))
             ).alias("country_id"),
         )
+        # an area with several part-of parents yields one row per
+        # chain; the reference collapses to one via PRIMARY KEY +
+        # ON CONFLICT DO NOTHING (arbitrary winner). We collapse
+        # deterministically: min non-null country code.
+        .groupBy("area_id")
+        .agg(F.min("country_id").alias("country_id"))
     )
 
 
@@ -120,7 +126,15 @@ def artist_aliases(
     """sql/4: UNION-distinct of (own name, alias-table names, credited
     names, legal-name-linked artists' names), normalized to the search
     key. Distinct AFTER normalization so spelling variants that fold
-    to one key dedupe (ON CONFLICT DO NOTHING twin)."""
+    to one key dedupe (ON CONFLICT DO NOTHING twin).
+
+    DELIBERATE unification: the reference keys the alias TABLES with
+    the SQL variant (``\\W`` strip — keeps underscores, keeps
+    "(live)"; sql/4:32) but queries them with the Python
+    ``search_key`` (strips both; src/util.py:14-16), so its write and
+    read keys disagree on those inputs. This engine uses the Python
+    variant on BOTH sides (functions/normalize.py), so stored aliases
+    always match query keys."""
     ids = mb_artist.select("id")
     own = mb_artist.select("id", "name")
     aliased = ids.join(
@@ -245,12 +259,16 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
     work = tables["work"]
 
     # Decorrelated aggregates --------------------------------------
+    # release_group_year spans ALL releases of the group — the
+    # reference's correlated subquery (src/main.py:104-109) has NO
+    # status filter, unlike the spine (bootleg years count here).
     rg_year = (
-        release.join(
+        tables["release"]
+        .join(
             release_country.select(
                 F.col("release").alias("rel_id"), "date_year"
             ),
-            release.id == F.col("rel_id"),
+            tables["release"].id == F.col("rel_id"),
         )
         .groupBy(F.col("release_group").alias("rg_id"))
         .agg(F.min("date_year").alias("release_group_year"))
@@ -431,6 +449,7 @@ def canonical_selection(
         "release_group_name",
         "release_type",
         "release_year",
+        "release_group_year",
         "recording_score",
         "second_artist_id",
         "work_mb_id",
@@ -443,12 +462,24 @@ def canonical_selection(
         yv,
         rp,
         tp,
+        # a recording with two work edges (link_order 0 and 1) on the
+        # same release group ties on every reference sort component —
+        # the reference's min() then keeps arbitrary query order; we
+        # break the tie deterministically on the work gid (NULL-work
+        # rows first)
+        F.coalesce(F.col("work_mb_id"), F.lit("")).alias("__work_key"),
     )
     best = argmin_per_group(
         scored,
         ["artist_id", "recording_mb_id"],
-        ["year_value", "ref_priority", "type_priority", "release_group_mb_id"],
-    )
+        [
+            "year_value",
+            "ref_priority",
+            "type_priority",
+            "release_group_mb_id",
+            "__work_key",
+        ],
+    ).drop("__work_key")
     return best.withColumn("is_single", is_single(F.col("release_type")))
 
 
@@ -532,26 +563,30 @@ def run_pipeline(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
     candidates = candidate_entries(tables, mb_artist.select("id"))
     best = canonical_selection(candidates, relations)
 
+    # mb_album.release_year is the GROUP-wide year (all releases, no
+    # status filter — src/main.py:264-272 exports release_group_year),
+    # not the winning entry's official-only year. mb_album.is_single
+    # is the release-group type; mb_song.is_single is the single-from
+    # FLAG (the reference's VALUES tuple, src/main.py:281-292).
     mb_album = best.select(
         F.col("release_group_mb_id").alias("mb_id"),
         F.col("release_group_name").alias("title"),
-        F.col("release_year"),
+        F.col("release_group_year").alias("release_year"),
         F.col("is_soundtrack"),
         (F.col("release_type") == 2).alias("is_single"),
         F.col("is_main_album"),
     ).distinct()
     mb_song = best.select(
-        F.monotonically_increasing_id().alias("_tmp"),  # replaced below
         F.col("recording_mb_id").alias("mb_id"),
         F.col("work_mb_id"),
         F.col("recording_name").alias("title"),
         F.col("artist_id"),
         F.col("second_artist_id"),
         F.col("release_group_mb_id").alias("album_mb_id"),
-        F.col("is_single"),
+        F.col("is_single_from").alias("is_single"),
         F.col("language"),
         F.col("recording_score").alias("score"),
-    ).drop("_tmp")
+    )
 
     return {
         "area_country_map": area_map,

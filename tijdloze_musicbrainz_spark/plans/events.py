@@ -82,8 +82,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH d AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
               OR lag(ts) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new_session,
@@ -113,10 +113,14 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # gap compared in MICROSECONDS on both engines: unix_timestamp
+    # truncates to seconds while DuckDB's epoch() keeps the fraction,
+    # so a gap like 1800.8s would split in one engine and not the
+    # other if compared at second granularity.
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     d = ev.withColumn(
         "is_new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
     )
     d = d.withColumn(
         "session_seq",

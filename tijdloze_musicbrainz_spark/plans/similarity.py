@@ -253,9 +253,12 @@ def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.array(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
             m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
-            # sequential per-pair dot (index order) matches the
-            # fold/list_cosine_similarity summation order, keeping the
-            # 6-digit rounding identical across all three variants
+            # NOTE: numpy matmul uses pairwise/SIMD summation while
+            # the oracle folds sequentially — the float64 results can
+            # differ in the last ulps. The 6-digit rounding absorbs
+            # that except when a cosine sits within ~1e-15 of a
+            # 0.5e-6 boundary (~1e-9 per pair); at corpus scale,
+            # demote this entry to rows-only.
             sims = np.round(q_norm @ m_norm.T, 6)
             n_q, n_m = sims.shape
             yield pd.DataFrame(
