@@ -320,14 +320,30 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
         F.col("artist_credit").alias("rg_ac"),
         F.col("artist").alias("rg_artist"),
     )
-    spine = (
+    # THE selectivity lever (sql/3 cut, README.md:37): restrict to the
+    # exported artists' recordings FIRST, before any of the fat joins
+    # — at full MusicBrainz scale this turns the spine's input from
+    # every recording into the Belgian-or-popular slice, exactly like
+    # the reference's per-artist WHERE does.
+    cut_recordings = (
         recording.select(
             F.col("id").alias("recording_id"),
             F.col("gid").alias("recording_mb_id"),
             F.col("name").alias("recording_name"),
             F.col("artist_credit").alias("rec_ac"),
         )
-        .join(track.select(F.col("recording").alias("recording_id"), "medium"), "recording_id")
+        .join(first_credit, "rec_ac")
+        .join(
+            artist_ids.select(F.col("id").alias("artist_id")),
+            "artist_id",
+            "left_semi",
+        )
+    )
+    spine = (
+        cut_recordings.join(
+            track.select(F.col("recording").alias("recording_id"), "medium"),
+            "recording_id",
+        )
         .join(medium.select(F.col("id").alias("medium"), F.col("release").alias("rel_id")), "medium")
         .join(release.select(F.col("id").alias("rel_id"), F.col("release_group").alias("rg_id")), "rel_id")
         .join(release_country.select(F.col("release").alias("rel_id"), "date_year"), "rel_id")
@@ -341,8 +357,6 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
             ),
             "rg_id",
         )
-        .join(first_credit, "rec_ac")
-        .join(artist_ids.select(F.col("id").alias("artist_id")), "artist_id")
     )
 
     normal_pool = spine.join(
