@@ -55,19 +55,25 @@ def main() -> None:
         # the box is shared and the driver JVM GCs between queries, so
         # a single slow pair would otherwise report pure noise. The
         # first run also pays file listing + codegen for cold plans.
-        trials = []
-        for _ in range(2):
-            t0 = time.monotonic()
-            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            trials.append(time.monotonic() - t0)
-        if max(trials) > 2 * min(trials) or min(trials) > 10:
-            t0 = time.monotonic()
-            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            trials.append(time.monotonic() - t0)
-        timings[name] = round(min(trials), 3)
+        # one failing query must not zero the whole bench (the
+        # round-1 lesson): record -1 and keep going.
+        try:
+            trials = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                trials.append(time.monotonic() - t0)
+            if max(trials) > 2 * min(trials) or min(trials) > 10:
+                t0 = time.monotonic()
+                builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                trials.append(time.monotonic() - t0)
+            timings[name] = round(min(trials), 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
             {
