@@ -1,0 +1,189 @@
+"""Golden-accuracy replay — the reference's end-to-end benchmark.
+
+The reference replays a golden CSV (``benchmark/default.csv``) through
+its fuzzy search and scores the run as Correct / Missing / Wrong
+(``/root/reference/src/benchmark.py:236-274``): *missing* = no
+MusicBrainz match found, *wrong* = a match whose release-group id
+differs from the golden id, *correct* = the rest. Rows whose combined
+artist name resolves nothing fall back to the duet "&"-split path
+(``benchmark.py:176-183``).
+
+Here the same replay is ONE set-oriented Spark job over a deterministic
+fixture world (golden CSV written to disk and read back through the CSV
+source, exactly like the reference reads its benchmark file):
+
+1. fuzzy artist resolve   — deletion-neighborhood join (fuzzy.py),
+2. duet fallback          — anti-join the unresolved remainder, split
+                            on '&', resolve the main artist,
+3. two-phase title search — the shared ``_search_over`` pipeline,
+4. accuracy fold          — classify per golden row, aggregate counts
+                            and percentages per status.
+
+The oracle is the hand-derived expected outcome as literal VALUES, so
+the driver's hash compare golden-checks the whole composition: exact
+hit, distance-1 artist typo, alias resolve, distance-1 title typo
+(phase 2), no-match → Missing, golden-id mismatch → Wrong, and the
+duet split → Correct.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import search_key
+from .fuzzy import _search_over, fuzzy_key_join
+from .registry import register
+
+# Golden workload (mirrors benchmark/default.csv's columns):
+# row_id, artist_name, title, db_album_mb_id (the expected answer).
+_GOLDEN_ROWS = [
+    (1, "Nirvana", "Lithium", "rg-n1"),          # exact -> Correct
+    (2, "Nirvan", "Lithium", "rg-n1"),           # artist typo (<=1) -> Correct
+    (3, "Gorky", "Mia", "rg-g1"),                # alias resolve -> Correct
+    (4, "Nirvana", "Lithiumm", "rg-n1"),         # title typo, phase 2 -> Correct
+    (5, "Nirvana", "Unknown Song", "rg-x1"),     # no candidate -> Missing
+    (6, "Pearl Jam", "Alive", "rg-p2"),          # engine finds rg-p1 -> Wrong
+    (7, "Luc De Vos & Gorki", "Duet Song", "rg-d1"),  # duet split -> Correct
+    (8, "Zzz Nobody", "Whatever", "rg-z1"),      # unresolvable artist -> Missing
+]
+
+# Song catalog: song_id, artist_id, title, mb_id, recording_score,
+# is_single_from, is_main_album, release_year. "Lithium (live)" is a
+# low-score prefix competitor that the max/10 relevance threshold must
+# discard (benchmark.py:128-133).
+_SONGS = [
+    (101, 1, "Lithium", "rg-n1", 10, False, True, 1991),
+    (102, 1, "Lithium (live)", "rg-n2", 1, False, False, 1995),
+    (103, 2, "Mia", "rg-g1", 8, False, False, 1992),
+    (104, 4, "Alive", "rg-p1", 5, False, False, 1991),
+    (105, 3, "Duet Song", "rg-d1", 3, False, False, 1999),
+]
+
+# Artist alias table (own names + the Gorki/Gorky alias pair).
+_ALIASES = [
+    (1, "Nirvana"),
+    (2, "Gorki"),
+    (2, "Gorky"),
+    (3, "Luc De Vos"),
+    (4, "Pearl Jam"),
+]
+
+_CSV_DIR = "/tmp/spark_graft_fixtures"
+_CSV_PATH = os.path.join(_CSV_DIR, "golden_replay.csv")
+
+
+def _golden_csv(spark: SparkSession) -> DataFrame:
+    """Write the golden fixture CSV (atomically; idempotent) and read it
+    back through the CSV source — the replay's input is a file, like the
+    reference's ``benchmark/default.csv``."""
+    os.makedirs(_CSV_DIR, exist_ok=True)
+    tmp = _CSV_PATH + ".tmp"
+    with open(tmp, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["row_id", "artist_name", "title", "db_album_mb_id"])
+        w.writerows(_GOLDEN_ROWS)
+    os.replace(tmp, _CSV_PATH)
+    return spark.read.csv(
+        _CSV_PATH,
+        header=True,
+        schema="row_id INT, artist_name STRING, title STRING, db_album_mb_id STRING",
+    )
+
+
+def _resolve_with_duet_fallback(golden: DataFrame, aliases: DataFrame) -> DataFrame:
+    """(qid, title_key, artist_id): direct fuzzy resolve, plus the duet
+    '&'-split fallback for queries the direct resolve left empty."""
+    qk = golden.select(
+        F.col("row_id").alias("qid"),
+        F.col("artist_name"),
+        search_key(F.col("artist_name")).alias("artist_key"),
+        search_key(F.col("title")).alias("title_key"),
+    )
+    direct = (
+        fuzzy_key_join(qk.select("qid", "artist_key", "title_key"), aliases, "artist_key", "akey")
+        .select("qid", "title_key", "artist_id")
+        .distinct()
+    )
+    unresolved = qk.join(direct.select("qid").distinct(), "qid", "left_anti")
+    duet = (
+        unresolved.filter(F.col("artist_name").contains("&"))
+        .select(
+            "qid",
+            "title_key",
+            search_key(F.split_part(F.col("artist_name"), F.lit("&"), F.lit(1))).alias(
+                "main_key"
+            ),
+        )
+    )
+    via_duet = (
+        fuzzy_key_join(duet, aliases, "main_key", "akey")
+        .select("qid", "title_key", "artist_id")
+        .distinct()
+    )
+    return direct.unionByName(via_duet)
+
+
+@register(
+    "benchmark_accuracy_replay_e2e",
+    survey_ids=("A11", "S2", "P8", "F5", "A9"),
+    oracle="""
+SELECT * FROM (VALUES
+  ('Correct', CAST(5 AS BIGINT), '1,2,3,4,7', CAST(62.5 AS DOUBLE)),
+  ('Missing', CAST(2 AS BIGINT), '5,8', CAST(25.0 AS DOUBLE)),
+  ('Wrong',   CAST(1 AS BIGINT), '6', CAST(12.5 AS DOUBLE))
+) AS t(status, n, row_ids, pct)
+""",
+    doc="The reference's golden-accuracy benchmark replay "
+    "(src/benchmark.py:236-274) as one Spark job: golden CSV -> fuzzy "
+    "artist resolve -> duet '&' fallback (:176-183) -> two-phase title "
+    "search -> Correct/Missing/Wrong fold with percentages. The oracle "
+    "is the hand-derived expected scoreboard as VALUES, golden-checking "
+    "the whole composed read path.",
+)
+def benchmark_accuracy_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    golden = _golden_csv(spark)
+    songs = spark.createDataFrame(
+        _SONGS,
+        "song_id INT, artist_id INT, title STRING, mb_id STRING, "
+        "recording_score INT, is_single_from BOOLEAN, is_main_album BOOLEAN, "
+        "release_year BIGINT",
+    ).withColumn("alias_key", search_key(F.col("title")))
+    aliases = spark.createDataFrame(_ALIASES, "artist_id INT, name STRING").select(
+        "artist_id", search_key(F.col("name")).alias("akey")
+    )
+
+    resolved = _resolve_with_duet_fallback(golden, aliases)
+    best = _search_over(songs.drop("mb_id"), resolved)
+    matched = best.join(
+        songs.select("song_id", "mb_id"), "song_id"
+    ).select(F.col("qid").alias("row_id"), F.col("mb_id").alias("mb_album_mb_id"))
+
+    classified = golden.join(matched, "row_id", "left").withColumn(
+        "status",
+        F.when(F.col("mb_album_mb_id").isNull(), "Missing")
+        .when(F.col("mb_album_mb_id") != F.col("db_album_mb_id"), "Wrong")
+        .otherwise("Correct"),
+    )
+    total = F.lit(len(_GOLDEN_ROWS))
+    return (
+        classified.groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("row_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("row_ids"),
+        )
+        .select(
+            "status",
+            "n",
+            "row_ids",
+            F.round(F.col("n") * 100.0 / total, 2).alias("pct"),
+        )
+    )
