@@ -88,6 +88,45 @@ def test_flagship_is_aggregation_not_window(plans):
     assert "row_number" not in plan
 
 
+def test_minhash_verify_has_no_forced_broadcast(plans, spark, sf_dir):
+    """Round-2 verdict 'What's wrong #2': the MinHash verify stage must
+    NOT force-broadcast the candidate⋈shingle relation — it grows
+    O(n·dup_rate) with full shingle payloads and blows the broadcast
+    limit at 100 TB. The logical plan must carry no broadcast hint at
+    all (runtime AQE size-based broadcasts remain allowed)."""
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    df = REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical, (
+        "dedup_minhash_lsh: broadcast hint found in logical plan"
+    )
+
+
+def test_pandas_topk_query_set_is_bounded(spark, sf_dir):
+    """Round-2 verdict 'What's wrong #3': the pandas scorer collects the
+    query set onto the driver, so |Q| must be bounded by a constant —
+    never a fraction of the corpus. The default workload stays under
+    MAX_QUERIES at any sf, and an oversized explicit query set raises
+    instead of silently collecting."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        MAX_QUERIES,
+        _query_filter,
+        _vecs,
+        sim_cosine_topk_pandas,
+    )
+
+    assert _vecs(spark, sf_dir).filter(_query_filter()).count() <= MAX_QUERIES
+    big = spark.range(MAX_QUERIES + 10).select(
+        F.col("id").alias("vec_id"),
+        F.array_repeat(F.lit(0.1), 4).cast("array<double>").alias("v"),
+    )
+    with pytest.raises(ValueError, match="MAX_QUERIES"):
+        sim_cosine_topk_pandas(spark, sf_dir, queries=big)
+
+
 def test_column_pruning_reaches_scan(plans):
     # p_prefix_like reads only (p_partkey, p_name): the parquet
     # ReadSchema must not include other part columns.

