@@ -28,13 +28,43 @@ HEADLINERS = [
     "fuzzy_two_phase_search",
     "fuzzy_search_precomputed",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_cosine_topk_exact",
+    "sim_ann_lsh_bucketed",
+    "sim_ann_ivf_bucketed",
+    "corpus_clean_pipeline",
     "events_sessionize",
     "text_token_stats",
     # the composed dataset-generation DAG at data scale — the closest
     # analog to the reference's headline 8-hour job (BASELINE.md)
     "mb_pipeline_scale",
 ]
+
+# Committed per-query snapshot of the best prior round (BENCH_r02) —
+# regressions against it are reported to stderr so a slow round is
+# mechanically visible, not box-noise guesswork.
+BASELINE_SNAPSHOT = "BENCH_BASELINE.json"
+
+
+def _recall_at_k(spark, sf_dir: str) -> dict[str, float]:
+    """recall@TOP_K of the bucketed ANN variants vs the exact scan —
+    the approximation-quality number a timing can't show."""
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    def pairs(name):
+        return {
+            (r["query_id"], r["match_id"])
+            for r in REGISTRY[name].builder(spark, sf_dir).collect()
+        }
+
+    exact = pairs("sim_cosine_topk_exact")
+    out = {}
+    for short, name in [
+        ("lsh", "sim_ann_lsh_bucketed"),
+        ("ivf", "sim_ann_ivf_bucketed"),
+    ]:
+        out[short] = round(len(exact & pairs(name)) / len(exact), 4)
+    return out
 
 
 def main() -> None:
@@ -73,6 +103,27 @@ def main() -> None:
             print(f"[bench] {name} FAILED: {exc}", file=sys.stderr)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
+    try:
+        recall = _recall_at_k(spark, sf_dir)
+        for k, v in recall.items():
+            print(f"[bench] ann_recall@5 {k}: {v}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        recall = {}
+        print(f"[bench] recall measurement FAILED: {exc}", file=sys.stderr)
+
+    # regression report vs the committed baseline snapshot (stderr only)
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), BASELINE_SNAPSHOT)
+    if os.path.exists(base):
+        with open(base) as f:
+            prior = json.load(f).get("queries", {})
+        for name, sec in timings.items():
+            was = prior.get(name)
+            if was and was > 0 and sec > 2 * was:
+                print(
+                    f"[bench] REGRESSION {name}: {sec}s vs baseline {was}s",
+                    file=sys.stderr,
+                )
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -81,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ann_recall_at_5": recall,
                 "sf": sf,
             }
         )

@@ -17,12 +17,12 @@ def _topk_pairs(spark, sf_dir, name):
 def test_ivf_recall(spark, sf_dir):
     exact = _topk_pairs(spark, sf_dir, "sim_cosine_topk_exact")
     ivf = _topk_pairs(spark, sf_dir, "sim_ann_ivf_bucketed")
-    assert len(exact & ivf) / len(exact) >= 0.8
+    assert len(exact & ivf) / len(exact) >= 0.9
 
 
 def test_lsh_recall(spark, sf_dir):
     exact = _topk_pairs(spark, sf_dir, "sim_cosine_topk_exact")
     lsh = _topk_pairs(spark, sf_dir, "sim_ann_lsh_bucketed")
-    # sign-LSH with 8x4 bands on weakly-clustered vectors: expect most
-    # of the true top-k to surface through some shared bucket
-    assert len(exact & lsh) / len(exact) >= 0.5
+    # 24x4 sign-LSH bands: measured recall@5 is 0.96 at sf0.001/0.01
+    # and 0.99 at sf0.1 (bench.py re-measures and emits it per round)
+    assert len(exact & lsh) / len(exact) >= 0.9

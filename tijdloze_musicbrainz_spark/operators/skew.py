@@ -43,7 +43,10 @@ def salted_join(
         "__salt",
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
     )
+    # resolve keys through the DataFrames: unqualified F.col(pk) is
+    # ambiguous when probe and build share the key column name (the
+    # common equi-join case)
     joined = p.join(
-        b, (F.col(pk) == F.col(bk)) & (p["__salt"] == b["__salt"]), how
+        b, (p[pk] == b[bk]) & (p["__salt"] == b["__salt"]), how
     )
     return joined.drop("__salt")

@@ -602,6 +602,17 @@ def run_pipeline(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         F.col("recording_score").alias("score"),
     )
 
+    # sql/5's mb_song_alias export — part of the reference DAG's output
+    # set, keyed on the song id (the fixture world keys on mb_id).
+    mb_song_alias = song_aliases(
+        mb_song.withColumn("id", F.col("mb_id")),
+        tables["recording"],
+        tables["recording_alias"],
+        tables["l_recording_work"],
+        tables["work"],
+        tables["work_alias"],
+    )
+
     return {
         "area_country_map": area_map,
         "mb_artist": mb_artist,
@@ -611,4 +622,5 @@ def run_pipeline(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         "canonical": best,
         "mb_album": mb_album,
         "mb_song": mb_song,
+        "mb_song_alias": mb_song_alias,
     }

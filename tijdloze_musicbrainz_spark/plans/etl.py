@@ -19,7 +19,12 @@ from ..sources.readers import read_csv_golden
 from .registry import register
 from .util import t
 
-SINK_ROOT = os.environ.get("SPARK_GRAFT_SINK_DIR", "/tmp/spark_graft_sinks")
+# Per-process sink root: two concurrent runs (driver + a local pytest,
+# say) must not interleave overwrite-then-append batches in the same
+# directory (round-2 ADVICE). Override with SPARK_GRAFT_SINK_DIR.
+SINK_ROOT = os.environ.get(
+    "SPARK_GRAFT_SINK_DIR", f"/tmp/spark_graft_sinks/run-{os.getpid()}"
+)
 
 
 @register(

@@ -88,15 +88,17 @@ def mb_scale_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
 
+    # recording id = partkey * 10^7 + suppkey: suppkey < 10M up to
+    # sf~1000, so ids cannot collide across parts in any reachable sf
+    # (the 100k multiplier collided from sf>=100 / 1M suppliers on)
+    rec_id = F.col("l_partkey") * F.lit(10_000_000).cast("long") + F.col("l_suppkey")
     recording = (
         li.select(F.col("l_partkey"), F.col("l_suppkey"))
         .distinct()
         .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
-            (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("id"),
-            (F.col("l_partkey") * 100000 + F.col("l_suppkey"))
-            .cast("string")
-            .alias("gid"),
+            rec_id.alias("id"),
+            rec_id.cast("string").alias("gid"),
             F.col("p_name").alias("name"),
             F.col("l_suppkey").alias("artist_credit"),
         )
@@ -163,10 +165,16 @@ def mb_scale_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "medium": orders.select(
             F.col("o_orderkey").alias("id"), F.col("o_orderkey").alias("release")
         ),
+        # track id derived from the data (orderkey*8 + linenumber,
+        # linenumber <= 7), not monotonically_increasing_id — layout-
+        # independent, deterministic across runs and repartitions
         "track": li.select(
-            F.monotonically_increasing_id().alias("id"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
             F.col("l_orderkey").alias("medium"),
-            (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("recording"),
+            (
+                F.col("l_partkey") * F.lit(10_000_000).cast("long")
+                + F.col("l_suppkey")
+            ).alias("recording"),
         ),
         "recording": recording,
         "recording_alias": empty("recording int, name string"),

@@ -9,13 +9,13 @@ Three registered queries:
    O(|Q|·N) with |Q| tiny, which IS the right plan at scale when the
    query side broadcasts (one pass over the corpus, no shuffle of the
    corpus at all).
-2. ``sim_ann_lsh_bucketed`` — sign-random-projection LSH: 8 bands x
+2. ``sim_ann_lsh_bucketed`` — sign-random-projection LSH: 24 bands x
    4 hyperplane sign bits per vector; queries and corpus explode to
    (band_key, id) and equi-join on the bucket; bucket candidates are
    re-ranked by exact cosine. Approximate recall by construction →
    rows-only check (the judge sees which). At 100 TB this replaces
    the corpus broadcast-scan with a shuffle that touches only
-   colliding buckets: rows shipped ~ 8·N, pairs scored ~ N·(avg
+   colliding buckets: rows shipped ~ 24·N, pairs scored ~ N·(avg
    bucket load), never O(N·Q) for large Q.
 3. ``sim_embedding_near_dup`` — the embedding-cosine near-dup tier of
    the dedup suite: all pairs with cosine >= 0.45. Documented
@@ -43,7 +43,7 @@ from .util import t
 
 DIM = 64
 TOP_K = 5
-N_SIM_BANDS = 8
+N_SIM_BANDS = 24
 BITS_PER_BAND = 4
 
 # Absolute bound on the query workload. Round-2 verdict "What's wrong
@@ -162,10 +162,10 @@ def _band_key_cols(vcol: str) -> list[Column]:
     "sim_ann_lsh_bucketed",
     survey_ids=(),
     oracle=None,  # approximate recall by construction -> rows-only
-    doc="Sign-random-projection LSH ANN: 8 bands x 4 sign bits, "
+    doc="Sign-random-projection LSH ANN: 24 bands x 4 sign bits, "
     "bucket equi-join of queries vs corpus, exact-cosine re-rank "
     "top-k of the bucket candidates. The scale path: no corpus "
-    "broadcast, shuffle volume 8N, per-pair work only on bucket "
+    "broadcast, shuffle volume 24N (still linear), per-pair work only on bucket "
     "collisions.",
 )
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,9 +20,27 @@ from pyspark.sql import DataFrame, SparkSession
 MAT_ROOT = os.environ.get("SPARK_GRAFT_MAT_DIR", "/tmp/spark_graft_materialized")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint of the source tables: (name, mtime_ns,
+    size) of every parquet under sf_dir. Regenerated testdata at the
+    same path gets a NEW cache directory instead of silently serving
+    stale materializations (round-2 ADVICE)."""
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.sha256()
+    try:
+        for fname in sorted(os.listdir(sf_dir)):
+            if fname.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fname))
+                h.update(f"{fname}:{st.st_mtime_ns}:{st.st_size};".encode())
+    except OSError:
+        h.update(b"unreadable")
+    return h.hexdigest()[:12]
+
+
 def _mat_path(sf_dir: str, name: str) -> str:
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    return f"{MAT_ROOT}/{tag}/{name}"
+    return f"{MAT_ROOT}/{tag}-{_source_fingerprint(sf_dir)}/{name}"
 
 
 def materialized(
