@@ -73,7 +73,6 @@ def test_window_queries_all_have_oracles_where_possible():
     """Inside the window, rows-only checks are the documented exceptions only."""
     rows_only = {n for n in window_names() if REGISTRY[n].oracle is None}
     allowed = {
-        "dedup_simhash",
         "sim_ann_lsh_bucketed",
         "sim_ann_ivf_bucketed",
     }

@@ -263,32 +263,102 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash bit family: bit k of a token's 64-bit signature is
+# (base * a_k + b_k) mod P mod 2 — a universal-hash-derived bit from an
+# ENGINE-NEUTRAL token base hash (plain ascii/length arithmetic, no
+# Spark-internal xxhash), so DuckDB can reproduce the fingerprints
+# exactly and the whole operator is differential-testable.
+def _simhash_bit_constants() -> list[tuple[int, int]]:
+    import random  # noqa: PLC0415
+
+    rng = random.Random(1337)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(64)]
+
+
+_SIM_BITS = _simhash_bit_constants()
+
+# base(token): positional-codepoint polynomial over the first 10
+# characters, the last character, and the length — weights are powers
+# of 131 mod P, every product is (BIGINT) * codepoint < 2^62. Two
+# tokens collide only if they agree on all sampled positions AND
+# length, so the effective vocabulary stays intact (a 4-sample variant
+# collapsed it: 3,144 hamming<=3 pairs at sf0.01 vs ~25 real ones).
+# Identical arithmetic on both engines (ascii('') = 0 in both; code
+# points match for non-ASCII too — tested).
+_TOKEN_BASE = (
+    "("
+    + " + ".join(
+        f"{pow(131, i, _P)} * CAST(ascii(substr(token, {i + 1}, 1)) AS BIGINT)"
+        for i in range(10)
+    )
+    + f" + {pow(131, 10, _P)} * CAST(ascii(substr(token, length(token), 1)) AS BIGINT)"
+    + f" + {pow(131, 11, _P)} * CAST(length(token) AS BIGINT)"
+    + ") % 2147483647"
+)
+
+_SIMHASH_FP_SQL = f"""
+tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+hashed AS (SELECT doc_id, {_TOKEN_BASE} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {", ".join(
+             f"sum(CASE WHEN (h * {a} + {b}) % {_P} % 2 = 1 "
+             f"THEN 1 ELSE -1 END) AS v{k}"
+             for k, (a, b) in enumerate(_SIM_BITS)
+         )}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         CAST({" + ".join(
+             f"CASE WHEN v{k} > 0 THEN "
+             + (str(1 << k) if k < 63 else "(-9223372036854775807 - 1)")
+             + " ELSE 0 END"
+             for k in range(64)
+         )} AS BIGINT) AS fp
+  FROM votes
+)"""
+
+
 @register(
     "dedup_simhash",
     survey_ids=(),
-    oracle=None,  # Spark-internal 64-bit hashing is not reproducible in DuckDB
-    doc="SimHash(64) near-dup: per-token xxhash64 bit-votes folded to "
-    "a 64-bit fingerprint; candidate pairs share one of 4 16-bit "
-    "segments (pigeonhole: hamming<=3 pairs always share a segment); "
-    "verified by exact hamming via bit_count(xor). Rows-only check.",
+    oracle=f"""
+WITH {_SIMHASH_FP_SQL.lstrip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+""",
+    doc="SimHash(64) near-dup: engine-neutral per-token hash bit-votes "
+    "folded to a 64-bit fingerprint; candidate pairs share one of 4 "
+    "16-bit segments (pigeonhole: hamming<=3 pairs ALWAYS share a "
+    "segment, so the banded plan is exactly equivalent to the "
+    "exhaustive oracle scan — no approximation); verified by exact "
+    "hamming via bit_count(xor). The Spark plan never does the O(n^2) "
+    "pair scan the oracle does.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
-    # (doc, token) rows; bit b of the fingerprint = majority vote of
-    # bit b of xxhash64(token). 64 literal-shift vote aggregates in one
-    # codegen'd groupBy (same flat-over-nested-lambda rationale as
-    # minhash_agg_exprs), folded into one 64-bit long.
+    # (doc, token) rows; bit k of the fingerprint = majority vote of
+    # the universal-hash bit over the doc's distinct tokens. 64 flat
+    # vote aggregates in one codegen'd groupBy (same flat-over-nested-
+    # lambda rationale as minhash_agg_exprs), folded into one long.
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct("ws")).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", F.expr(_TOKEN_BASE))
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+                    F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P)) % 2 == 1, 1
                 ).otherwise(-1)
             ).alias(f"v{bit}")
-            for bit in range(64)
+            for bit, (a, b) in enumerate(_SIM_BITS)
         ]
     )
     fp_expr = None
