@@ -211,3 +211,51 @@ def stream_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+@register(
+    "streaming_sessionize",
+    survey_ids=("A1",),
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                   > 1800
+              OR lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM d
+),
+agg AS (
+  SELECT user_id, session_seq,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start_epoch, n_events
+FROM agg
+QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+""",
+    doc="The custom stateful streaming operator end-to-end: "
+    "applyInPandasWithState gap-sessions (streaming.jobs."
+    "sessionize_stream) drained with availableNow. The operator emits "
+    "only CLOSED sessions (each user's live session stays in state), "
+    "so the oracle is batch sessionization at the operator's "
+    "second-granularity gap semantics minus each user's final "
+    "session. Deterministic columns only (session membership is "
+    "integer-second arithmetic); the float-accumulated total_value "
+    "is covered by tests/test_streaming.py, not the hash compare.",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_memory(
+        sessionize_stream(stream_events(spark, sf_dir)), output_mode="append"
+    )
+    return out.select("user_id", "session_start_epoch", "n_events")
