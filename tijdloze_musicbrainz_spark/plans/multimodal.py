@@ -157,3 +157,65 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         sample, out_schema
     )
+
+
+N_FEATURES = 8
+
+
+@register(
+    "multimodal_feature_embed",
+    survey_ids=(),
+    oracle=f"""
+WITH b AS (
+  SELECT event_id,
+         list_transform(range(1, length(props) + 1),
+                        i -> ascii(substring(props, i, 1))) AS bytes
+  FROM events
+)
+SELECT event_id,
+       {", ".join(
+           f"round(len(list_filter(bytes, x -> x % {N_FEATURES} = {k})) * 1.0"
+           f" / greatest(len(bytes), 1), 4) AS f{k}"
+           for k in range(N_FEATURES)
+       )}
+FROM b
+""",
+    doc="Media feature extraction: opaque binary -> fixed-dim feature "
+    "vector (normalized byte-class histogram) in one Arrow-batched "
+    "numpy pass — the bridge from the multimodal tier to the "
+    "similarity tier (these vectors feed the same ANN operators as "
+    "the embeddings table). A real extractor would replace the "
+    "histogram with a model forward pass; batch shape, repartition "
+    "and typed output schema are the production plumbing.",
+)
+def multimodal_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("props").cast("binary").alias("blob")
+    )
+    out_schema = "event_id bigint, " + ", ".join(
+        f"f{k} double" for k in range(N_FEATURES)
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                arr = np.frombuffer(blob, dtype=np.uint8)
+                if arr.size:
+                    hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES)
+                    rows.append(np.round(hist / arr.size, 4))
+                else:
+                    rows.append(np.zeros(N_FEATURES))
+            feats = np.array(rows)
+            out = {"event_id": pdf["event_id"]}
+            for k in range(N_FEATURES):
+                out[f"f{k}"] = feats[:, k]
+            yield pd.DataFrame(out)
+
+    return ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        extract, out_schema
+    )
