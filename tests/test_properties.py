@@ -98,3 +98,24 @@ def test_search_key_idempotent(spark, strings):
     once = df.select(normalize.search_key(F.col("s")).alias("k"))
     twice = once.select(normalize.search_key(F.col("k")).alias("k2"))
     assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()]
+
+
+def test_simhash_segment_banding_is_pigeonhole_complete():
+    """The dedup_simhash oracle equivalence rests on: any pair with
+    hamming <= 3 shares at least one of the 4 16-bit segments (4
+    segments, <= 3 differing bits -> some segment untouched). Pin it
+    over random fingerprint pairs."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(2000):
+        fp_a = rng.getrandbits(64)
+        n_flips = rng.randint(0, 3)
+        fp_b = fp_a
+        for _ in range(n_flips):
+            fp_b ^= 1 << rng.randrange(64)
+        hamming = bin(fp_a ^ fp_b).count("1")
+        if hamming <= 3:
+            segs_a = [(fp_a >> (16 * s)) & 0xFFFF for s in range(4)]
+            segs_b = [(fp_b >> (16 * s)) & 0xFFFF for s in range(4)]
+            assert any(x == y for x, y in zip(segs_a, segs_b))
