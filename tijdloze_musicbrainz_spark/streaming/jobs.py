@@ -259,3 +259,35 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stream(stream_events(spark, sf_dir)), output_mode="append"
     )
     return out.select("user_id", "session_start_epoch", "n_events")
+
+
+@register(
+    "streaming_upsert_roundtrip",
+    survey_ids=("S7", "A10"),
+    oracle="""
+SELECT user_id, event_type, event_id, round(value, 2) AS value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+""",
+    doc="Streaming sink round-trip: readStream -> foreachBatch merge "
+    "into a parquet target with last-writer-wins per (user_id, "
+    "event_type) (winner = highest event_id, the append order) -> "
+    "read the target back. The streaming twin of s7_upsert_roundtrip; "
+    "exactly-once effect under retries because a replayed batch "
+    "re-merges to the same winners.",
+)
+def streaming_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.etl import SINK_ROOT  # noqa: PLC0415
+
+    path = f"{SINK_ROOT}/streaming_upsert"
+    stream = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    stream_upsert_to_parquet(
+        stream, path, keys=["user_id", "event_type"], priority_col="event_id"
+    )
+    out = spark.read.parquet(path)
+    return out.select(
+        "user_id", "event_type", "event_id", F.round("value", 2).alias("value")
+    )
