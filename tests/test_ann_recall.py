@@ -26,3 +26,34 @@ def test_lsh_recall(spark, sf_dir):
     # 24x4 sign-LSH bands: measured recall@5 is 0.96 at sf0.001/0.01
     # and 0.99 at sf0.1 (bench.py re-measures and emits it per round)
     assert len(exact & lsh) / len(exact) >= 0.9
+
+
+def test_brute_force_size_guard(spark):
+    """The O(N²)/O(Q·N) baselines refuse oversized corpora instead of
+    silently launching an impossible plan (round-3 verdict #4). The
+    check itself must stay cheap: limit-count, not a full count."""
+    import pytest
+
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        MAX_BRUTE_FORCE_N,
+        _guard_brute_force,
+    )
+
+    big = spark.range(MAX_BRUTE_FORCE_N + 1).withColumnRenamed("id", "vec_id")
+    with pytest.raises(ValueError, match="MAX_BRUTE_FORCE_N"):
+        _guard_brute_force(big, "sim_embedding_near_dup", "sim_ann_lsh_bucketed")
+    _guard_brute_force(spark.range(10), "ok", "unused")  # under the bound: no raise
+
+
+def test_planes_fixture_matches_generator():
+    """The committed parquet side table the DuckDB oracle reads must be
+    byte-equal to the plane matrix Spark regenerates from the seed —
+    this equality IS the oracle contract for sim_ann_lsh_bucketed
+    (re-run tools/gen_ann_planes.py only if the constants change)."""
+    import pyarrow.parquet as pq
+
+    from tijdloze_musicbrainz_spark.plans.similarity import PLANES_FIXTURE, _planes
+
+    t = pq.read_table(PLANES_FIXTURE)
+    assert t.column("p").to_pylist() == list(range(96))
+    assert t.column("w").to_pylist() == _planes()

@@ -69,11 +69,10 @@ def test_window_carries_full_survey_coverage():
     assert not uncovered, f"SURVEY ids with no in-window carrier: {sorted(uncovered)}"
 
 
-def test_window_queries_all_have_oracles_where_possible():
-    """Inside the window, rows-only checks are the documented exceptions only."""
+def test_window_queries_all_have_oracles():
+    """Every in-window query is oracle-checked — since round 4 the two ANN
+    queries carry exact DuckDB twins (engine-neutral integer hyperplanes /
+    SQL-expressible centroid assignment), so there are NO rows-only
+    exceptions left inside the driver window."""
     rows_only = {n for n in window_names() if REGISTRY[n].oracle is None}
-    allowed = {
-        "sim_ann_lsh_bucketed",
-        "sim_ann_ivf_bucketed",
-    }
-    assert rows_only <= allowed, f"unexpected rows-only in window: {rows_only - allowed}"
+    assert not rows_only, f"unexpected rows-only in window: {rows_only}"
