@@ -81,22 +81,29 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         builder = REGISTRY[name].builder
-        # best-of-2, plus a third trial when the two disagree by >2x:
-        # the box is shared and the driver JVM GCs between queries, so
-        # a single slow pair would otherwise report pure noise. The
-        # first run also pays file listing + codegen for cold plans.
-        # one failing query must not zero the whole bench (the
+        # Adaptive best-of-N (round-3 verdict #2): best-of-2 was too
+        # few for sub-second queries — events_sessionize reported
+        # 0.97 s in r3 where 8 fresh trials floor at ~0.54 s, a pure
+        # under-trialing artifact (first trials pay file listing,
+        # codegen, Python-worker spinup, and shared-JVM GC debt from
+        # earlier heavy queries). Keep adding trials until the bottom
+        # stabilizes: stop once the two best agree within 20% (within
+        # 50% for >=5 s queries, whose absolute noise is small), cap
+        # at 6. One failing query must not zero the whole bench (the
         # round-1 lesson): record -1 and keep going.
         try:
-            trials = []
-            for _ in range(2):
+            trials: list[float] = []
+            while True:
                 t0 = time.monotonic()
                 builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 trials.append(time.monotonic() - t0)
-            if max(trials) > 2 * min(trials) or min(trials) > 10:
-                t0 = time.monotonic()
-                builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                trials.append(time.monotonic() - t0)
+                s = sorted(trials)
+                if len(trials) >= 6:
+                    break
+                if len(trials) >= 2 and s[0] >= 5 and s[1] <= 1.5 * s[0]:
+                    break
+                if len(trials) >= 3 and s[1] <= 1.2 * s[0]:
+                    break
             timings[name] = round(min(trials), 3)
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0

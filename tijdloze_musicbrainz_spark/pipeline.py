@@ -359,19 +359,38 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
         )
     )
 
-    normal_pool = spine.join(
-        rg_credit,
-        (spine.rg_ac == rg_credit.rg_ac) & (spine.artist_id == rg_credit.rg_artist),
-        "left_semi",
+    # Pool membership as ONE spine pass (round-4 plan fix): the naive
+    # form — two left-semi joins UNION'd — makes Spark execute the
+    # whole 5-join spine subtree TWICE (no common-subexpression
+    # elimination across a union). The union's duplicates were
+    # collapsed by the groupBy below anyway, so an equivalent plan is
+    # one spine + two existence flags + an OR filter: the flag sides
+    # are key-distinct (so the left joins cannot multiply rows) and
+    # tiny relative to the spine at any scale. Halves the spine cost.
+    normal_keys = (
+        rg_credit.select("rg_ac", "rg_artist")
+        .distinct()
+        .withColumn("__in_normal", F.lit(True))
     )
-    soundtrack_pool = spine.join(
-        sec_join.filter(F.col("secondary_type") == SOUNDTRACK_SECONDARY).select(
-            F.col("release_group").alias("rg_id")
-        ),
-        "rg_id",
-        "left_semi",
+    st_keys = (
+        sec_join.filter(F.col("secondary_type") == SOUNDTRACK_SECONDARY)
+        .select(F.col("release_group").alias("rg_id"))
+        .distinct()
+        .withColumn("__in_st", F.lit(True))
     )
-    pooled = normal_pool.unionByName(soundtrack_pool)
+    pooled = (
+        spine.join(
+            normal_keys,
+            (spine.rg_ac == normal_keys.rg_ac)
+            & (spine.artist_id == normal_keys.rg_artist),
+            "left",
+        )
+        .drop(normal_keys.rg_ac)
+        .drop("rg_artist")
+        .join(st_keys, "rg_id", "left")
+        .filter(F.col("__in_normal") | F.col("__in_st"))
+        .drop("__in_normal", "__in_st")
+    )
 
     # LEFT work edge with the join-side bound (P9, main.py:140) ------
     work_edge = (
@@ -390,9 +409,16 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
 
     # GROUP BY (recording, release_group, work): release_year =
     # min(date_year) within the group (main.py GROUP BY + MIN).
+    # rec_ac rides along as a grouping key: it is functionally
+    # dependent on recording_id (one credit per recording row), so it
+    # does not change the groups — and having it here lets the
+    # second-artist lookup join directly on it instead of re-deriving
+    # the whole `recording` subtree a second time (round-4 plan fix:
+    # one fewer scan + shuffle of the biggest input).
     grouped = with_work.groupBy(
         "artist_id",
         "recording_id",
+        "rec_ac",
         "recording_mb_id",
         "recording_name",
         "rg_id",
@@ -412,17 +438,14 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
         )
         .join(sec_types, "rg_id", "left")
         .join(
-            recording.select(
-                F.col("id").alias("recording_id"),
-                F.col("artist_credit").alias("ac_id"),
-            ).join(second_artist, "ac_id", "left"),
-            "recording_id",
+            second_artist.withColumnRenamed("ac_id", "rec_ac"),
+            "rec_ac",
             "left",
         )
-        .drop("ac_id")
+        .drop("rec_ac")
         # no dropDuplicates needed: the groupBy above already collapses
-        # duplicate rows across the two pools (union happens BEFORE the
-        # grouping), and every join after it is 1:1 on its key
+        # duplicate rows across the two pools (pool flags are computed
+        # BEFORE the grouping), and every join after it is 1:1 on its key
     )
 
 
