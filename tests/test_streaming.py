@@ -70,3 +70,42 @@ def test_stream_upsert_sink(spark, sf_dir, tmp_path_factory):
         for r in ev.groupBy("user_id").agg({"event_id": "max"}).collect()
     }
     assert got == want
+
+
+def test_bucketed_upsert_touches_only_its_buckets(spark, tmp_path_factory):
+    """A micro-batch whose keys hash to one bucket must rewrite that
+    one bucket directory and leave every other bucket's files alone
+    (round-3 verdict #3: per-batch work is O(touched buckets), not
+    O(target))."""
+    import os
+
+    from tijdloze_musicbrainz_spark.streaming.jobs import (
+        N_UPSERT_BUCKETS,
+        merge_batch_into_bucketed_parquet,
+    )
+
+    base = str(tmp_path_factory.mktemp("bucketed_upsert"))
+    target = f"{base}/t"
+    full = spark.range(500).selectExpr("id as k", "id as seq", "id * 2 as v")
+    touched = merge_batch_into_bucketed_parquet(full, target, ["k"], "seq")
+    assert touched == list(range(N_UPSERT_BUCKETS))  # 500 keys cover all buckets
+
+    def bucket_sig(d):
+        p = os.path.join(target, d)
+        return sorted((f, os.path.getmtime(os.path.join(p, f))) for f in os.listdir(p))
+
+    before = {d: bucket_sig(d) for d in os.listdir(target) if d.startswith("__bucket=")}
+
+    one = spark.createDataFrame([(7, 10_000, 99)], "k long, seq long, v long")
+    touched2 = merge_batch_into_bucketed_parquet(one, target, ["k"], "seq")
+    assert len(touched2) == 1
+    changed = {
+        d
+        for d in before
+        if bucket_sig(d) != before[d]
+    }
+    assert changed == {f"__bucket={touched2[0]}"}
+
+    got = {(r["k"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert (7, 10_000) in got
+    assert len(got) == 500  # every other key survived the single-bucket merge

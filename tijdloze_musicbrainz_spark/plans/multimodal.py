@@ -139,19 +139,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = FRAME_BYTES * FRAME_STRIDE
 
     def sample(batches: Iterator) -> Iterator:
+        # Strided frame cutting, vectorized (round-3 verdict #4): the
+        # repeat/arange index arithmetic replaces the per-row Python
+        # loop — offsets for EVERY frame of the batch are computed in
+        # four numpy ops over one concatenated buffer; the only
+        # remaining per-frame Python is the utf-8 decode a real codec
+        # call would replace anyway.
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "frame_no": pd.Series([], dtype="int64"),
+                "frame": pd.Series([], dtype="object"),
+            }
+        )
         for pdf in batches:
-            ids, frame_nos, frames = [], [], []
-            for eid, blob in zip(pdf["event_id"], pdf["blob"]):
-                for n, off in enumerate(range(0, len(blob), step)):
-                    chunk = blob[off : off + FRAME_BYTES]
-                    if chunk:
-                        ids.append(eid)
-                        frame_nos.append(n)
-                        frames.append(chunk.decode("utf-8", errors="replace"))
+            blobs = pdf["blob"].tolist()
+            if not blobs:
+                yield empty
+                continue
+            ids = pdf["event_id"].to_numpy(dtype=np.int64)
+            lens = np.fromiter(
+                (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+            )
+            # every stride offset < len yields a non-empty chunk
+            n_frames = (lens + (step - 1)) // step
+            total = int(n_frames.sum())
+            if total == 0:
+                yield empty
+                continue
+            firsts = np.cumsum(n_frames) - n_frames
+            frame_no = np.arange(total, dtype=np.int64) - np.repeat(firsts, n_frames)
+            base = np.cumsum(lens) - lens  # row offsets in the joined buffer
+            starts = np.repeat(base, n_frames) + frame_no * step
+            ends = np.minimum(
+                starts + FRAME_BYTES, np.repeat(base + lens, n_frames)
+            )
+            buf = memoryview(b"".join(blobs))
+            frames = [
+                bytes(buf[s:e]).decode("utf-8", errors="replace")
+                for s, e in zip(starts.tolist(), ends.tolist())
+            ]
             yield pd.DataFrame(
-                {"event_id": ids, "frame_no": frame_nos, "frame": frames}
+                {
+                    "event_id": np.repeat(ids, n_frames),
+                    "frame_no": frame_no,
+                    "frame": frames,
+                }
             )
 
     return ev.repartition(spark.sparkContext.defaultParallelism).mapInPandas(

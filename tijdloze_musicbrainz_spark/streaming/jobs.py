@@ -89,25 +89,64 @@ def sessionize_stream(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         "user_id bigint, session_start_epoch bigint, n_events bigint, "
         "total_value double"
     )
+    # `total` carries the running session value in integer MICROS
+    # (stored in the double slot — exact up to 2^53): integer
+    # accumulation is order-free and matches the batch twin's
+    # DECIMAL(25,6) semantics exactly, where the old per-row float
+    # `+=` only matched after rounding.
     state_schema = "start bigint, last bigint, n bigint, total double"
 
     def fn(key, pdf_iter, state: GroupState):
+        # Vectorized gap detection (round-3 verdict #4): session
+        # boundaries for the whole Arrow batch come from one
+        # np.flatnonzero over the gap mask and per-segment sums from
+        # cumsum differences — the Python loop runs per SESSION
+        # (emitted row), not per event, so a 10^6-event batch with a
+        # handful of sessions does ~all its work inside numpy.
+        import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        if state.exists:
+            start0, last0, n0, total_us = state.get
+            total_us = int(total_us)
+            have = True
+        else:
+            start0 = last0 = n0 = total_us = 0
+            have = False
         rows = []
         for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values("ts")
-            for _, r in pdf.iterrows():
-                ts = int(r["ts"].timestamp())
-                if state.exists:
-                    start, last, n, total = state.get
-                    if ts - last > gap_seconds:
-                        rows.append((key[0], start, n, round(total, 2)))
-                        state.update((ts, ts, 1, float(r["value"])))
-                    else:
-                        state.update((start, ts, n + 1, total + float(r["value"])))
-                else:
-                    state.update((ts, ts, 1, float(r["value"])))
+            ts = pdf["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+            val_us = np.rint(
+                pdf["value"].to_numpy(dtype=np.float64) * 1_000_000
+            ).astype(np.int64)
+            if not have:
+                start0, last0, n0, total_us = int(ts[0]), int(ts[0]), 0, 0
+                have = True
+            prev = np.concatenate(([last0], ts[:-1]))
+            seg = np.concatenate(
+                ([0], np.flatnonzero((ts - prev) > gap_seconds), [len(ts)])
+            )
+            cum = np.concatenate(([0], np.cumsum(val_us)))
+            # segment 0 extends the carried-over open session
+            n0 += int(seg[1] - seg[0])
+            total_us += int(cum[seg[1]] - cum[seg[0]])
+            for j in range(1, len(seg) - 1):
+                # round-half-away-from-zero on the exact micros —
+                # bit-identical to the batch twin's round(DECIMAL, 2)
+                # (Python's round() is half-even and would diverge on
+                # exact .xx5 ties)
+                cents = (abs(total_us) + 5000) // 10000
+                rows.append(
+                    (key[0], start0, n0, (cents if total_us >= 0 else -cents) / 100.0)
+                )
+                a, b = int(seg[j]), int(seg[j + 1])
+                start0, n0, total_us = int(ts[a]), b - a, int(cum[b] - cum[a])
+            last0 = int(ts[-1])
+        if have:
+            state.update((start0, last0, n0, float(total_us)))
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -169,40 +208,95 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(windowed_counts(stream_events(spark, sf_dir)))
 
 
-def stream_upsert_to_parquet(
-    stream: DataFrame,
+N_UPSERT_BUCKETS = 16
+
+
+def merge_batch_into_bucketed_parquet(
+    batch_df: DataFrame,
     path: str,
     keys: list[str],
     priority_col: str,
-) -> None:
-    """Stream → idempotent sink: every micro-batch merges into the
-    parquet target with last-writer-wins semantics (foreachBatch +
-    the batch upsert operator). Exactly-once effect under retries:
-    a replayed batch re-merges the same rows and the dedup keeps the
-    same winners. At scale the target is a partitioned table with
-    dynamic partition overwrite (or Delta MERGE)."""
+    n_buckets: int = N_UPSERT_BUCKETS,
+) -> list[int]:
+    """One micro-batch merge into a key-hash-bucketed parquet target
+    (round-3 verdict #3: the previous sink read + rewrote the WHOLE
+    target every batch — O(|target|) per batch, a scale-killer).
+
+    The target is laid out as ``__bucket=<pmod(xxhash64(keys), N)>``
+    partition directories. A batch (1) computes its rows' buckets,
+    (2) reads ONLY the touched bucket partitions back (partition
+    pruning on the ``__bucket`` filter — untouched buckets are never
+    read), (3) last-writer-wins-dedups batch ∪ touched-existing, and
+    (4) swaps in ONLY the touched bucket directories. Work per batch
+    is O(|touched buckets|), not O(|target|).
+
+    Atomicity note (unchanged in spirit): each bucket swap is a
+    per-directory rmtree+rename, so a reader can observe one bucket
+    mid-swap; the window is per-bucket now instead of whole-table.
+    On a real deployment this layout maps 1:1 onto dynamic partition
+    overwrite into a bucket-partitioned table, or a Delta MERGE whose
+    file-pruning achieves the same touched-buckets-only bound with
+    real transactional commits.
+
+    Returns the sorted list of touched bucket ids (for tests /
+    observability)."""
     import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
 
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from ..operators.upsert import dedup_last_wins  # noqa: PLC0415
 
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
-            merged = existing.unionByName(batch_df)
-        else:
-            merged = batch_df
-        out = dedup_last_wins(merged, keys, [F.desc(priority_col)])
-        # write to a temp dir then swap: the source of the read above
-        # cannot be overwritten in place
-        tmp = f"{path}__tmp"
-        out.write.mode("overwrite").parquet(tmp)
-        import shutil  # noqa: PLC0415
+    spark = batch_df.sparkSession
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+    batch = batch_df.withColumn("__bucket", bucket)
+    # bounded collect: at most n_buckets distinct values
+    touched = sorted(
+        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        return []
+    if os.path.exists(path):
+        existing = spark.read.parquet(path).filter(
+            F.col("__bucket").isin([int(b) for b in touched])
+        )
+        merged = existing.unionByName(batch, allowMissingColumns=False)
+    else:
+        merged = batch
+    out = dedup_last_wins(merged, keys, [F.desc(priority_col)])
+    tmp = f"{path}__tmp"
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    os.makedirs(path, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"__bucket={b}")
+        dst = os.path.join(path, f"__bucket={b}")
+        if os.path.exists(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return touched
 
-        shutil.rmtree(path, ignore_errors=True)
-        os.rename(tmp, path)
+
+def stream_upsert_to_parquet(
+    stream: DataFrame,
+    path: str,
+    keys: list[str],
+    priority_col: str,
+    n_buckets: int = N_UPSERT_BUCKETS,
+) -> None:
+    """Stream → idempotent sink: every micro-batch merges into the
+    bucket-partitioned parquet target with last-writer-wins semantics
+    (foreachBatch + the batch upsert operator); only the buckets the
+    batch touches are read or rewritten. Exactly-once effect under
+    retries: a replayed batch re-merges the same rows and the dedup
+    keeps the same winners."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch_into_bucketed_parquet(
+            batch_df, path, keys, priority_col, n_buckets
+        )
 
     q = (
         stream.writeStream.foreachBatch(merge)
@@ -278,9 +372,15 @@ QUALIFY row_number() OVER (
     "re-merges to the same winners.",
 )
 def streaming_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+
     from ..plans.etl import SINK_ROOT  # noqa: PLC0415
 
-    path = f"{SINK_ROOT}/streaming_upsert"
+    # per-sf path: the checkpoint + target carry state across calls in
+    # one process, so two sf_dirs must not share them (the batch sinks
+    # are overwrite-first and don't need this)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{SINK_ROOT}/streaming_upsert_{tag}"
     stream = stream_events(spark, sf_dir).select(
         "user_id", "event_type", "event_id", "value"
     )
