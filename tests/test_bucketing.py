@@ -52,6 +52,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     )
 
 
+def test_registered_bucketed_query_is_fully_shuffle_free(spark, sf_dir):
+    """The REGISTERED query (round-3 verdict #7): join AND groupBy both
+    run on the bucket key, so the ENTIRE plan — not just the join —
+    must contain zero shuffle exchanges (BroadcastExchange is ruled
+    out too via the merge hint)."""
+    import re
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    df = REGISTRY["s4_bucketed_join_roundtrip"].builder(spark, sf_dir)
+    plan = _plan(df)
+    shuffles = re.findall(r"\(\d+\) Exchange", plan)
+    assert not shuffles, plan
+
+
 def test_unbucketed_join_does_shuffle(spark, sf_dir):
     # control: the same join on plain parquet MUST shuffle — proves
     # the assertion above is measuring the bucketing, not AQE luck.
