@@ -10,9 +10,14 @@ correctness hazard at 100 TB (one bad file re-types a column).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# serializes the scoped nanosAsLong conf set/restore in load_table
+_NANOS_CONF_LOCK = threading.Lock()
 
 TABLES = (
     "region",
@@ -144,21 +149,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Scope the nanos-as-long override to this read: leaving it set
         # globally would make any LATER nanos-timestamp parquet read in
         # the session silently yield bigint instead of failing fast.
+        # The set/restore window mutates session-global conf, so it is
+        # serialized under a module lock (round-3 ADVICE): concurrent
+        # load_table calls from multiple threads could otherwise race
+        # the restore and leak the override. Conversion is pinned at
+        # analysis time (the forced df.schema below);
+        # tests/test_catalog_nanos.py regression-tests that an action
+        # AFTER the restore still yields timestamps.
         key = "spark.sql.legacy.parquet.nanosAsLong"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "true")
-        try:
-            df = spark.read.parquet(table_path(sf_dir, name))
-            if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            # force analysis while the conf is still set; the scan itself
-            # re-reads the conf at job time, so pin it via the DataFrame
-            df.schema  # noqa: B018
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+        with _NANOS_CONF_LOCK:
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "true")
+            try:
+                df = spark.read.parquet(table_path(sf_dir, name))
+                if dict(df.dtypes).get("ts") == "bigint":
+                    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+                # force analysis while the conf is still set; the scan
+                # itself re-reads the conf at job time, so pin it via
+                # the DataFrame
+                df.schema  # noqa: B018
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     expected = {f.name for f in SCHEMAS[name].fields}

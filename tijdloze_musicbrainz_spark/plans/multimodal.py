@@ -201,17 +201,31 @@ N_FEATURES = 8
 @register(
     "multimodal_feature_embed",
     survey_ids=(),
+    # Byte-based oracle (round-3 ADVICE): the Spark plan histograms
+    # UTF-8 BYTES (np.frombuffer over the binary cast), so the oracle
+    # must too — `ascii(substring(props, i, 1))` histograms CHARACTER
+    # codepoints and only agreed because the fixture props are pure
+    # ASCII. Here the UTF-8 bytes are recovered engine-neutrally from
+    # `to_hex(encode(props))` (two hex digits per byte), so parity
+    # holds for any input, and the normalization denominator is
+    # octet_length, not character length.
     oracle=f"""
-WITH b AS (
-  SELECT event_id,
-         list_transform(range(1, length(props) + 1),
-                        i -> ascii(substring(props, i, 1))) AS bytes
+WITH h AS (
+  SELECT event_id, to_hex(encode(props)) AS hx,
+         octet_length(encode(props)) AS nb
   FROM events
+),
+b AS (
+  SELECT event_id, nb,
+         list_transform(range(1, nb + 1),
+           i -> (strpos('0123456789ABCDEF', substring(hx, 2*i - 1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
+  FROM h
 )
 SELECT event_id,
        {", ".join(
            f"round(len(list_filter(bytes, x -> x % {N_FEATURES} = {k})) * 1.0"
-           f" / greatest(len(bytes), 1), 4) AS f{k}"
+           f" / greatest(nb, 1), 4) AS f{k}"
            for k in range(N_FEATURES)
        )}
 FROM b
@@ -235,18 +249,25 @@ def multimodal_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extract(batches: Iterator) -> Iterator:
+        # one bincount for the whole batch: byte classes are offset by
+        # row index so row k's histogram lands in slots [8k, 8k+8)
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            rows = []
-            for blob in pdf["blob"]:
-                arr = np.frombuffer(blob, dtype=np.uint8)
-                if arr.size:
-                    hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES)
-                    rows.append(np.round(hist / arr.size, 4))
-                else:
-                    rows.append(np.zeros(N_FEATURES))
-            feats = np.array(rows)
+            blobs = pdf["blob"].tolist()
+            n_rows = len(blobs)
+            lens = np.fromiter(
+                (len(b) for b in blobs), dtype=np.int64, count=n_rows
+            )
+            arr = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            hist = np.bincount(
+                row_of * N_FEATURES + (arr % N_FEATURES),
+                minlength=n_rows * N_FEATURES,
+            ).reshape(n_rows, N_FEATURES)
+            feats = np.round(
+                hist / np.maximum(lens, 1)[:, None], 4
+            )
             out = {"event_id": pdf["event_id"]}
             for k in range(N_FEATURES):
                 out[f"f{k}"] = feats[:, k]

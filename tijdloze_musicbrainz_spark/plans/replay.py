@@ -49,6 +49,9 @@ _GOLDEN_ROWS = [
     (6, "Pearl Jam", "Alive", "rg-p2"),          # engine finds rg-p1 -> Wrong
     (7, "Luc De Vos & Gorki", "Duet Song", "rg-d1"),  # duet split -> Correct
     (8, "Zzz Nobody", "Whatever", "rg-z1"),      # unresolvable artist -> Missing
+    # the song is credited to the SECOND '&' part only — resolvable
+    # solely through the second-artist duet path (benchmark.py:176-183)
+    (9, "Gorki & Luc De Vos", "Second Duet", "rg-d2"),  # second-artist -> Correct
 ]
 
 # Song catalog: song_id, artist_id, title, mb_id, recording_score,
@@ -61,6 +64,7 @@ _SONGS = [
     (103, 2, "Mia", "rg-g1", 8, False, False, 1992),
     (104, 4, "Alive", "rg-p1", 5, False, False, 1991),
     (105, 3, "Duet Song", "rg-d1", 3, False, False, 1999),
+    (106, 3, "Second Duet", "rg-d2", 3, False, False, 2001),
 ]
 
 # Artist alias table (own names + the Gorki/Gorky alias pair).
@@ -109,22 +113,35 @@ def _resolve_with_duet_fallback(golden: DataFrame, aliases: DataFrame) -> DataFr
         .distinct()
     )
     unresolved = qk.join(direct.select("qid").distinct(), "qid", "left_anti")
-    duet = (
-        unresolved.filter(F.col("artist_name").contains("&"))
-        .select(
-            "qid",
-            "title_key",
-            search_key(F.split_part(F.col("artist_name"), F.lit("&"), F.lit(1))).alias(
-                "main_key"
-            ),
-        )
+    # the reference resolves BOTH '&' parts (benchmark.py:176-183: the
+    # main artist AND second_artist_ids feed search_songs) — candidates
+    # are the union of songs reachable through either resolved artist
+    duet = unresolved.filter(F.col("artist_name").contains("&")).select(
+        "qid",
+        "title_key",
+        search_key(F.split_part(F.col("artist_name"), F.lit("&"), F.lit(1))).alias(
+            "main_key"
+        ),
+        search_key(F.split_part(F.col("artist_name"), F.lit("&"), F.lit(2))).alias(
+            "second_key"
+        ),
     )
-    via_duet = (
-        fuzzy_key_join(duet, aliases, "main_key", "akey")
+    via_main = (
+        fuzzy_key_join(duet.select("qid", "title_key", "main_key"), aliases, "main_key", "akey")
         .select("qid", "title_key", "artist_id")
-        .distinct()
     )
-    return direct.unionByName(via_duet)
+    via_second = (
+        fuzzy_key_join(
+            duet.filter(F.length("second_key") > 0).select(
+                "qid", "title_key", "second_key"
+            ),
+            aliases,
+            "second_key",
+            "akey",
+        )
+        .select("qid", "title_key", "artist_id")
+    )
+    return direct.unionByName(via_main).unionByName(via_second).distinct()
 
 
 @register(
@@ -132,17 +149,19 @@ def _resolve_with_duet_fallback(golden: DataFrame, aliases: DataFrame) -> DataFr
     survey_ids=("A11", "S2", "P8", "F5", "A9"),
     oracle="""
 SELECT * FROM (VALUES
-  ('Correct', CAST(5 AS BIGINT), '1,2,3,4,7', CAST(62.5 AS DOUBLE)),
-  ('Missing', CAST(2 AS BIGINT), '5,8', CAST(25.0 AS DOUBLE)),
-  ('Wrong',   CAST(1 AS BIGINT), '6', CAST(12.5 AS DOUBLE))
+  ('Correct', CAST(6 AS BIGINT), '1,2,3,4,7,9', CAST(66.67 AS DOUBLE)),
+  ('Missing', CAST(2 AS BIGINT), '5,8', CAST(22.22 AS DOUBLE)),
+  ('Wrong',   CAST(1 AS BIGINT), '6', CAST(11.11 AS DOUBLE))
 ) AS t(status, n, row_ids, pct)
 """,
     doc="The reference's golden-accuracy benchmark replay "
     "(src/benchmark.py:236-274) as one Spark job: golden CSV -> fuzzy "
-    "artist resolve -> duet '&' fallback (:176-183) -> two-phase title "
-    "search -> Correct/Missing/Wrong fold with percentages. The oracle "
-    "is the hand-derived expected scoreboard as VALUES, golden-checking "
-    "the whole composed read path.",
+    "artist resolve -> duet '&' fallback resolving BOTH split parts "
+    "(:176-183 — row 9's song is reachable only via the second "
+    "artist) -> two-phase title search -> Correct/Missing/Wrong fold "
+    "with percentages. The oracle is the hand-derived expected "
+    "scoreboard as VALUES, golden-checking the whole composed read "
+    "path.",
 )
 def benchmark_accuracy_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden = _golden_csv(spark)
