@@ -79,9 +79,9 @@ def test_bucketed_upsert_touches_only_its_buckets(spark, tmp_path_factory):
     O(target))."""
     import os
 
-    from tijdloze_musicbrainz_spark.streaming.jobs import (
-        N_UPSERT_BUCKETS,
-        merge_batch_into_bucketed_parquet,
+    from tijdloze_musicbrainz_spark.operators.upsert import (
+        N_MERGE_BUCKETS as N_UPSERT_BUCKETS,
+        merge_upsert_bucketed as merge_batch_into_bucketed_parquet,
     )
 
     base = str(tmp_path_factory.mktemp("bucketed_upsert"))

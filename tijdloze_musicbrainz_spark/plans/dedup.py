@@ -407,3 +407,116 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= 3).select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     )
+
+
+# -- duplicate clustering: connected components over near-dup pairs --
+
+MAX_CC_ITERS = 25
+
+
+@register(
+    "dedup_cluster_components",
+    survey_ids=(),
+    oracle=f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, 1, 5), ' ') AS blk,
+         {_SHINGLES_SQL} AS sgs
+  FROM w
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
+        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+""",
+    doc="Duplicate CLUSTERING: connected components over the blocked-"
+    "Jaccard near-dup pairs, so every document gets a canonical "
+    "cluster id (the component's min doc_id — what a corpus dedup "
+    "keeps) and transitively-linked near-dups land in ONE cluster "
+    "even when the endpoints were never compared directly. Spark "
+    "side: iterative min-label propagation — per round, each node "
+    "takes the min of its own and its neighbors' labels (one "
+    "edges-labels join + groupBy-min per round, converges in "
+    "graph-diameter rounds; edges and labels are localCheckpoint'd "
+    "so lineage stays flat). This is the iterative-algorithm tier of "
+    "the brief; the DuckDB twin is a recursive-CTE reachability "
+    "closure, so the driver hash-checks an algorithm SQL alone "
+    "cannot express non-recursively. At 100 TB the same loop runs "
+    "with checkpoint() to durable storage and the large-star/"
+    "small-star optimization caps round count on high-diameter "
+    "components.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard_blocked(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        # pin the pair computation once: every propagation round joins
+        # against edges, and without this the whole shingle+Jaccard
+        # subtree would re-execute per round
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nmin"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster_components: no fixpoint after {MAX_CC_ITERS} "
+            "rounds — component diameter exceeds the cap; raise "
+            "MAX_CC_ITERS or switch to large-star/small-star"
+        )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )

@@ -253,6 +253,58 @@ def s7_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s7_incremental_merge",
+    survey_ids=("S7", "A10"),
+    oracle="""
+WITH both_batches AS (
+  SELECT o_orderkey, o_totalprice, 1 AS batch_id
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS batch_id
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(batch_id AS BIGINT) AS batch_id
+FROM both_batches
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderkey ORDER BY batch_id DESC) = 1
+""",
+    doc="INCREMENTAL MERGE round-trip (round-3 verdict missing #2 — "
+    "the reference's per-artist ON CONFLICT DO UPDATE re-run, "
+    "src/main.py:298-323, without rewriting the table): a full load "
+    "of the even orderkeys, then a small second batch (every 20th "
+    "key, doubled price) merged via operators.upsert."
+    "merge_upsert_bucketed — which reads back and rewrites ONLY the "
+    "key-hash buckets the batch touches (the bucket-isolation "
+    "property is pinned in tests/test_streaming.py). The read-back "
+    "must equal last-writer-wins over both batches.",
+)
+def s7_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    from ..operators.upsert import merge_upsert_bucketed  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"{SINK_ROOT}/s7_incremental_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    full_load = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("batch_id")
+    )
+    merge_upsert_bucketed(full_load, path, ["o_orderkey"], "batch_id")
+    increment = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("batch_id"),
+    )
+    merge_upsert_bucketed(increment, path, ["o_orderkey"], "batch_id")
+    out = spark.read.parquet(path)
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "batch_id"
+    )
+
+
+@register(
     "s2_csv_golden_roundtrip",
     survey_ids=("S2",),
     oracle="""

@@ -208,95 +208,26 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(windowed_counts(stream_events(spark, sf_dir)))
 
 
-N_UPSERT_BUCKETS = 16
-
-
-def merge_batch_into_bucketed_parquet(
-    batch_df: DataFrame,
-    path: str,
-    keys: list[str],
-    priority_col: str,
-    n_buckets: int = N_UPSERT_BUCKETS,
-) -> list[int]:
-    """One micro-batch merge into a key-hash-bucketed parquet target
-    (round-3 verdict #3: the previous sink read + rewrote the WHOLE
-    target every batch — O(|target|) per batch, a scale-killer).
-
-    The target is laid out as ``__bucket=<pmod(xxhash64(keys), N)>``
-    partition directories. A batch (1) computes its rows' buckets,
-    (2) reads ONLY the touched bucket partitions back (partition
-    pruning on the ``__bucket`` filter — untouched buckets are never
-    read), (3) last-writer-wins-dedups batch ∪ touched-existing, and
-    (4) swaps in ONLY the touched bucket directories. Work per batch
-    is O(|touched buckets|), not O(|target|).
-
-    Atomicity note (unchanged in spirit): each bucket swap is a
-    per-directory rmtree+rename, so a reader can observe one bucket
-    mid-swap; the window is per-bucket now instead of whole-table.
-    On a real deployment this layout maps 1:1 onto dynamic partition
-    overwrite into a bucket-partitioned table, or a Delta MERGE whose
-    file-pruning achieves the same touched-buckets-only bound with
-    real transactional commits.
-
-    Returns the sorted list of touched bucket ids (for tests /
-    observability)."""
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
-    from ..operators.upsert import dedup_last_wins  # noqa: PLC0415
-
-    spark = batch_df.sparkSession
-    bucket = F.pmod(
-        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
-    ).cast("int")
-    batch = batch_df.withColumn("__bucket", bucket)
-    # bounded collect: at most n_buckets distinct values
-    touched = sorted(
-        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
-    )
-    if not touched:
-        return []
-    if os.path.exists(path):
-        existing = spark.read.parquet(path).filter(
-            F.col("__bucket").isin([int(b) for b in touched])
-        )
-        merged = existing.unionByName(batch, allowMissingColumns=False)
-    else:
-        merged = batch
-    out = dedup_last_wins(merged, keys, [F.desc(priority_col)])
-    tmp = f"{path}__tmp"
-    out.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-    os.makedirs(path, exist_ok=True)
-    for b in touched:
-        src = os.path.join(tmp, f"__bucket={b}")
-        dst = os.path.join(path, f"__bucket={b}")
-        if os.path.exists(src):
-            shutil.rmtree(dst, ignore_errors=True)
-            os.rename(src, dst)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return touched
-
-
 def stream_upsert_to_parquet(
     stream: DataFrame,
     path: str,
     keys: list[str],
     priority_col: str,
-    n_buckets: int = N_UPSERT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> None:
     """Stream → idempotent sink: every micro-batch merges into the
     bucket-partitioned parquet target with last-writer-wins semantics
-    (foreachBatch + the batch upsert operator); only the buckets the
-    batch touches are read or rewritten. Exactly-once effect under
-    retries: a replayed batch re-merges the same rows and the dedup
-    keeps the same winners."""
+    (foreachBatch + ``operators.upsert.merge_upsert_bucketed``, the
+    same incremental MERGE the batch path uses — round-3 verdict #3:
+    only the buckets a batch touches are read or rewritten, never the
+    whole target). Exactly-once effect under retries: a replayed batch
+    re-merges the same rows and the dedup keeps the same winners."""
+    from ..operators.upsert import N_MERGE_BUCKETS, merge_upsert_bucketed  # noqa: PLC0415
+
+    n = n_buckets if n_buckets is not None else N_MERGE_BUCKETS
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch_into_bucketed_parquet(
-            batch_df, path, keys, priority_col, n_buckets
-        )
+        merge_upsert_bucketed(batch_df, path, keys, priority_col, n)
 
     q = (
         stream.writeStream.foreachBatch(merge)
