@@ -33,6 +33,8 @@ HEADLINERS = [
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
     "corpus_clean_pipeline",
+    "dedup_cluster_components",
+    "j_skew_salted_join",
     "events_sessionize",
     "text_token_stats",
     # the composed dataset-generation DAG at data scale — the closest
@@ -40,9 +42,12 @@ HEADLINERS = [
     "mb_pipeline_scale",
 ]
 
-# Committed per-query snapshot of the best prior round (BENCH_r02) —
-# regressions against it are reported to stderr so a slow round is
-# mechanically visible, not box-noise guesswork.
+# Committed per-query snapshot: the best of all prior driver rounds
+# (flat {"queries": {...}} layout) — regressions against it are
+# reported to stderr so a slow round is mechanically visible, not
+# box-noise guesswork. The box itself shows 5-6x bursty contention on
+# a fixed probe workload (r4 measurement), so confirm any heavy-query
+# regression with solo re-runs before chasing it.
 BASELINE_SNAPSHOT = "BENCH_BASELINE.json"
 
 
