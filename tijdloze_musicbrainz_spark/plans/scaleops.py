@@ -92,8 +92,12 @@ GROUP BY o.o_custkey, c.c_mktsegment
 def s4_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.bucketing import write_bucketed  # noqa: PLC0415
 
-    # per-sf table names: a managed table written for one sf must not
-    # be read back by a builder for another sf in the same process
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    # per-sf table names: a table written for one sf must not be read
+    # back by a builder for another sf in the same process; explicit
+    # external locations under the per-process sink root so the write
+    # never depends on the (possibly foreign) session's warehouse dir
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     t_orders = f"b4_orders_{tag}"
     t_customer = f"b4_customer_{tag}"
@@ -103,6 +107,7 @@ def s4_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_cols=["o_custkey"],
         num_buckets=N_BUCKETS,
         sort_cols=["o_custkey"],
+        location=f"{SINK_ROOT}/{t_orders}",
     )
     write_bucketed(
         t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
@@ -110,6 +115,7 @@ def s4_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_cols=["c_custkey"],
         num_buckets=N_BUCKETS,
         sort_cols=["c_custkey"],
+        location=f"{SINK_ROOT}/{t_customer}",
     )
     orders_b = spark.table(t_orders)
     customer_b = spark.table(t_customer)

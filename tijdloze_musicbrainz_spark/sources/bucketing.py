@@ -26,29 +26,40 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Sequence[str] | None = None,
+    location: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sort-bucketed) managed
-    table. Sorting within buckets additionally enables sort-merge
-    joins without a per-task sort.
+    """Persist as a bucketed (and optionally sort-bucketed) table.
+    Sorting within buckets additionally enables sort-merge joins
+    without a per-task sort.
 
-    Drops any stale table AND its leftover warehouse directory first:
-    a managed-table location can outlive the (per-process Derby)
-    metastore entry, and saveAsTable refuses to reuse an orphaned
-    location."""
+    ``location`` makes the table EXTERNAL at an explicit path —
+    callers that must run inside a foreign SparkSession (the round
+    driver's) pass one so the write never depends on that session's
+    ``spark.sql.warehouse.dir`` (which defaults to the process cwd).
+
+    Drops any stale table AND its leftover directory first: a table
+    location can outlive the per-process metastore entry, and
+    saveAsTable refuses to reuse an orphaned location."""
+    import shutil  # noqa: PLC0415
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[len("file:") :]
-    if warehouse.startswith("/"):
-        import shutil  # noqa: PLC0415
-
-        shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    if location is not None:
+        stale = location
+    else:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        stale = f"{warehouse}/{table.lower()}" if warehouse.startswith("/") else None
+    if stale:
+        shutil.rmtree(stale, ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, *bucket_cols)
     )
+    if location is not None:
+        writer = writer.option("path", location)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
