@@ -290,3 +290,80 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# -- corpus curation: deterministic sampling + stats rollup ----------
+
+# per-10k keep rates by language stratum: downsample the dominant
+# languages, keep the tail — the standard rebalancing move before
+# training-data mixing
+SAMPLE_RATE_BPS = {"en": 2000, "de": 5000, "fr": 5000, "es": 5000}
+SAMPLE_RATE_DEFAULT_BPS = 10_000
+_SAMPLE_MULT = 2654435761  # Knuth multiplicative-hash constant
+
+
+@register(
+    "corpus_sample_stratified",
+    survey_ids=(),
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST((doc_id * {_SAMPLE_MULT}) % {2**31} % 10000 AS BIGINT) AS h
+FROM documents
+WHERE (doc_id * {_SAMPLE_MULT}) % {2**31} % 10000 <
+      CASE lang
+           WHEN 'en' THEN {SAMPLE_RATE_BPS["en"]}
+           WHEN 'de' THEN {SAMPLE_RATE_BPS["de"]}
+           WHEN 'fr' THEN {SAMPLE_RATE_BPS["fr"]}
+           WHEN 'es' THEN {SAMPLE_RATE_BPS["es"]}
+           ELSE {SAMPLE_RATE_DEFAULT_BPS} END
+""",
+    doc="Deterministic stratified sampling: per-language keep rates "
+    "applied via an engine-neutral multiplicative hash of doc_id — "
+    "NO rand(): a task retry, an AQE re-plan or a re-run yields the "
+    "identical sample, which is what makes a 100 TB curation job "
+    "reproducible. Pure map-side scan+filter (zero shuffles); the "
+    "hash-bucket column rides along so downstream stages can "
+    "sub-sample consistently (h < 1000 is a strict subset of "
+    "h < 2000).",
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = (
+        (F.col("doc_id").cast("long") * F.lit(_SAMPLE_MULT).cast("long"))
+        % F.lit(2**31).cast("long")
+    ) % 10000
+    rate = F.when(F.lit(False), F.lit(0))
+    for lg, bps in SAMPLE_RATE_BPS.items():
+        rate = rate.when(F.col("lang") == lg, bps)
+    rate = rate.otherwise(SAMPLE_RATE_DEFAULT_BPS)
+    return docs.select("doc_id", "lang", h.alias("h")).filter(F.col("h") < rate)
+
+
+@register(
+    "corpus_stats_rollup",
+    survey_ids=(),
+    oracle="""
+SELECT lang,
+       CAST(floor(length(text) / 500) * 500 AS BIGINT) AS len_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY ROLLUP(lang, len_band)
+""",
+    doc="Corpus composition rollup: doc and token counts by "
+    "(language, length band) with ROLLUP subtotals per language and a "
+    "grand total — the one-pass grouping-sets aggregation a training-"
+    "data dashboard reads instead of N separate groupBys (Spark "
+    "computes all grouping sets in a single shuffle via the expand "
+    "operator).",
+)
+def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.floor(F.length("text") / 500) * 500).cast("long").alias("len_band"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return docs.rollup("lang", "len_band").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
