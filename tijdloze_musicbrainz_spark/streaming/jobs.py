@@ -322,3 +322,29 @@ def streaming_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_type", "event_id", F.round("value", 2).alias("value")
     )
+
+
+@register(
+    "streaming_dedup_keys",
+    survey_ids=("S8",),
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc="Streaming exact dedup — the insert-if-absent (S8) twin on a "
+    "stream: dropDuplicates keyed state keeps the FIRST arrival per "
+    "(user_id, event_type) and suppresses the rest across "
+    "micro-batches. Only the key columns are emitted because "
+    "first-arrival is a partition race for the non-key columns; the "
+    "key SET is deterministic and equals batch DISTINCT. At scale "
+    "the unbounded dedup state is swapped for "
+    "dropDuplicatesWithinWatermark, which evicts keys once the "
+    "watermark passes them (exactly how a dedup-at-ingest job is "
+    "bounded in production).",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = run_stream_to_memory(deduped, output_mode="append")
+    return out.select("user_id", "event_type")
