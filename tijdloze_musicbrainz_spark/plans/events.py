@@ -136,3 +136,45 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+@register(
+    "events_approx_sketches",
+    survey_ids=(),
+    oracle="""
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS hll_within_5pct,
+       true AS p50_within_10pct
+FROM events
+""",
+    doc="The sketch tier: HyperLogLog++ distinct-count "
+    "(approx_count_distinct, rsd=2%) and Greenwald-Khanna approximate "
+    "median (percentile_approx, accuracy 10k) next to their exact "
+    "twins. Sketch VALUES are engine/implementation-specific, so the "
+    "differential contract is the error-bound PROPERTY: the query "
+    "emits booleans asserting |approx-exact| within 5%/10%, and the "
+    "oracle pins them true — if either sketch ever drifts past its "
+    "bound, the hash compare goes red. At 100 TB the sketches are the "
+    "only affordable form of these statistics (fixed memory, one "
+    "pass, mergeable partials), which is why they are first-class "
+    "here.",
+)
+def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("hll_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.10 * F.abs(F.col("p50_exact")) + F.lit(1e-9)
+        ).alias("p50_within_10pct"),
+    )
