@@ -178,3 +178,146 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.abs(F.col("p50_exact")) + F.lit(1e-9)
         ).alias("p50_within_10pct"),
     )
+
+
+@register(
+    "events_asof_join",
+    survey_ids=(),
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+c AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts_s AS purchase_ts,
+       l.event_id AS click_id, l.ts_s AS click_ts
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id, c.ts_s FROM c
+  WHERE c.user_id = p.user_id AND c.ts_s <= p.ts_s
+  ORDER BY c.ts_s DESC, c.event_id DESC LIMIT 1
+) l ON true
+""",
+    doc="AS-OF JOIN — the custom temporal operator Spark's built-ins "
+    "lack: every purchase is joined to the user's most recent click "
+    "at-or-before it. Implemented as the single-pass union form: tag "
+    "click rows with a (ts, id) struct, one window per user ordered "
+    "by (second, type-rank, event_id) carries the last non-null click "
+    "forward, then keep the purchase rows — ONE shuffle on user_id "
+    "and one sort, vs. the naive range-join's quadratic per-user "
+    "blowup. Comparisons run at second granularity on both engines "
+    "(the parquet nanos are truncated differently by Spark and "
+    "DuckDB, exactly like the sessionizer), ties broken "
+    "clicks-before-purchases then by event_id, so the result is "
+    "deterministic; the oracle is a LATERAL top-1 lookup. At 100 TB "
+    "hot users are the skew risk — AQE skew-split applies to the "
+    "user_id exchange, and the window state is O(1) per row.",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from .util import epoch  # noqa: PLC0415
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "event_type", epoch("ts").alias("ts_s"))
+    )
+    is_click = F.col("event_type") == "click"
+    tagged = ev.withColumn(
+        "click_info",
+        F.when(
+            is_click,
+            F.struct(F.col("ts_s").alias("ts"), F.col("event_id").alias("id")),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", F.when(is_click, 0).otherwise(1), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("lc", F.last("click_info", ignorenulls=True).over(w))
+        .filter(~is_click)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_s").alias("purchase_ts"),
+            F.col("lc.id").alias("click_id"),
+            F.col("lc.ts").alias("click_ts"),
+        )
+    )
+
+
+RANGE_WINDOW_S = 60
+
+
+@register(
+    "events_range_join_banded",
+    survey_ids=(),
+    oracle=f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE event_type = 'error'
+),
+c AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id AS error_id, e.user_id, e.ts_s AS error_ts,
+       CAST(count(c.ts_s) AS BIGINT) AS n_recent_clicks
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id
+ AND c.ts_s BETWEEN e.ts_s - {RANGE_WINDOW_S} AND e.ts_s
+GROUP BY e.event_id, e.user_id, e.ts_s
+""",
+    doc="BANDED RANGE JOIN — the interval-predicate custom operator: "
+    "for every error event, count the same user's clicks in the "
+    "preceding 60 s. The naive plan is a non-equi join (per-user "
+    "quadratic; on Spark it degenerates to a nested-loop). Here both "
+    "sides are bucketed into 60 s time bands: clicks land in ONE "
+    "(user, band) bucket, errors probe their two candidate bands, so "
+    "the join is a plain equi-join on (user_id, band) with a cheap "
+    "range residual — shuffle volume 2|E|+|C|, never quadratic. A "
+    "(error, click) pair can meet in only the click's band, so no "
+    "dedup is needed. The same banding is how interval/IP-range/"
+    "geo-box joins scale on 100 TB; the oracle is the plain non-equi "
+    "SQL.",
+)
+def events_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import epoch  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        epoch("ts").alias("error_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", epoch("ts").alias("click_ts")
+    )
+    band = lambda c: F.floor(c / RANGE_WINDOW_S)  # noqa: E731
+    cb = clicks.withColumn("band", band(F.col("click_ts")))
+    eb = errors.withColumn(
+        "band",
+        F.explode(
+            F.array(band(F.col("error_ts")) - 1, band(F.col("error_ts")))
+        ),
+    )
+    hits = (
+        eb.join(cb, ["user_id", "band"])
+        .filter(
+            F.col("click_ts").between(
+                F.col("error_ts") - RANGE_WINDOW_S, F.col("error_ts")
+            )
+        )
+        .groupBy("error_id")
+        .agg(F.count("*").alias("n_recent_clicks"))
+    )
+    return errors.join(hits, "error_id", "left").select(
+        "error_id",
+        "user_id",
+        "error_ts",
+        F.coalesce("n_recent_clicks", F.lit(0)).cast("long").alias("n_recent_clicks"),
+    )
