@@ -321,3 +321,54 @@ def events_range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "error_ts",
         F.coalesce("n_recent_clicks", F.lit(0)).cast("long").alias("n_recent_clicks"),
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    survey_ids=(),
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="HYPERTABLE ROLLUP — the continuous-aggregate pattern: the "
+    "plan first aggregates raw events into an HOURLY rollup "
+    "(count + exact-DECIMAL sum per (hour, type)), then answers the "
+    "day-level question by RE-aggregating the rollup — counts add, "
+    "decimal sums add exactly, rounding happens only at the end, so "
+    "two-tier equals one-tier bit-for-bit (the oracle aggregates the "
+    "raw table directly, proving it). At 100 TB the hourly tier is "
+    "materialized incrementally (the streaming tumbling-window job "
+    "writes it, partitioned by hour) and every day/week/month "
+    "dashboard query reads ~1/3600th of the rows; only re-aggregable "
+    "stats (count/sum/min/max/HLL partials — not raw averages or "
+    "medians) may live in the rollup, which is exactly what this "
+    "query's shape enforces.",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import epoch  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events").select(
+        epoch("ts").alias("ts_s"),
+        "event_type",
+        F.col("value").cast("decimal(25,6)").alias("v"),
+    )
+    hourly = ev.groupBy(
+        (F.floor(F.col("ts_s") / 3600) * 3600).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    return (
+        hourly.groupBy(
+            (F.floor(F.col("hour_epoch") / 86400) * 86400)
+            .cast("long")
+            .alias("day_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).cast("double").alias("total_value"),
+        )
+    )
