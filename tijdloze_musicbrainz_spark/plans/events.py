@@ -372,3 +372,50 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s"), 2).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "events_moving_frame",
+    survey_ids=(),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) AS DOUBLE)
+           AS mov_sum_5,
+       CAST(count(*) OVER w AS BIGINT) AS frame_n,
+       CAST(round(CAST(value AS DECIMAL(25,6))
+                  - coalesce(lag(CAST(value AS DECIMAL(25,6))) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id),
+                    CAST(0 AS DECIMAL(25,6))), 2) AS DOUBLE) AS delta_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    doc="BOUNDED window frame + LAG: per-user 5-event moving sum and "
+    "the delta vs the previous event, ordered by (ts, event_id) — "
+    "the rolling-metric shape (rate smoothing, spend-velocity "
+    "monitoring) that complements the unbounded running frames in "
+    "events_sessionize/events_asof_join. One shuffle on user_id, "
+    "then a single in-partition sort serves BOTH window specs (same "
+    "partitioning + ordering -> one Window operator chain, no second "
+    "exchange). Terms are cast to DECIMAL(25,6) before the frame sum "
+    "so the result is independent of both engines' in-frame "
+    "summation strategy (DuckDB uses a segment tree, Spark a sliding "
+    "accumulator); cent-rounding happens on identical exact values. "
+    "The deterministic (ts, event_id) tie-break makes lag() "
+    "reproducible under re-partitioning and task retries.",
+)
+def events_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = base.rowsBetween(-4, 0)
+    v = F.col("value").cast("decimal(25,6)")
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(v).over(frame), 2).cast("double").alias("mov_sum_5"),
+        F.count("*").over(frame).cast("long").alias("frame_n"),
+        F.round(v - F.coalesce(F.lag(v).over(base), F.lit(0).cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("delta_prev"),
+    )

@@ -367,3 +367,133 @@ def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# -- wide reporting + distribution profiling -------------------------
+
+# The testdata's closed language set. PIVOT with EXPLICIT values is
+# the scale-correct form: `.pivot(col)` without values runs an extra
+# distinct-collect job over the full corpus first, and an unbounded
+# value set would explode the schema; pinning the set keeps the pivot
+# a single shuffle.
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "text_pivot_source_lang",
+    survey_ids=(),
+    oracle="""
+SELECT source,
+       CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
+       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+       CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
+       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
+       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM documents
+GROUP BY source
+""",
+    doc="PIVOT (long->wide conditional aggregation): per-source "
+    "document counts with one column per language — the corpus-mix "
+    "report a data-curation dashboard renders. Explicit pivot values "
+    "(PIVOT_LANGS) matter at scale: Spark's values-less .pivot() "
+    "first runs a distinct-collect JOB over the corpus to discover "
+    "the columns — an extra full pass at 100 TB. The pivot itself is "
+    "Spark's two-phase aggregate: partial count per (source, lang) "
+    "map-side, then a pivotfirst re-group on source alone — the "
+    "second exchange moves only the already-collapsed (source, lang) "
+    "cardinality (~100 rows), not corpus data. Missing combinations "
+    "are 0 (not NULL) on both engines.",
+)
+def text_pivot_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .agg(F.count(F.lit(1)))
+    )
+    total = sum((F.coalesce(F.col(lg), F.lit(0)) for lg in PIVOT_LANGS), F.lit(0))
+    return wide.select(
+        "source",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in PIVOT_LANGS
+        ],
+        total.cast("long").alias("n_total"),
+    )
+
+
+TOPK_WORDS = 50
+
+
+@register(
+    "text_wordcount_topk",
+    survey_ids=(),
+    oracle=f"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT {TOPK_WORDS}
+""",
+    doc="EXPLODE + global top-k: tokenize every document, count word "
+    "frequencies, return the corpus-wide top 50 — the vocabulary / "
+    "stopword profile pass of a tokenizer-training pipeline. The "
+    "explode is generate-side (no materialized word table), the "
+    "count is a map-side-combinable hash aggregate, and orderBy+ "
+    "limit compiles to TakeOrderedAndProject: each partition keeps "
+    "only its local top-k and the driver merges k*P rows — there is "
+    "NO global sort of the vocabulary at any scale. Ties at the "
+    "boundary are broken lexicographically so the result set is "
+    "deterministic on both engines.",
+)
+def text_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(TOPK_WORDS)
+    )
+
+
+@register(
+    "text_length_percentiles",
+    survey_ids=(),
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.90), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang
+""",
+    doc="EXACT interpolated percentiles per group (Spark "
+    "F.percentile == DuckDB quantile_cont, both lo + frac*(hi-lo) "
+    "over the sorted group): the length-distribution profile that "
+    "drives percentile-based corpus cuts. Exact percentile holds the "
+    "whole group's value multiset in the aggregation state, so it is "
+    "the CALIBRATION-pass operator — run it on a stratified sample "
+    "(corpus_sample_stratified) or a single profiling pass; the "
+    "events_approx_sketches query carries the approx_percentile "
+    "sketch twin that replaces it in the always-on 100 TB path "
+    "(mergeable t-digest state, bounded memory).",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.lit([0.50, 0.90, 0.99]))
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(pct.getItem(0), 6).alias("p50"),
+        F.round(pct.getItem(1), 6).alias("p90"),
+        F.round(pct.getItem(2), 6).alias("p99"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
