@@ -134,3 +134,35 @@ def test_column_pruning_reaches_scan(plans):
     read = [line for line in plan.splitlines() if "ReadSchema" in line]
     assert read, "no ReadSchema in plan"
     assert "p_retailprice" not in read[0] and "p_brand" not in read[0], read[0]
+
+
+def test_wordcount_topk_avoids_global_sort(plans):
+    # orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    # top-k, driver merge) — a global Sort of the vocabulary would be an
+    # extra full shuffle at scale.
+    import re
+
+    plan = plans["text_wordcount_topk"]
+    assert "TakeOrderedAndProject" in plan
+    assert not re.search(r"\bSort \(\d+\)", plan), (
+        "global sort snuck into the top-k plan"
+    )
+
+
+def test_moving_frame_single_exchange(plans):
+    # Both window specs share (partitionBy user_id, orderBy ts,event_id):
+    # one shuffle + one in-partition sort must serve the bounded frame,
+    # the count and the lag — a second Exchange means the specs diverged.
+    import re
+
+    plan = plans["events_moving_frame"]
+    assert len(re.findall(r"\bExchange \(\d+\)", plan)) == 1, plan
+
+
+def test_pivot_uses_explicit_values(plans):
+    # Explicit pivot values: the plan must contain the pivotfirst
+    # aggregate over the pinned language set, and building the plan must
+    # not have launched a distinct-discovery job (values-less .pivot()
+    # does; with pinned values the plan renders without any job).
+    plan = plans["text_pivot_source_lang"]
+    assert "pivotfirst" in plan
