@@ -348,3 +348,55 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_memory(deduped, output_mode="append")
     return out.select("user_id", "event_type")
+
+
+@register(
+    "streaming_hypertable_rollup",
+    survey_ids=(),
+    oracle="""
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="The CONTINUOUS AGGREGATE end-to-end: the streaming job "
+    "maintains the HOURLY tier (readStream -> watermark -> 1-hour "
+    "tumbling window, count + exact-DECIMAL sum), the tier is drained "
+    "to the sink, and the day-level answer is a BATCH re-aggregation "
+    "over the tier — while the oracle aggregates the raw events table "
+    "directly. Hash-equality proves the hypertable contract: counts "
+    "add, DECIMAL sums add exactly, rounding happens only at the end, "
+    "so serving dashboards from the incrementally-maintained rollup "
+    "is bit-identical to scanning the raw data. This is the streaming "
+    "twin of events_hypertable_rollup; at 100 TB the memory sink is a "
+    "parquet/Delta table partitioned by hour and the day query reads "
+    "~1/3600th of the rows.",
+)
+def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("s"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "s",
+        )
+    )
+    tier = run_stream_to_memory(hourly)
+    return tier.groupBy(
+        (F.floor(F.col("hour_epoch") / 86400) * 86400)
+        .cast("long")
+        .alias("day_epoch"),
+        "event_type",
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(F.sum("s"), 2).cast("double").alias("total_value"),
+    )
