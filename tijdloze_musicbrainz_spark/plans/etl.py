@@ -367,3 +367,63 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_PORTABLE_Q6)
+
+
+@register(
+    "s3_json_lines_roundtrip",
+    survey_ids=(),
+    oracle="""
+SELECT event_id, user_id, event_type,
+       round(value, 2) AS value_r2,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM events
+WHERE event_type = 'click'
+""",
+    doc="JSON-lines source round-trip: project the click events to a "
+    "flat schema (timestamp already lowered to epoch seconds — JSON "
+    "has no timestamp type, so the contract is explicit integer "
+    "seconds, not an engine-specific serialization), write them as "
+    "newline-delimited JSON in overwrite mode, read the files back "
+    "through sources.readers.read_json with an EXPLICIT schema (a "
+    "values-less json() would run a schema-inference pass over every "
+    "file — a full extra scan at 100 TB), and return the rows. The "
+    "oracle sees only the parquet source, so the hash-match proves "
+    "per-row fidelity through the serialize->parse cycle, including "
+    "doubles (JSON shortest-repr round-trips a double exactly).",
+)
+def s3_json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from ..sources.readers import read_json  # noqa: PLC0415
+    from .util import epoch  # noqa: PLC0415
+
+    path = f"{SINK_ROOT}/s3_json_lines"
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value"),
+            epoch("ts").alias("ts_epoch"),
+        )
+    )
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_epoch", T.LongType()),
+        ]
+    )
+    back = read_json(spark, path, schema)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value_r2"),
+        "ts_epoch",
+    )
