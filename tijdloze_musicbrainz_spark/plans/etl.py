@@ -427,3 +427,66 @@ def s3_json_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value_r2"),
         "ts_epoch",
     )
+
+
+@register(
+    "s8_snapshot_diff_cdc",
+    survey_ids=(),
+    oracle="""
+WITH old_snap AS (
+  SELECT o_orderkey, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       n.status AS new_status
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.status <> n.status
+""",
+    doc="Snapshot diff / CDC classification — the FULL OUTER join "
+    "shape: compare two deterministic snapshots of orders and emit "
+    "only the changed rows tagged insert/delete/update (the "
+    "change-feed an incremental 100 TB pipeline consumes instead of "
+    "reprocessing the world). The join is a plain key-partitioned "
+    "full outer equi-join — both sides shuffle once on the key, "
+    "change classification is null-pattern arithmetic on the joined "
+    "row, and the 'unchanged' majority is filtered BEFORE any "
+    "downstream work so the emitted feed is proportional to the "
+    "change rate, not the table size. String-typed change detection "
+    "only — no float equality anywhere.",
+)
+def s8_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    old_snap = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    new_snap = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.filter(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.status") != F.col("n.status"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        change.alias("change_type"),
+        F.col("n.status").alias("new_status"),
+    )
