@@ -497,3 +497,68 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    survey_ids=(),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM tok WHERE word <> '' GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word
+)
+SELECT doc_id, word,
+       CAST(rank_n AS BIGINT) AS rank_n,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM (
+  SELECT tf.doc_id, tf.word,
+         tf.tf * 1000000 // df.df AS score_micro,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1000000 // df.df DESC, tf.word ASC) AS rank_n
+  FROM tf JOIN df ON tf.word = df.word
+) WHERE rank_n <= 3
+""",
+    doc="TF-IDF-style distinguishing terms: per (doc, word) term "
+    "frequency joined to corpus-wide document frequency, scored by "
+    "the INTEGER rational floor(tf*1e6/df) — monotone in tf/df like "
+    "tf x idf but exact on both engines (ln() differs in final ulps "
+    "across libm implementations, which would flip rank ties "
+    "non-deterministically; an integer score cannot). Top-3 terms "
+    "per doc via row_number with a lexicographic tie-break. Plan "
+    "shape at 100 TB: tf is a map-side-combinable hash aggregate "
+    "over the exploded tokens, df aggregates the ALREADY-collapsed "
+    "tf relation (vocabulary-sized, not token-volume), the tf-df "
+    "join shuffles on word, and the per-doc top-3 window partitions "
+    "on doc_id — high cardinality, no hot partition.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        F.floor((F.col("tf") * F.lit(1_000_000)) / F.col("df"))
+        .cast("long")
+        .alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank_n", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank_n") <= 3)
+        .select("doc_id", "word", "rank_n", "score_micro")
+    )
