@@ -166,3 +166,13 @@ def test_pivot_uses_explicit_values(plans):
     # does; with pinned values the plan renders without any job).
     plan = plans["text_pivot_source_lang"]
     assert "pivotfirst" in plan
+
+
+def test_partitioned_read_prunes(plans):
+    """s_partitioned_prune filters on the Hive partition column: the
+    scan must carry PartitionFilters (directory-level pruning — the
+    scan never lists the other l_returnflag directories)."""
+    plan = plans["s_partitioned_prune"]
+    pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+    assert pf, "no PartitionFilters in s_partitioned_prune read plan"
+    assert any("l_returnflag" in line for line in pf), pf

@@ -10,6 +10,7 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
+from . import formats  # noqa: E402,F401
 from . import scaleops  # noqa: E402,F401
 from . import mb_pipeline  # noqa: E402,F401
 from . import replay  # noqa: E402,F401

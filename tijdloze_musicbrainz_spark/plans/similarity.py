@@ -534,3 +534,72 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= TOP_K)
         .drop("__rn")
     )
+
+
+@register(
+    "sim_embedding_quantize_int8",
+    survey_ids=(),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+  FROM v
+),
+quant AS (
+  SELECT vec_id, v, max_abs,
+         list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5)
+                                     AS BIGINT)) AS q
+  FROM scaled
+)
+SELECT vec_id,
+       CAST(list_sum(q) AS BIGINT) AS q_checksum,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       round(max_abs, 6) AS scale_max_abs,
+       round(list_aggregate(
+         list_transform(list_zip(v, q),
+                        z -> abs(z[1] - (z[2] * max_abs) / 127.0)),
+         'max'), 6) AS max_recon_err
+FROM quant
+""",
+    doc="Symmetric int8 quantization of the embedding column — the "
+    "4x vector-storage compression a 100 TB embedding store runs "
+    "before serving. Per vector: scale = max|x|/127, q_i = "
+    "round-half-up(x_i/scale), reported as exact integer checksums "
+    "(engine-proof) plus the max reconstruction error. Pure JVM "
+    "higher-order functions (transform/aggregate/zip_with) — one "
+    "narrow pass, no shuffle, no UDF; the deterministic "
+    "floor(x+0.5) rounding makes the int8 codes bit-identical in "
+    "DuckDB, so the oracle checks the actual codes, not a summary.",
+)
+def sim_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    max_abs = F.array_max(F.transform(F.col("v"), F.abs))
+    scaled = vecs.withColumn("max_abs", max_abs)
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    quant = scaled.withColumn("q", q)
+    recon_err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: F.abs(x - (qi.cast("double") * F.col("max_abs")) / F.lit(127.0)),
+        )
+    )
+    return quant.select(
+        "vec_id",
+        F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round(F.col("max_abs"), 6).alias("scale_max_abs"),
+        F.round(recon_err, 6).alias("max_recon_err"),
+    )

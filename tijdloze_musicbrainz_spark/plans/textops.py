@@ -562,3 +562,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_n") <= 3)
         .select("doc_id", "word", "rank_n", "score_micro")
     )
+
+
+TOPK_BIGRAMS = 25
+
+
+@register(
+    "text_bigrams_topk",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {TOPK_BIGRAMS}
+""",
+    doc="Adjacent-bigram top-k over the corpus — the n-gram statistics "
+    "pass of BPE-style tokenizer training (most frequent adjacent "
+    "pair = the next merge candidate). The bigram array is built "
+    "in-row with transform over an index sequence (no self-join of "
+    "the exploded word table, which is the naive O(corpus^2-ish) "
+    "formulation), then explode + hash-aggregate + "
+    "TakeOrderedAndProject exactly like text_wordcount_topk.",
+)
+def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    # sequence(0, n-2) pairs toks[i] with toks[i+1]; guard n < 2 —
+    # Spark's sequence(0, -1) would generate a DESCENDING range.
+    grams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOPK_BIGRAMS)
+    )
