@@ -11,6 +11,7 @@ from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import etl  # noqa: E402,F401
 from . import formats  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 from . import scaleops  # noqa: E402,F401
 from . import mb_pipeline  # noqa: E402,F401
 from . import replay  # noqa: E402,F401

@@ -1,0 +1,269 @@
+"""Corpus-curation operators: denylist redaction, repetition-based
+quality filtering (Gopher-style), and train/benchmark contamination
+screening.
+
+These are the pre-training data-curation passes that run AFTER dedup
+(plans/dedup.py) and text profiling (plans/textops.py) in a real
+pipeline: scrub terms that must not ship, drop degenerate repetitive
+documents, and quarantine anything that overlaps a held-out benchmark.
+All three are single-shuffle-or-less plans:
+
+- redaction is a pure narrow map (regex, JVM-side);
+- repetition stats fold inside each row (sort_array + aggregate), so
+  the per-document top-bigram count never touches a shuffle — the
+  win over the naive explode+groupBy(doc, bigram) formulation, whose
+  shuffle carries one row per TOKEN of the corpus;
+- contamination is one semi-join on shingle strings against a
+  benchmark side small enough to broadcast at any corpus scale.
+
+The DuckDB oracles deliberately use the NAIVE formulations (unnest +
+group by), so they are independent implementations, not translations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .util import t
+
+# Denylist for the redaction pass. Word-boundary alternation works
+# identically in Java regex (Spark) and RE2 (DuckDB).
+DENYLIST_PATTERN = r"\b(customer|supplier|order)\b"
+REDACTION = "[REDACTED]"
+
+
+@register(
+    "text_denylist_redact",
+    survey_ids=(),
+    oracle=f"""
+WITH red AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{DENYLIST_PATTERN}')) AS n_hits,
+         length(regexp_replace(text, '{DENYLIST_PATTERN}', '{REDACTION}', 'g'))
+           AS redacted_len
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_hits,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       CAST(sum(redacted_len) AS BIGINT) AS redacted_chars
+FROM red
+GROUP BY source
+""",
+    doc="Dictionary/denylist redaction — the scrubbing pass (PII terms, "
+    "licensed strings) every shipped corpus runs. regexp_replace + "
+    "regexp_count are pure JVM narrow ops (no UDF, no shuffle before "
+    "the final per-source rollup); the redacted-length checksum makes "
+    "the oracle verify the actual rewritten text, not just the "
+    "match counts.",
+)
+def text_denylist_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    red = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(DENYLIST_PATTERN)).alias("n_hits"),
+        F.length(
+            F.regexp_replace(F.col("text"), DENYLIST_PATTERN, REDACTION)
+        ).alias("redacted_len"),
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_hits"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.sum("redacted_len").cast("long").alias("redacted_chars"),
+    )
+
+
+# A document whose single most frequent bigram exceeds this share of
+# all its bigrams is flagged repetitive (Gopher-rule shape: Rae et
+# al. 2021 filter on duplicated n-gram fractions).
+TOP_BIGRAM_RATIO_MAX = 0.04
+
+
+@register(
+    "text_repetition_filter",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY doc_id, bigram
+),
+per_doc AS (
+  SELECT doc_id, max(n) AS top_n, sum(n) AS n_bigrams
+  FROM counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_words,
+       round((len(t.tk) - len(list_distinct(t.tk)))
+             / CAST(len(t.tk) AS DOUBLE), 6) AS dup_word_ratio,
+       round(p.top_n / CAST(p.n_bigrams AS DOUBLE), 6) AS top_bigram_ratio,
+       (p.top_n / CAST(p.n_bigrams AS DOUBLE)) > {TOP_BIGRAM_RATIO_MAX}
+         AS is_repetitive
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+""",
+    doc="Gopher-style repetition filter: per-document duplicate-word "
+    "fraction and top-bigram share. The Spark plan computes the "
+    "top-bigram count with an IN-ROW run-length fold over the SORTED "
+    "bigram array (sort_array + aggregate with struct state) — zero "
+    "shuffle, one narrow pass — where the naive formulation (the "
+    "oracle's) shuffles one row per corpus token into a "
+    "groupBy(doc, bigram). At 100 TB that shuffle is the whole job; "
+    "the fold is free.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    prepared = docs.select("doc_id", toks.alias("tk")).withColumn(
+        "bg",
+        F.sort_array(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.get(F.col("tk"), i), F.get(F.col("tk"), i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ),
+    )
+    # run-length fold: bigrams are sorted, so equal bigrams are
+    # adjacent — track (previous value, current run, best run).
+    top_n = F.expr(
+        "aggregate(bg, "
+        "  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "  (acc, x) -> named_struct("
+        "    'prev', x, "
+        "    'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        "    'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
+        "  acc -> acc.best)"
+    )
+    n_bigrams = F.size("bg").cast("double")
+    ratio = top_n / F.nullif(n_bigrams, F.lit(0.0))
+    return prepared.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_words"),
+        F.round(
+            (F.size("tk") - F.size(F.array_distinct("tk")))
+            / F.size("tk").cast("double"),
+            6,
+        ).alias("dup_word_ratio"),
+        F.round(ratio, 6).alias("top_bigram_ratio"),
+        (ratio > TOP_BIGRAM_RATIO_MAX).alias("is_repetitive"),
+    )
+
+
+# Contamination screen: documents from this source act as the held-out
+# benchmark; any other document sharing a SHINGLE_N-gram with it is
+# quarantined. Shingles join as raw token strings — no hash, so the
+# cross-engine join key is trivially identical.
+BENCH_SOURCE = "src0"
+SHINGLE_N = 5
+
+
+@register(
+    "text_contamination_overlap",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct(list_transform(
+           range(1, len(tk) - {SHINGLE_N - 2}),
+           i -> array_to_string(tk[i:i + {SHINGLE_N - 1}], ' ')
+         ))) AS shingle
+  FROM toks WHERE len(tk) >= {SHINGLE_N}
+),
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE source = '{BENCH_SOURCE}'
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id, s.lang
+  FROM shingles s JOIN bench b USING (shingle)
+  WHERE s.source <> '{BENCH_SOURCE}'
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+       round(count(c.doc_id) / CAST(count(*) AS DOUBLE), 6)
+         AS contamination_rate
+FROM documents d
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.source <> '{BENCH_SOURCE}'
+GROUP BY d.lang
+""",
+    doc="Train/benchmark contamination screen (the n-gram-overlap "
+    "decontamination every LLM data pipeline runs before training): "
+    "5-gram shingles of the corpus semi-joined against the benchmark "
+    "shingle set, rolled up to a per-language contamination rate. "
+    "The benchmark side is DISTINCT shingles of the held-out set — "
+    "small by construction, so Spark broadcasts it and the corpus "
+    "side never shuffles; per-doc shingles are deduped in-row "
+    "(array_distinct) before the explode to cut the probe volume.",
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    with_sh = (
+        docs.select("doc_id", "source", "lang", toks.alias("tk"))
+        .filter(F.size("tk") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - SHINGLE_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tk"), i + 1, SHINGLE_N)
+                    ),
+                )
+            ).alias("shingles"),
+        )
+    )
+    exploded = with_sh.select(
+        "doc_id", "source", "lang", F.explode("shingles").alias("shingle")
+    )
+    bench = (
+        exploded.filter(F.col("source") == BENCH_SOURCE)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        exploded.filter(F.col("source") != BENCH_SOURCE)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(F.col("source") != BENCH_SOURCE)
+    return (
+        corpus.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("hit").cast("long").alias("n_contaminated"),
+            F.round(
+                F.count("hit") / F.count("*").cast("double"), 6
+            ).alias("contamination_rate"),
+        )
+    )
