@@ -176,3 +176,20 @@ def test_partitioned_read_prunes(plans):
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
     assert pf, "no PartitionFilters in s_partitioned_prune read plan"
     assert any("l_returnflag" in line for line in pf), pf
+
+
+def test_repetition_filter_is_shuffle_free(plans):
+    """The per-doc top-bigram count folds in-row (sort_array +
+    aggregate); the plan must contain NO exchange of any kind — the
+    naive explode+groupBy(doc, bigram) would shuffle one row per
+    corpus token."""
+    plan = plans["text_repetition_filter"]
+    assert "Exchange" not in plan, "text_repetition_filter shuffles"
+
+
+def test_contamination_probes_via_broadcast_semi(plans):
+    """The benchmark shingle set must build a broadcast semi-join
+    (small by construction), never a shuffled join of the corpus
+    shingles."""
+    plan = plans["text_contamination_overlap"]
+    assert "BroadcastHashJoin LeftSemi" in plan
