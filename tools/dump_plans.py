@@ -78,6 +78,47 @@ AUDITED = {
         "bucket distribution directly, and the groupBy on the bucket "
         "key reuses it (machine-checked in tests/test_bucketing.py)."
     ),
+    "q10_returned_revenue": (
+        "Audit: both fact filters (o_orderdate window, l_returnflag) "
+        "appear as PushedFilters on their scans; the global top-20 is "
+        "TakeOrderedAndProject (per-partition heap + driver merge of "
+        "k rows per partition), never a full sort of the aggregate."
+    ),
+    "q19_disjunctive_join_predicate": (
+        "Audit: despite the 3-clause OR spanning both join sides, the "
+        "join stays a hash equi-join on p_partkey, and the per-side "
+        "halves of each clause (brand/size; quantity) are pushed to "
+        "their own scans as PushedFilters — no nested-loop fallback."
+    ),
+    "s_partitioned_prune": (
+        "Audit: the read scan carries PartitionFilters on "
+        "l_returnflag — directory-level pruning; only the R partition "
+        "is listed, the data files of the other flags are never "
+        "opened (machine-checked in tests/test_plans.py)."
+    ),
+    "a_rollup_grouping_sets": (
+        "Audit: Expand (3 grouping sets) sits BELOW the partial "
+        "HashAggregate, so subtotal tiers still map-side combine "
+        "before the single exchange; nation arrives broadcast."
+    ),
+    "text_repetition_filter": (
+        "Audit: ZERO exchanges — the per-document top-bigram count is "
+        "an in-row run-length fold over the sorted bigram array; the "
+        "whole query is scan -> project (machine-checked in "
+        "tests/test_plans.py)."
+    ),
+    "text_contamination_overlap": (
+        "Audit: the benchmark shingle set builds a BroadcastHashJoin "
+        "LeftSemi probe — the corpus-side shingles are filtered "
+        "without ever shuffling; only the two DISTINCTs exchange "
+        "(machine-checked in tests/test_plans.py)."
+    ),
+    "sim_embedding_quantize_int8": (
+        "Audit: one narrow pass — scan -> project with higher-order "
+        "functions only; no exchange, no UDF; the int8 codes and "
+        "error stats are computed inside whole-stage codegen's row "
+        "pipeline."
+    ),
 }
 
 
