@@ -20,10 +20,12 @@ Three registered queries:
    int64 arithmetic over ``floor(x*1e6)``-quantized components, so
    DuckDB reproduces the buckets bit-for-bit and then re-ranks with
    the same rounded exact cosine (the SimHash playbook, via a side
-   table). At 100 TB this replaces the corpus broadcast-scan with
-   a shuffle that touches only colliding buckets: rows shipped ~
-   24·N, pairs scored ~ N·(avg bucket load), never O(N·Q) for
-   large Q.
+   table). At 100 TB this replaces the corpus broadcast-scan with a
+   broadcast bucket probe: candidate generation is id-only (the
+   24·|Q| query bucket keys broadcast, the corpus's exploded keys
+   never shuffle), pair dedup ships two longs per collision, and the
+   vectors are fetched once afterwards — never O(N·Q) for large Q
+   and never an array-carrying 24·N shuffle.
 3. ``sim_embedding_near_dup`` — the embedding-cosine near-dup tier of
    the dedup suite: all pairs with cosine >= 0.45. Documented
    brute-force baseline (oracle-checked); the LSH variant above is
@@ -286,33 +288,44 @@ QUALIFY row_number() OVER (
     "top-k of the bucket candidates. Deterministic (engine-neutral "
     "integer hyperplanes + quantized int64 sign bits) and therefore "
     "oracle-checked despite being approximate-recall. The scale path: "
-    "no corpus broadcast, shuffle volume 24N (still linear), per-pair "
-    "work only on bucket collisions.",
+    "no corpus broadcast, id-only candidate generation via a "
+    "broadcast probe of the query bucket keys (the corpus's exploded "
+    "keys never shuffle; vectors are fetched once after the pair "
+    "dedup), per-pair work only on bucket collisions.",
 )
 def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidate generation is ID-ONLY: carrying the 64-double vectors
+    # through the exploded bucket join would shuffle 24x the corpus
+    # bytes (and again through the pair dedup). Instead the query
+    # side's 24·|Q| (band_key, query_id) rows broadcast — the corpus
+    # side's exploded keys never shuffle at all — the surviving pairs
+    # dedup as two bare longs, and the vectors are fetched ONCE
+    # afterwards (corpus side by equi-join, query side by broadcast).
     vecs = _vecs(spark, sf_dir)
-    with_bands = vecs.select("vec_id", "v", _band_keys_udf()(F.col("v")).alias("bands"))
-    exploded = with_bands.select(
-        "vec_id", "v", F.explode("bands").alias("band_key")
+    exploded = vecs.select(
+        "vec_id", F.explode(_band_keys_udf()(F.col("v"))).alias("band_key")
     )
-    q = exploded.filter(_query_filter()).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "band_key",
-    )
-    c = exploded.select(
-        F.col("vec_id").alias("match_id"), F.col("v").alias("cv"), "band_key"
+    q_keys = exploded.filter(_query_filter()).select(
+        F.col("vec_id").alias("query_id"), "band_key"
     )
     cand = (
-        q.join(c, "band_key")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "qv", "match_id", "cv")
+        exploded.join(F.broadcast(q_keys), "band_key")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("match_id"))
         .dropDuplicates(["query_id", "match_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "match_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    qv = vecs.filter(_query_filter()).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = vecs.select(F.col("vec_id").alias("match_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(cv, "match_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
