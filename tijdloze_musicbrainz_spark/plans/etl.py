@@ -490,3 +490,58 @@ def s8_snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         change.alias("change_type"),
         F.col("n.status").alias("new_status"),
     )
+
+
+_PORTABLE_FLAGSHIP = """
+WITH cand AS (
+  SELECT p.p_partkey, p.p_name, o.o_orderkey,
+         CAST(CAST(min(l.l_shipdate) AS DATE) AS STRING) AS first_ship_date,
+         year(o.o_orderdate) AS order_year,
+         (o.o_orderpriority = '1-URGENT') AS is_urgent,
+         o.o_orderstatus AS status
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_name, o.o_orderkey, year(o.o_orderdate),
+           o.o_orderpriority, o.o_orderstatus
+), scored AS (
+  SELECT p_partkey, p_name, o_orderkey, first_ship_date,
+         CASE WHEN is_urgent OR status = 'F' THEN order_year
+              ELSE order_year + 1 END AS year_value,
+         CASE WHEN is_urgent THEN 0 ELSE 1 END AS ref_priority,
+         CASE WHEN status = 'F' THEN 1 WHEN status = 'P' THEN 2
+              WHEN status = 'O' THEN 3 ELSE 4 END AS type_priority
+  FROM cand
+), ranked AS (
+  SELECT p_partkey, p_name, o_orderkey, first_ship_date,
+         year_value, ref_priority, type_priority,
+         row_number() OVER (
+           PARTITION BY p_partkey
+           ORDER BY year_value, ref_priority, type_priority, o_orderkey) AS rn
+  FROM scored
+)
+SELECT p_partkey, p_name, o_orderkey, first_ship_date,
+       year_value, ref_priority, type_priority
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "sql_api_flagship",
+    survey_ids=("S1", "J1", "A1", "A8", "F7", "O4"),
+    oracle=_PORTABLE_FLAGSHIP,
+    doc="The WHOLE flagship canonical-order query as ONE portable ANSI "
+    "string executed verbatim by BOTH engines (spark.sql over "
+    "registered views vs DuckDB) — a user of the reference who "
+    "writes SQL, not DataFrames, can run their biggest query "
+    "unchanged. The SQL form ranks with a row_number subquery "
+    "(portable) where the DataFrame flagship uses the min_by "
+    "aggregate; flagship_canonical_order remains the plan-of-record "
+    "for the argmin (map-side combinable), this entry proves the "
+    "front-end parity.",
+)
+def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views  # noqa: PLC0415
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "part"))
+    return spark.sql(_PORTABLE_FLAGSHIP)
