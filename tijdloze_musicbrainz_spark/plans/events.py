@@ -419,3 +419,61 @@ def events_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("delta_prev"),
     )
+
+
+@register(
+    "events_gap_fill",
+    survey_ids=(),
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(floor(epoch(min(ts)) / 3600) AS BIGINT) AS h0,
+         CAST(floor(epoch(max(ts)) / 3600) AS BIGINT) AS h1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+slots AS (
+  SELECT t.event_type, unnest(range(b.h0, b.h1 + 1)) AS h
+  FROM types t, bounds b
+),
+actual AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+  FROM events
+)
+SELECT s.event_type, s.h * 3600 AS hour_epoch
+FROM slots s
+WHERE NOT EXISTS (
+  SELECT 1 FROM actual a
+  WHERE a.event_type = s.event_type AND a.h = s.h
+)
+""",
+    doc="Time-series gap detection: build the dense (event_type x hour) "
+    "calendar between the corpus's min and max hour and anti-join the "
+    "observed slots — the missing-interval report a hypertable "
+    "monitor runs. The calendar is generated IN-ROW (sequence + "
+    "explode from a 1-row bounds aggregate crossed with the distinct "
+    "type dim — both broadcast), so the dense side costs zero "
+    "shuffle; the anti probe is a hash semi-join on (type, hour). "
+    "The same shape with a left join + coalesce(n, 0) is the "
+    "gap-FILL variant; the report form keeps the result bounded by "
+    "the gap count, not the calendar size.",
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    slots = (
+        types.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    actual = ev.select("event_type", hour.alias("h")).distinct()
+    return (
+        slots.join(actual, ["event_type", "h"], "left_anti")
+        .select("event_type", (F.col("h") * 3600).alias("hour_epoch"))
+    )
