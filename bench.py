@@ -37,6 +37,11 @@ HEADLINERS = [
     "j_skew_salted_join",
     "events_sessionize",
     "text_token_stats",
+    # r4 curation tier: the shuffle-free repetition fold, the broadcast
+    # contamination probe, and the one-pass int8 quantizer
+    "text_repetition_filter",
+    "text_contamination_overlap",
+    "sim_embedding_quantize_int8",
     # the composed dataset-generation DAG at data scale — the closest
     # analog to the reference's headline 8-hour job (BASELINE.md)
     "mb_pipeline_scale",

@@ -119,3 +119,21 @@ def test_simhash_segment_banding_is_pigeonhole_complete():
             segs_a = [(fp_a >> (16 * s)) & 0xFFFF for s in range(4)]
             segs_b = [(fp_b >> (16 * s)) & 0xFFFF for s in range(4)]
             assert any(x == y for x, y in zip(segs_a, segs_b))
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization guarantees: codes in [-127, 127]
+    and reconstruction error <= scale/2 = max_abs/254 (half a
+    quantization step, as q is round-half-up of x/scale). Checked
+    against the ACTUAL registered query output over the corpus."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    df = REGISTRY["sim_embedding_quantize_int8"].builder(spark, sf_dir)
+    bad = df.filter(
+        # 1.1e-6 absorbs the 6-digit output rounding of both columns
+        (F.col("max_recon_err") > F.col("scale_max_abs") / 254.0 + 1.1e-6)
+        | (F.col("q_l1") > 127 * 64)  # 64-dim, |q_i| <= 127
+    ).count()
+    assert bad == 0
