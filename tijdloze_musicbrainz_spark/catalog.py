@@ -141,10 +141,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst's parquet pushdown/pruning applies, but validate the field
     names against the registry to fail fast on drift.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    refuses to read natively: read it as long nanos and convert to a
-    microsecond timestamp — the exact truncation DuckDB applies when
-    it loads the same file, so both engines see identical instants."""
+    Timestamp normalization: the driver has shipped ``events.ts`` both
+    as parquet TIMESTAMP(NANOS) (rounds 1-3) and as naive
+    TIMESTAMP(MICROS) (round 4). Handle both: nanos are read as long
+    via the scoped legacy conf and truncated to microseconds — the
+    exact truncation DuckDB applies on the same file; naive micros
+    read as TIMESTAMP_NTZ and are cast to the session-tz TimestampType
+    declared in SCHEMAS (the session tz is pinned UTC in session.py,
+    so the wall-clock values are unchanged and both engines see
+    identical instants)."""
     if name == "events":
         # Scope the nanos-as-long override to this read: leaving it set
         # globally would make any LATER nanos-timestamp parquet read in
@@ -175,6 +180,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     spark.conf.set(key, prev)
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
+    # Naive parquet micros surface as TIMESTAMP_NTZ; align them to the
+    # registry's TimestampType (no-op on values under the UTC session
+    # tz) so downstream window/interval arithmetic and the DuckDB
+    # comparison see one consistent type across testdata vintages.
+    dtypes = dict(df.dtypes)
+    for field in SCHEMAS[name].fields:
+        if isinstance(field.dataType, T.TimestampType) and dtypes.get(field.name) == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     expected = {f.name for f in SCHEMAS[name].fields}
     got = set(df.columns)
     if not expected <= got:

@@ -459,20 +459,30 @@ WHERE NOT EXISTS (
     "the gap count, not the calendar size.",
 )
 def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
     ev = t(spark, sf_dir, "events")
     hour = (F.unix_timestamp("ts") / 3600).cast("long")
-    bounds = ev.agg(
-        F.min(hour).alias("h0"), F.max(hour).alias("h1")
-    )
-    types = ev.select("event_type").distinct()
-    slots = (
-        types.join(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
-        )
-    )
+    # One hash aggregate builds the observed (type, hour) slot set;
+    # the global calendar bounds come from an empty-partition window
+    # OVER THAT SLOT SET (min/max of a distinct-preserved column are
+    # unchanged), so there is no bounds join at all — a 1-row cross
+    # join would plan as a BroadcastNestedLoopJoin (Catalyst constant-
+    # folds any synthetic equi-key back to a cross). The single-
+    # partition window is bounded by |types| x |hours in range|
+    # (~1e7 rows for 100 types over a decade), not by the corpus.
     actual = ev.select("event_type", hour.alias("h")).distinct()
+    w = Window.partitionBy()
+    bounded = actual.groupBy("event_type").agg(
+        F.min("h").alias("th0"), F.max("h").alias("th1")
+    ).select(
+        "event_type",
+        F.min("th0").over(w).alias("h0"),
+        F.max("th1").over(w).alias("h1"),
+    )
+    slots = bounded.select(
+        "event_type", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
     return (
         slots.join(actual, ["event_type", "h"], "left_anti")
         .select("event_type", (F.col("h") * 3600).alias("hour_epoch"))

@@ -28,24 +28,52 @@ from pyspark.sql import types as T
 
 from ..plans.registry import register
 
-# Explicit source schema: ts arrives as long nanos (the parquet
-# physical type); converted to a micros timestamp in stream_events.
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Explicit source schema (streaming sources cannot infer). The driver
+# testdata has shipped events.ts both as TIMESTAMP(NANOS) (rounds 1-3)
+# and naive TIMESTAMP(MICROS) (round 4): probe the file's physical
+# type with one batch schema read, then declare ts accordingly —
+# long nanos truncated to micros under the legacy conf, or NTZ micros
+# cast to the session-tz timestamp (UTC session, so values unchanged).
+def _events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_raw_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
+    """Spark dtype of events.ts on a BARE batch read (no legacy conf):
+    'timestamp'/'timestamp_ntz' for the micros vintage, 'bigint' if the
+    legacy conf is already set session-wide, or 'nanos' when the bare
+    read refuses the TIMESTAMP(NANOS) physical type."""
+    try:
+        return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    except Exception:
+        return "nanos"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dtype = _events_raw_ts_dtype(spark, sf_dir)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        ts_type = (
+            T.TimestampNTZType() if dtype == "timestamp_ntz" else T.TimestampType()
+        )
+        raw = (
+            spark.readStream.schema(_events_stream_schema(ts_type))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # nanos vintage: stream the physical long and truncate to micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(T.LongType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
