@@ -610,3 +610,59 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(TOPK_BIGRAMS)
     )
+
+
+# -- leakage-safe dataset splitting ----------------------------------
+
+# Train/val/test boundaries in hash-percent space (out of 100).
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+_SPLIT_P = 2_147_483_647
+
+# Engine-neutral polynomial hash of the GROUP key (``source``): the
+# same positional-codepoint construction as the SimHash token base
+# (plans/dedup.py), so DuckDB reproduces every bucket exactly —
+# splitting must be differential-testable or a silent engine skew
+# contaminates eval sets. Weights are powers of 131 mod P; every
+# product is BIGINT * codepoint, far inside int64.
+_SOURCE_HASH = (
+    "("
+    + " + ".join(
+        f"{pow(131, i, _SPLIT_P)} * CAST(ascii(substr(source, {i + 1}, 1)) AS BIGINT)"
+        for i in range(10)
+    )
+    + f" + {pow(131, 10, _SPLIT_P)} * CAST(length(source) AS BIGINT)"
+    + f") % {_SPLIT_P}"
+)
+
+
+@register(
+    "corpus_split_train_val_test",
+    survey_ids=(),
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="Leakage-safe train/val/test assignment: the split is decided "
+    "by an engine-neutral hash of the GROUP key (source), not the "
+    "row, so every document from one source lands in the same split "
+    "— near-duplicates cluster within sources, and group-level "
+    "hashing keeps them out of the eval sets (row-level splitting is "
+    "the classic contamination bug). Deterministic (no rand(): task "
+    "retries, AQE re-plans and re-runs agree), pure map-side "
+    "scan+project with zero shuffles, and stable under corpus growth "
+    "— adding documents never moves an existing source between "
+    "splits, which row-count-based splitting cannot guarantee.",
+)
+def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(_SOURCE_HASH) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "source", split.alias("split"))
