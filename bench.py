@@ -77,6 +77,22 @@ def _recall_at_k(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _host_probe_sec() -> float:
+    """Best-of-3 timing of a fixed single-thread workload (~0.17 s on
+    this box idle). The box shows bursty multi-x CPU steal (firecracker
+    guest; measured r4): emitting the probe alongside the query
+    timings makes a contention-inflated round mechanically visible —
+    compare probe values across rounds before reading regressions."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        acc = 0
+        for i in range(2_500_000):
+            acc += i * i
+        best = min(best, time.monotonic() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -84,10 +100,29 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    probe_start = _host_probe_sec()
+    print(f"[bench] host probe (start): {probe_start}s", file=sys.stderr)
+
     from tijdloze_musicbrainz_spark.plans import REGISTRY
     from tijdloze_musicbrainz_spark.session import get_spark
 
     spark = get_spark("bench")
+
+    # Untimed warmup: pay the one-time session costs (file listing,
+    # whole-stage codegen compilation, Python worker spinup, Arrow
+    # serializer init) OUTSIDE any timed trial — the first timed query
+    # otherwise absorbs all of it (flagship measured 5.7 s cold vs
+    # 2.8 s warm on an idle box, r4).
+    try:
+        REGISTRY["q6_forecast_revenue"].builder(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        REGISTRY["sim_ann_lsh_bucketed"].builder(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] warmup FAILED: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         builder = REGISTRY[name].builder
@@ -99,8 +134,12 @@ def main() -> None:
         # earlier heavy queries). Keep adding trials until the bottom
         # stabilizes: stop once the two best agree within 20% (within
         # 50% for >=5 s queries, whose absolute noise is small), cap
-        # at 6. One failing query must not zero the whole bench (the
-        # round-1 lesson): record -1 and keep going.
+        # at 6 — but NEVER fewer than 3 trials: a 2-trial stop once
+        # locked in two contention-inflated runs of the same query
+        # (fuzzy 23 s benched vs 3.4 s solo, r4 measurement on a
+        # box with bursty 5-6x background load). One failing query
+        # must not zero the whole bench (the round-1 lesson): record
+        # -1 and keep going.
         try:
             trials: list[float] = []
             while True:
@@ -110,9 +149,11 @@ def main() -> None:
                 s = sorted(trials)
                 if len(trials) >= 6:
                     break
-                if len(trials) >= 2 and s[0] >= 5 and s[1] <= 1.5 * s[0]:
+                if len(trials) < 3:
+                    continue
+                if s[0] >= 5 and s[1] <= 1.5 * s[0]:
                     break
-                if len(trials) >= 3 and s[1] <= 1.2 * s[0]:
+                if s[1] <= 1.2 * s[0]:
                     break
             timings[name] = round(min(trials), 3)
         except Exception as exc:  # noqa: BLE001
@@ -150,6 +191,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ann_recall_at_5": recall,
+                "host_probe_sec": {"start": probe_start, "end": _host_probe_sec()},
                 "sf": sf,
             }
         )

@@ -21,6 +21,7 @@ ALLOWED_NESTED_LOOP = {
     "sim_embedding_near_dup",  # documented brute-force baseline
     "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
+    "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
 }
 
 

@@ -616,3 +616,85 @@ def sim_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_abs"), 6).alias("scale_max_abs"),
         F.round(recon_err, 6).alias("max_recon_err"),
     )
+
+
+# DuckDB twin of one Lloyd iteration: same every-50th-vector seeds and
+# rounded-cosine assignment as the IVF oracle, then per-dimension
+# means with DECIMAL(25,12)-exact accumulation so the new centroids
+# are bit-identical across engines (float summation order differs;
+# decimal addition is associative-exact — the money_sum playbook).
+_KMEANS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT v.vec_id, v.v, cents.cent_id
+  FROM v CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY round(list_cosine_similarity(v.v, cents.cv), 6) DESC,
+             cents.cent_id) <= 1
+),
+comp AS (
+  SELECT a.cent_id,
+         generate_subscripts(a.v, 1) - 1 AS pos,
+         CAST(unnest(a.v) AS DECIMAL(25,12)) AS x
+  FROM assigned a
+)
+SELECT cent_id, CAST(pos AS BIGINT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS centroid_component
+FROM comp
+GROUP BY cent_id, pos
+"""
+
+
+@register(
+    "ml_kmeans_lloyd_step",
+    survey_ids=(),
+    oracle=_KMEANS_ORACLE,
+    doc="One k-means Lloyd iteration over the embedding corpus — the "
+    "clustering building block of data-mixing / diversity curation at "
+    "100 TB. Deterministic seeds (every 50th vector, the IVF coarse "
+    "quantizer), nearest-centroid assignment via one broadcast of the "
+    "k x 64 centroid matrix against a single corpus pass (min_by-"
+    "style window on rounded cosine), then the centroid update as a "
+    "posexplode + (cent_id, dim) hash aggregate — 64N narrow rows "
+    "into a combinable shuffle, never a collect_list of vectors. "
+    "Component sums accumulate in DECIMAL(25,12) (associative-exact, "
+    "partition-order independent) so both engines produce identical "
+    "new centroids; iterate by feeding the output back as the next "
+    "seed table (each round is one job, lineage stays flat).",
+)
+def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cent_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    comp = assigned.select(
+        "cent_id", F.posexplode("v").alias("pos", "x")
+    ).select("cent_id", "pos", F.col("x").cast("decimal(25,12)").alias("x"))
+    return comp.groupBy("cent_id", "pos").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(
+            F.sum("x").cast("double") / F.count("*"), 6
+        ).alias("centroid_component"),
+    ).select(
+        "cent_id", F.col("pos").cast("long").alias("pos"),
+        "n_members", "centroid_component",
+    )

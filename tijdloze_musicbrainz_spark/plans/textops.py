@@ -666,3 +666,60 @@ def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
     )
     return docs.select("doc_id", "source", split.alias("split"))
+
+
+# -- training-shard assignment by token budget -----------------------
+
+SHARD_TOKEN_BUDGET = 2_000  # whitespace tokens per output shard
+
+
+@register(
+    "corpus_shard_by_token_budget",
+    survey_ids=(),
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM sized
+)
+SELECT doc_id, source, n_tok,
+       CAST(floor((cum_tok - 1) / {SHARD_TOKEN_BUDGET}) AS BIGINT)
+         AS shard_in_source
+FROM packed
+""",
+    doc="Training-shard assignment: documents are packed into output "
+    "shards of ~SHARD_TOKEN_BUDGET whitespace tokens via a running "
+    "token total in deterministic (doc_id) order, PER SOURCE — the "
+    "writer-sharding step before a training job reads fixed-size "
+    "files. The cumulative sum windows WITHIN each source partition "
+    "(never a global single-partition window: source is the "
+    "parallelism unit, so a 1000-executor run scales with the number "
+    "of sources while each shard stays reproducible under retries). "
+    "(cum_tok - 1) // budget makes a doc that exactly closes a "
+    "budget stay in the current shard in both engines.",
+)
+def corpus_shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - 1) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_in_source"),
+    )
