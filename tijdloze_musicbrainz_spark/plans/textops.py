@@ -723,3 +723,145 @@ def corpus_shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard_in_source"),
     )
+
+
+# -- the full training-dataset materialization, composed -------------
+
+
+@register(
+    "corpus_training_dataset_e2e",
+    survey_ids=(),
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         string_split(text, ' ') AS ws
+  FROM documents
+),
+quality AS (
+  SELECT * FROM base
+  WHERE n >= 100 AND n <= 20000 AND CAST(n_punct AS DOUBLE) / n < 0.1
+),
+exact_canon AS (
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY lower(trim(text))
+),
+survivors AS (
+  SELECT q.* FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id
+),
+sh AS (
+  SELECT doc_id, source, n_tok,
+         array_to_string(list_slice(ws, 1, 5), ' ') AS blk,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws)-2, 1)+1),
+           i -> array_to_string(list_slice(ws, i, i+2), ' '))) AS sgs
+  FROM survivors
+),
+near_dup_losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
+        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.9
+),
+clean AS (
+  SELECT s.doc_id, s.source, s.n_tok
+  FROM sh s LEFT JOIN near_dup_losers l ON s.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+),
+split_assigned AS (
+  SELECT doc_id, source, n_tok,
+         CASE WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM clean
+),
+sharded AS (
+  SELECT split, source, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - 1)
+                    / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_in_source
+  FROM split_assigned
+)
+SELECT split, source, shard_in_source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM sharded
+GROUP BY split, source, shard_in_source
+""",
+    doc="The COMPLETE training-dataset materialization as one Spark "
+    "DAG: quality gate -> exact dedup (first-writer-wins) -> blocked "
+    "near-dup removal -> leakage-safe split by group hash -> "
+    "token-budget shard assignment -> per (split, source, shard) "
+    "manifest (doc + token accounting). Composes the individually "
+    "oracle-checked tiers in the cost-correct order (cheap gates "
+    "shrink the corpus before the pairwise stage; the split hash and "
+    "shard window run on the cleaned remnant only). The output IS the "
+    "writer manifest: at 100 TB each (split, source, shard) row "
+    "becomes one output file of ~budget tokens, written with "
+    "partitionBy(split) so a training job reads its split by "
+    "partition pruning alone.",
+)
+def corpus_training_dataset_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from .dedup import jaccard, shingles_col, words_col  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    quality = docs.filter(
+        (n >= 100) & (n <= 20000) & (n_punct.cast("double") / n < 0.1)
+    ).select("doc_id", "source", "text", words_col().alias("ws"))
+
+    exact_canon = quality.groupBy(F.lower(F.trim(F.col("text"))).alias("k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality.join(exact_canon.select("doc_id"), "doc_id", "left_semi")
+
+    sh = survivors.select(
+        "doc_id",
+        "source",
+        F.size("ws").alias("n_tok"),
+        F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
+        shingles_col(F.col("ws")).alias("sgs"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jaccard(F.col("a.sgs"), F.col("b.sgs")) >= 0.9)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = sh.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tok"
+    )
+
+    bucket = F.expr(_SOURCE_HASH) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sharded = clean.select(
+        split.alias("split"),
+        "source",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - 1) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_in_source"),
+    )
+    return sharded.groupBy("split", "source", "shard_in_source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
