@@ -428,3 +428,62 @@ def streaming_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         F.round(F.sum("s"), 2).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "streaming_interval_join",
+    survey_ids=(),
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="Stream-stream interval join: click events joined to purchase "
+    "events of the same user within 30 minutes — the attribution "
+    "pattern. Both sides carry watermarks and the join condition "
+    "bounds event time in BOTH directions, so Spark derives a finite "
+    "state-retention horizon per side (state is evicted as the "
+    "watermark passes; an unbounded condition would pin every row "
+    "forever — the stream-stream OOM). Inner join in append mode, "
+    "drained with availableNow; checked against the identical batch "
+    "SQL, proving the streaming plan computes the batch answer.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("click_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").cast("long").alias("purchase_epoch"),
+    )
+    return run_stream_to_memory(out, output_mode="append")

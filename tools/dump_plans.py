@@ -60,6 +60,28 @@ AUDITED = {
         "partial/final count pair — per-partition top-k, driver merge, "
         "NO global sort of the vocabulary (machine-checked)."
     ),
+    "corpus_training_dataset_e2e": (
+        "Audit (r4b): the composed dataset build — dedup winners "
+        "arrive as BroadcastExchange'd LeftSemi probes (the canon set "
+        "is an aggregate of the gated corpus, small), the near-dup "
+        "pair stage joins only block-key collisions, the shard window "
+        "exchanges once on source (the parallelism unit), and the "
+        "final manifest aggregate is a partial/final HashAggregate "
+        "pair. The gated/shingled subtree is re-executed per join "
+        "branch (no common-subexpression elimination across joins) — "
+        "at 100 TB materialize it once (localCheckpoint / a staging "
+        "write, the simhash fingerprint playbook) before the pairwise "
+        "stage."
+    ),
+    "ml_kmeans_lloyd_step": (
+        "Audit (r4b): assignment is the allow-listed tiny-broadcast x "
+        "corpus scan (k x 64 centroid matrix vs one corpus pass, the "
+        "IVF shape); the centroid update shuffles 64N narrow "
+        "(cent_id, pos, decimal) rows into a combinable partial/final "
+        "aggregate pair — no collect_list of vectors anywhere; sums "
+        "are DECIMAL(25,12)-exact so the result is partition-order "
+        "independent."
+    ),
     "events_moving_frame": (
         "Audit: one Exchange on user_id + one in-partition Sort serve "
         "all three window expressions (bounded-frame sum, frame count, "
