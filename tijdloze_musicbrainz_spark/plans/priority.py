@@ -52,7 +52,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk_exact",
-    "sim_cosine_topk_pandas",
+    # (sim_cosine_topk_pandas moved to the tail in r4b: it shares its
+    # oracle with sim_cosine_topk_exact above, and the slot carries the
+    # composed training-dataset headline instead)
+    "corpus_training_dataset_e2e",
     "sim_embedding_near_dup",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
