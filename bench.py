@@ -42,6 +42,9 @@ HEADLINERS = [
     "text_repetition_filter",
     "text_contamination_overlap",
     "sim_embedding_quantize_int8",
+    # r4b dataset-assembly tier: the composed quality->dedup->near-dup
+    # ->split->shard manifest build
+    "corpus_training_dataset_e2e",
     # the composed dataset-generation DAG at data scale — the closest
     # analog to the reference's headline 8-hour job (BASELINE.md)
     "mb_pipeline_scale",
