@@ -215,7 +215,7 @@ quality AS (
   WHERE n >= 100 AND n <= 20000 AND CAST(n_punct AS DOUBLE) / n < 0.1
 ),
 exact_canon AS (
-  SELECT min(doc_id) AS doc_id FROM quality GROUP BY lower(trim(text))
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(lower(trim(text)))
 ),
 survivors AS (
   SELECT q.* FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id
@@ -261,9 +261,14 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n >= 100) & (n <= 20000) & (n_punct.cast("double") / n < 0.1)
     ).select("doc_id", "lang", "text", words_col().alias("ws"))
 
-    exact_canon = quality.groupBy(F.lower(F.trim(F.col("text"))).alias("k")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # group by the DIGEST of the normalized text, not the text: the
+    # dedup winner set needs only min(doc_id) per identical-text group,
+    # so the exchange ships 16-byte md5 keys instead of whole documents
+    # (at 100 TB the difference IS the shuffle; collision risk ~2^-64,
+    # and the DuckDB twin groups by the same md5 so parity holds)
+    exact_canon = quality.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("k")
+    ).agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_canon.select("doc_id"), "doc_id", "left_semi")
 
     sh = survivors.select(
@@ -745,7 +750,7 @@ quality AS (
   WHERE n >= 100 AND n <= 20000 AND CAST(n_punct AS DOUBLE) / n < 0.1
 ),
 exact_canon AS (
-  SELECT min(doc_id) AS doc_id FROM quality GROUP BY lower(trim(text))
+  SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(lower(trim(text)))
 ),
 survivors AS (
   SELECT q.* FROM quality q JOIN exact_canon e ON q.doc_id = e.doc_id
@@ -814,9 +819,14 @@ def corpus_training_dataset_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n >= 100) & (n <= 20000) & (n_punct.cast("double") / n < 0.1)
     ).select("doc_id", "source", "text", words_col().alias("ws"))
 
-    exact_canon = quality.groupBy(F.lower(F.trim(F.col("text"))).alias("k")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # group by the DIGEST of the normalized text, not the text: the
+    # dedup winner set needs only min(doc_id) per identical-text group,
+    # so the exchange ships 16-byte md5 keys instead of whole documents
+    # (at 100 TB the difference IS the shuffle; collision risk ~2^-64,
+    # and the DuckDB twin groups by the same md5 so parity holds)
+    exact_canon = quality.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("k")
+    ).agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_canon.select("doc_id"), "doc_id", "left_semi")
 
     sh = survivors.select(
