@@ -271,13 +271,19 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_canon.select("doc_id"), "doc_id", "left_semi")
 
+    # Materialize the gated+shingled table before the pair stage: it
+    # feeds THREE plan branches (both self-join sides + the anti probe)
+    # and Spark has no cross-join common-subexpression elimination, so
+    # un-checkpointed it would re-run the gate/dedup/shingle subtree
+    # per branch (the simhash fingerprint playbook; measured 2.0 s vs
+    # 2.5 s at sf0.1). At 100 TB this is a staging write.
     sh = survivors.select(
         "doc_id",
         "lang",
         F.size("ws").alias("n_tok"),
         F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
         shingles_col(F.col("ws")).alias("sgs"),
-    )
+    ).localCheckpoint()
     a = sh.alias("a")
     b = sh.alias("b")
     losers = (
@@ -829,13 +835,15 @@ def corpus_training_dataset_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("doc_id").alias("doc_id"))
     survivors = quality.join(exact_canon.select("doc_id"), "doc_id", "left_semi")
 
+    # same three-branch reuse as corpus_clean_pipeline: checkpoint the
+    # gated+shingled table once instead of recomputing it per branch
     sh = survivors.select(
         "doc_id",
         "source",
         F.size("ws").alias("n_tok"),
         F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
         shingles_col(F.col("ws")).alias("sgs"),
-    )
+    ).localCheckpoint()
     a = sh.alias("a")
     b = sh.alias("b")
     losers = (
