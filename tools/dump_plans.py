@@ -67,11 +67,12 @@ AUDITED = {
         "pair stage joins only block-key collisions, the shard window "
         "exchanges once on source (the parallelism unit), and the "
         "final manifest aggregate is a partial/final HashAggregate "
-        "pair. The gated/shingled subtree is re-executed per join "
-        "branch (no common-subexpression elimination across joins) — "
-        "at 100 TB materialize it once (localCheckpoint / a staging "
-        "write, the simhash fingerprint playbook) before the pairwise "
-        "stage."
+        "pair. The gated/shingled table is localCheckpoint'd once "
+        "(r4b) so the three consuming branches scan the materialized "
+        "rows instead of re-running the gate/dedup/shingle subtree "
+        "per branch — at 100 TB the equivalent is a staging write "
+        "before the pairwise stage; exact-dedup winners group by md5 "
+        "digest so that exchange ships 16-byte keys, not documents."
     ),
     "ml_kmeans_lloyd_step": (
         "Audit (r4b): assignment is the allow-listed tiny-broadcast x "
