@@ -1,0 +1,109 @@
+"""Properties of the dataset-assembly tier that the differential
+oracle can't express: split stability under corpus growth, shard
+packing invariants, and Lloyd-step conservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tijdloze_musicbrainz_spark.plans import REGISTRY
+from tijdloze_musicbrainz_spark.plans.textops import (
+    SHARD_TOKEN_BUDGET,
+    SPLIT_TRAIN_PCT,
+    SPLIT_VAL_PCT,
+)
+
+
+def test_split_stable_under_corpus_growth(spark, sf_dir):
+    """Adding documents must never move an EXISTING source between
+    splits — the group hash depends only on the source string, so the
+    assignment computed on any subset agrees with the full corpus."""
+    full = (
+        REGISTRY["corpus_split_train_val_test"]
+        .builder(spark, sf_dir)
+        .select("source", "split")
+        .distinct()
+        .collect()
+    )
+    full_map = {r["source"]: r["split"] for r in full}
+    # simulate the smaller, earlier corpus: first half of doc ids
+    import tijdloze_musicbrainz_spark.plans.textops as textops
+
+    docs = textops.t(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    half = docs.filter(F.col("doc_id") <= max_id // 2)
+    half.createOrReplaceTempView("__half_docs")
+    bucket = F.expr(textops._SOURCE_HASH) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    half_map = {
+        r["source"]: r["split"]
+        for r in half.select("source", split.alias("split")).distinct().collect()
+    }
+    for source, sp in half_map.items():
+        assert full_map[source] == sp, (source, sp, full_map[source])
+
+
+def test_split_percentages_sum(spark, sf_dir):
+    rows = (
+        REGISTRY["corpus_split_train_val_test"]
+        .builder(spark, sf_dir)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r["split"]: r["count"] for r in rows}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts.get("train", 0) > 0  # 80% band can't be empty
+
+
+def test_shard_packing_invariants(spark, sf_dir):
+    """Within a source: shard ids start at 0, are contiguous, and every
+    shard except the last holds >= budget tokens while no shard except
+    via a single oversized doc exceeds budget + max doc size."""
+    df = REGISTRY["corpus_shard_by_token_budget"].builder(spark, sf_dir)
+    rows = df.orderBy("source", "doc_id").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        shards: dict[int, int] = {}
+        max_doc = max(r["n_tok"] for r in docs)
+        # shard id non-decreasing in doc_id order
+        ids = [r["shard_in_source"] for r in docs]
+        assert ids == sorted(ids), source
+        for r in docs:
+            shards[r["shard_in_source"]] = (
+                shards.get(r["shard_in_source"], 0) + r["n_tok"]
+            )
+        assert min(shards) == 0, source
+        assert sorted(shards) == list(range(len(shards))), source
+        last = max(shards)
+        for sid, tok in shards.items():
+            if sid != last:
+                # a shard closes only once the running total crosses
+                # its budget boundary
+                assert tok + max_doc >= SHARD_TOKEN_BUDGET, (source, sid, tok)
+            assert tok <= SHARD_TOKEN_BUDGET + max_doc, (source, sid, tok)
+
+
+def test_kmeans_lloyd_conservation(spark, sf_dir):
+    """Every vector lands in exactly one cluster: per-centroid member
+    counts are constant across the 64 dimensions and sum to the corpus
+    size; components stay inside [-1, 1] bounds of the input space."""
+    df = REGISTRY["ml_kmeans_lloyd_step"].builder(spark, sf_dir)
+    rows = df.collect()
+    from tijdloze_musicbrainz_spark.plans.util import t as load
+
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    by_cent: dict[int, set] = {}
+    for r in rows:
+        by_cent.setdefault(r["cent_id"], set()).add(r["n_members"])
+    assert all(len(s) == 1 for s in by_cent.values())
+    assert sum(next(iter(s)) for s in by_cent.values()) == n_vecs
+    lo = min(r["centroid_component"] for r in rows)
+    hi = max(r["centroid_component"] for r in rows)
+    assert -1.0 <= lo <= hi <= 1.0
