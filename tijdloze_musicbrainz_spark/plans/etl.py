@@ -545,3 +545,72 @@ def sql_api_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "orders", "part"))
     return spark.sql(_PORTABLE_FLAGSHIP)
+
+
+N_CORRUPT_LINES = 3
+
+
+@register(
+    "s_corrupt_json_tolerant",
+    survey_ids=(),
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT) AS n_good,
+       CAST({N_CORRUPT_LINES} AS BIGINT) AS n_corrupt,
+       CAST(sum(event_id) AS BIGINT) AS good_id_sum
+FROM events WHERE event_type = 'click'
+""",
+    doc="Corrupt-record-tolerant semi-structured ingest: the click "
+    "events are serialized to JSON lines, a file of known-garbage "
+    "lines is planted next to them, and the read-back uses PERMISSIVE "
+    "mode with an explicit _corrupt_record column — bad rows surface "
+    "as data instead of killing the job, which is the only viable "
+    "contract at 100 TB where some corrupt input is a certainty, and "
+    "the quarantined column is what you route to a dead-letter sink. "
+    "The result proves the accounting: every good row parsed (count + "
+    "id checksum vs the parquet source) and every garbage line "
+    "counted. The bounded .cache() exists because Spark disallows "
+    "queries that project ONLY the corrupt-record column from a raw "
+    "JSON scan (SPARK-21610); it pins the parsed batch so the "
+    "good/corrupt split is computed from one parse.",
+)
+def s_corrupt_json_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from .util import epoch  # noqa: PLC0415
+
+    path = f"{SINK_ROOT}/s_corrupt_json"
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", epoch("ts").alias("ts_epoch"))
+    )
+    ev.write.mode("overwrite").json(path)
+    with open(os.path.join(path, "part-corrupt.json"), "w") as fh:
+        for i in range(N_CORRUPT_LINES):
+            fh.write(f"this is not json line {i} {{{{\n")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts_epoch", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_good"),
+        F.count(F.col("_corrupt_record")).cast("long").alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("event_id")))
+        .cast("long")
+        .alias("good_id_sum"),
+    )
