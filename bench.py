@@ -116,15 +116,15 @@ def main() -> None:
     # serializer init) OUTSIDE any timed trial — the first timed query
     # otherwise absorbs all of it (flagship measured 5.7 s cold vs
     # 2.8 s warm on an idle box, r4).
-    try:
-        REGISTRY["q6_forecast_revenue"].builder(spark, sf_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        REGISTRY["sim_ann_lsh_bucketed"].builder(spark, sf_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-    except Exception as exc:  # noqa: BLE001
-        print(f"[bench] warmup FAILED: {exc}", file=sys.stderr)
+    for warm_name in ("q6_forecast_revenue", "sim_ann_lsh_bucketed"):
+        try:
+            REGISTRY[warm_name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001
+            # per-warmup isolation: a JVM-tier failure must not also
+            # skip the Python-worker/Arrow warmup (or vice versa)
+            print(f"[bench] warmup {warm_name} FAILED: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:

@@ -32,8 +32,7 @@ def test_split_stable_under_corpus_growth(spark, sf_dir):
     docs = textops.t(spark, sf_dir, "documents")
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     half = docs.filter(F.col("doc_id") <= max_id // 2)
-    half.createOrReplaceTempView("__half_docs")
-    bucket = F.expr(textops._SOURCE_HASH) % 100
+    bucket = F.expr(textops._SOURCE_HASH_SPARK) % 100
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_VAL_PCT, "val")
@@ -79,11 +78,15 @@ def test_shard_packing_invariants(spark, sf_dir):
             shards[r["shard_in_source"]] = (
                 shards.get(r["shard_in_source"], 0) + r["n_tok"]
             )
-        assert min(shards) == 0, source
-        assert sorted(shards) == list(range(len(shards))), source
+        if max_doc <= SHARD_TOKEN_BUDGET:
+            # contiguity holds only when no single doc overshoots a
+            # whole budget (an oversized doc legitimately skips ids:
+            # floor((cum-1)/budget) jumps by more than one)
+            assert min(shards) == 0, source
+            assert sorted(shards) == list(range(len(shards))), source
         last = max(shards)
         for sid, tok in shards.items():
-            if sid != last:
+            if sid != last and max_doc <= SHARD_TOKEN_BUDGET:
                 # a shard closes only once the running total crosses
                 # its budget boundary
                 assert tok + max_doc >= SHARD_TOKEN_BUDGET, (source, sid, tok)

@@ -574,8 +574,6 @@ FROM events WHERE event_type = 'click'
     "good/corrupt split is computed from one parse.",
 )
 def s_corrupt_json_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os  # noqa: PLC0415
-
     from pyspark.sql import types as T  # noqa: PLC0415
 
     from .util import epoch  # noqa: PLC0415
@@ -605,7 +603,7 @@ def s_corrupt_json_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(path)
         .cache()
     )
-    return back.agg(
+    agg = back.agg(
         F.count(F.when(F.col("_corrupt_record").isNull(), 1))
         .cast("long")
         .alias("n_good"),
@@ -614,3 +612,9 @@ def s_corrupt_json_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("good_id_sum"),
     )
+    # materialize the 1-row accounting while the cache is alive, then
+    # release it — a builder-held cache would otherwise pin executor
+    # storage for the whole session per invocation
+    rows = agg.collect()
+    back.unpersist()
+    return spark.createDataFrame(rows, agg.schema)

@@ -628,23 +628,18 @@ def text_bigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Train/val/test boundaries in hash-percent space (out of 100).
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 90
-_SPLIT_P = 2_147_483_647
-
-# Engine-neutral polynomial hash of the GROUP key (``source``): the
-# same positional-codepoint construction as the SimHash token base
-# (plans/dedup.py), so DuckDB reproduces every bucket exactly —
-# splitting must be differential-testable or a silent engine skew
-# contaminates eval sets. Weights are powers of 131 mod P; every
-# product is BIGINT * codepoint, far inside int64.
-_SOURCE_HASH = (
-    "("
-    + " + ".join(
-        f"{pow(131, i, _SPLIT_P)} * CAST(ascii(substr(source, {i + 1}, 1)) AS BIGINT)"
-        for i in range(10)
-    )
-    + f" + {pow(131, 10, _SPLIT_P)} * CAST(length(source) AS BIGINT)"
-    + f") % {_SPLIT_P}"
-)
+# Engine-neutral FULL-STRING hash of the GROUP key (``source``):
+# the first 8 hex chars of md5, decoded to an integer — splitting must
+# be differential-testable or a silent engine skew contaminates eval
+# sets. md5 covers the whole string (a positional-codepoint sample
+# like the SimHash token base would deterministically collide
+# same-prefix same-length source families, e.g. 'crawl-2024' vs
+# 'crawl-2025' with the version past the sampled window, skewing the
+# 80/10/10 bands arbitrarily). Spark decodes the prefix with conv();
+# DuckDB lacks conv but casts '0x'-prefixed hex literals directly —
+# parity is pinned by the differential oracle on every run.
+_SOURCE_HASH_SPARK = "CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT)"
+_SOURCE_HASH_SQL = "CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)"
 
 
 @register(
@@ -652,8 +647,8 @@ _SOURCE_HASH = (
     survey_ids=(),
     oracle=f"""
 SELECT doc_id, source,
-       CASE WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
-            WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+       CASE WHEN ({_SOURCE_HASH_SQL}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN ({_SOURCE_HASH_SQL}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """,
@@ -670,7 +665,7 @@ FROM documents
 )
 def corpus_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    bucket = F.expr(_SOURCE_HASH) % 100
+    bucket = F.expr(_SOURCE_HASH_SPARK) % 100
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_VAL_PCT, "val")
@@ -782,8 +777,8 @@ clean AS (
 ),
 split_assigned AS (
   SELECT doc_id, source, n_tok,
-         CASE WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
-              WHEN ({_SOURCE_HASH}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
+         CASE WHEN ({_SOURCE_HASH_SQL}) % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ({_SOURCE_HASH_SQL}) % 100 < {SPLIT_VAL_PCT} THEN 'val'
               ELSE 'test' END AS split
   FROM clean
 ),
@@ -860,7 +855,7 @@ def corpus_training_dataset_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tok"
     )
 
-    bucket = F.expr(_SOURCE_HASH) % 100
+    bucket = F.expr(_SOURCE_HASH_SPARK) % 100
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_VAL_PCT, "val")

@@ -51,11 +51,18 @@ def _events_raw_ts_dtype(spark: SparkSession, sf_dir: str) -> str:
     """Spark dtype of events.ts on a BARE batch read (no legacy conf):
     'timestamp'/'timestamp_ntz' for the micros vintage, 'bigint' if the
     legacy conf is already set session-wide, or 'nanos' when the bare
-    read refuses the TIMESTAMP(NANOS) physical type."""
+    read refuses the TIMESTAMP(NANOS) physical type. Only the specific
+    nanos refusal is treated as the nanos signal — any other probe
+    failure (missing path, permissions, corrupt footer) re-raises, so
+    a broken source cannot silently flip the session-global legacy
+    conf in stream_events."""
     try:
         return dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
-    except Exception:
-        return "nanos"
+    except Exception as exc:
+        msg = str(exc)
+        if "NANOS" in msg or "Illegal Parquet type" in msg:
+            return "nanos"
+        raise
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
