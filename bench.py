@@ -77,6 +77,18 @@ def _recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ("ivf", "sim_ann_ivf_bucketed"),
     ]:
         out[short] = round(len(exact & pairs(name)) / len(exact), 4)
+
+    def dup_pairs(name):
+        return {
+            (r["vec_a"], r["vec_b"])
+            for r in REGISTRY[name].builder(spark, sf_dir).collect()
+        }
+
+    brute = dup_pairs("sim_embedding_near_dup")
+    if brute:
+        out["near_dup_lsh"] = round(
+            len(brute & dup_pairs("sim_near_dup_lsh_bucketed")) / len(brute), 4
+        )
     return out
 
 

@@ -698,3 +698,94 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id", F.col("pos").cast("long").alias("pos"),
         "n_members", "centroid_component",
     )
+
+
+NEAR_DUP_THRESHOLD = 0.45
+
+# DuckDB twin of the LSH near-dup plan: identical bucket construction
+# to _LSH_ORACLE (shared planes fixture, exact int64 sign bits), but
+# ALL-PAIRS within buckets (a < b, no query-set restriction), verified
+# by exact rounded cosine against the threshold. Deterministic given
+# the seeded planes, so approximate-RECALL yet hash-checkable.
+_LSH_NEAR_DUP_ORACLE = f"""
+WITH pw AS (
+  SELECT p, w FROM read_parquet('{PLANES_FIXTURE}')
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+bits AS (
+  SELECT v.vec_id,
+         pw.p // {BITS_PER_BAND} AS band,
+         pw.p % {BITS_PER_BAND} AS bit,
+         CASE WHEN list_sum(list_transform(list_zip(v.iv, pw.w),
+                                           z -> z[1] * z[2])) > 0
+              THEN 1 ELSE 0 END AS b
+  FROM v, pw
+),
+keys AS (
+  SELECT vec_id, band * 256 + sum(CAST(b AS BIGINT) * (1 << bit)) AS band_key
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b USING (band_key)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cand.vec_a, cand.vec_b,
+       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM cand
+JOIN v x ON x.vec_id = cand.vec_a
+JOIN v y ON y.vec_id = cand.vec_b
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "sim_near_dup_lsh_bucketed",
+    survey_ids=(),
+    oracle=_LSH_NEAR_DUP_ORACLE,
+    doc="The SCALE PATH for embedding near-dup (the brute-force "
+    "sim_embedding_near_dup is the O(N^2) oracle baseline, size-"
+    "guarded): candidate pairs are generated ONLY within sign-LSH "
+    "band buckets — id-only through the bucket self-join (two bare "
+    "longs per collision, the corpus's exploded band keys shuffle "
+    "once, vectors are fetched after the pair dedup) — then verified "
+    "with exact rounded cosine against the 0.45 threshold. "
+    "Deterministic seeded hyperplanes make the approximate-recall "
+    "plan hash-checkable (the shared planes-fixture playbook); at "
+    "24x4 bands a cosine>=0.45 pair collides in >=1 band with "
+    "probability ~0.97, and the miss set is a recall property, not "
+    "an engine skew — both engines see the identical pair set.",
+)
+def sim_near_dup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    exploded = vecs.select(
+        "vec_id", F.explode(_band_keys_udf()(F.col("v"))).alias("band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("xa"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("xb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("xa"), F.col("xb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
+    )
