@@ -2,6 +2,7 @@ from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map, register
 
 # Import for side effects: each module registers its QuerySpecs.
 from . import relational  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 from . import analytic  # noqa: E402,F401
 from . import fuzzy  # noqa: E402,F401
 from . import events  # noqa: E402,F401
