@@ -22,6 +22,14 @@ ALLOWED_NESTED_LOOP = {
     "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
+    # Scalar-threshold joins: a ONE-ROW aggregate broadcast against the
+    # fact side with an inequality filter (TPC-H q11/q22 shape). The
+    # nested-loop side is a single row by construction (global agg), so
+    # the "loop" is one comparison per fact row — the plan you'd want
+    # at any scale. (q15's same-shaped scalar MAX collapses to a
+    # BroadcastHashJoin because its filter is an equality.)
+    "q11_important_stock",
+    "q22_global_sales_opportunity",
 }
 
 
@@ -186,6 +194,25 @@ def test_repetition_filter_is_shuffle_free(plans):
     corpus token."""
     plan = plans["text_repetition_filter"]
     assert "Exchange" not in plan, "text_repetition_filter shuffles"
+
+
+def test_q2_dims_all_broadcast(plans):
+    # q2's supplier/nation/region/part sides are all dims: every join
+    # after the per-(part,supplier) aggregate except the min-cost
+    # self-join must be broadcast, and the only shuffles are the two
+    # aggregates plus that self-join.
+    plan = plans["q2_min_cost_supplier"]
+    assert plan.count("BroadcastExchange") >= 3, plan
+    pf = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("p_size" in line for line in pf), pf
+
+
+def test_q21_status_filter_reaches_scan(plans):
+    # The o_orderstatus = 'F' predicate must be pushed into the orders
+    # parquet scan, not evaluated post-join.
+    plan = plans["q21_waiting_supplier"]
+    pf = [line for line in plan.splitlines() if "PushedFilters" in line]
+    assert any("o_orderstatus" in line for line in pf), pf
 
 
 def test_contamination_probes_via_broadcast_semi(plans):
