@@ -267,3 +267,119 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+# Structured-PII patterns for the masking pass. The alternation-free
+# per-category patterns below parse identically in Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, \b word
+# boundaries — no lookaround, no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "text_pii_mask",
+    survey_ids=(),
+    oracle=f"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+), masked AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phone,
+         len(regexp_extract_all(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}')) AS n_ip,
+         length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g')) AS masked_len
+  FROM aug
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS emails_masked,
+       CAST(sum(n_phone) AS BIGINT) AS phones_masked,
+       CAST(sum(n_ip) AS BIGINT) AS ips_masked,
+       CAST(sum(masked_len) AS BIGINT) AS masked_chars
+FROM masked
+GROUP BY source
+""",
+    doc="Structured-PII masking (emails, phone numbers, IPv4) — the "
+    "scrubbing pass a shipped corpus runs after the dictionary "
+    "denylist. The synthetic corpus carries no real PII, so the query "
+    "first augments each document with doc_id-derived PII "
+    "deterministically on BOTH engines, then masks; the per-source "
+    "match counts plus the masked-length checksum verify the actual "
+    "rewritten text. Pure JVM regexp narrow ops — no UDF, no shuffle "
+    "before the final per-source rollup. IP counting happens after "
+    "email masking on both engines (an address inside an email host "
+    "would otherwise double-count).",
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), s(did), F.lit("@mail.example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(s(did % 1000), 3, "0"),
+                F.lit("-"),
+                F.lpad(s((did * 7) % 10000), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                s(did % 256),
+                F.lit("."),
+                s((did * 3) % 256),
+                F.lit("."),
+                s((did * 5) % 256),
+            ),
+        ).otherwise(""),
+    )
+    email_masked = F.regexp_replace(aug, PII_EMAIL, "<EMAIL>")
+    fully_masked = F.regexp_replace(
+        F.regexp_replace(email_masked, PII_PHONE, "<PHONE>"), PII_IPV4, "<IP>"
+    )
+    masked = docs.select(
+        "source",
+        F.regexp_count(aug, F.lit(PII_EMAIL)).alias("n_email"),
+        F.regexp_count(aug, F.lit(PII_PHONE)).alias("n_phone"),
+        F.regexp_count(email_masked, F.lit(PII_IPV4)).alias("n_ip"),
+        F.length(fully_masked).alias("masked_len"),
+    )
+    return masked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("long").alias("emails_masked"),
+        F.sum("n_phone").cast("long").alias("phones_masked"),
+        F.sum("n_ip").cast("long").alias("ips_masked"),
+        F.sum("masked_len").cast("long").alias("masked_chars"),
+    )
