@@ -878,3 +878,60 @@ def corpus_training_dataset_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+
+
+# Oversampling epochs for the domain-mixing pass: high-quality sources
+# are repeated, everything else passes through once. (The counterpart
+# of corpus_sample_stratified's DOWN-sampling: a real mixture spec
+# does both — e.g. Llama/GPT recipes repeat curated sources 2-5x.)
+UPSAMPLE_EPOCHS = {"src0": 3, "src7": 2, "src13": 4}
+
+
+@register(
+    "corpus_domain_upsample",
+    survey_ids=(),
+    oracle=f"""
+WITH spec AS (
+  SELECT source, n_chars,
+         CASE source
+              WHEN 'src0' THEN {UPSAMPLE_EPOCHS["src0"]}
+              WHEN 'src7' THEN {UPSAMPLE_EPOCHS["src7"]}
+              WHEN 'src13' THEN {UPSAMPLE_EPOCHS["src13"]}
+              ELSE 1 END AS epochs
+  FROM documents
+), expanded AS (
+  SELECT source, n_chars, unnest(range(1, epochs + 1)) AS epoch
+  FROM spec
+)
+SELECT source,
+       CAST(count(DISTINCT epoch) AS BIGINT) AS n_epochs,
+       CAST(count(*) AS BIGINT) AS n_rows_out,
+       CAST(sum(n_chars) AS BIGINT) AS chars_out
+FROM expanded
+GROUP BY source
+""",
+    doc="Domain up-sampling for mixture construction: selected sources "
+    "are repeated EPOCHS times via explode(sequence(1, epochs)) — row "
+    "multiplication, the dual of corpus_sample_stratified's "
+    "hash-filtered down-sampling. The epoch index rides along so a "
+    "downstream shuffler can vary document order per epoch. Narrow "
+    "map-side explode (no shuffle before the rollup); at 100 TB the "
+    "multiplication happens inside the scan stage and never "
+    "materializes the repeated corpus to a single node.",
+)
+def corpus_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    epochs = F.when(F.lit(False), F.lit(1))
+    for src, n in UPSAMPLE_EPOCHS.items():
+        epochs = epochs.when(F.col("source") == src, n)
+    epochs = epochs.otherwise(1)
+    expanded = docs.select(
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), epochs)).alias("epoch"),
+    )
+    return expanded.groupBy("source").agg(
+        F.countDistinct("epoch").cast("long").alias("n_epochs"),
+        F.count("*").alias("n_rows_out"),
+        F.sum("n_chars").cast("long").alias("chars_out"),
+    )
