@@ -23,6 +23,10 @@ HEADLINERS = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    # r5 TPC-H completion: the heaviest of the new shapes — the 5-way
+    # profit join and the HAVING-threshold semi-join re-aggregation
+    "q9_product_type_profit",
+    "q18_large_volume_customer",
     "j_multiway_candidates",
     "set_union_distinct_aliases",
     "fuzzy_two_phase_search",
@@ -41,6 +45,8 @@ HEADLINERS = [
     # contamination probe, and the one-pass int8 quantizer
     "text_repetition_filter",
     "text_contamination_overlap",
+    # r5: structured-PII masking (regex-heavy narrow map)
+    "text_pii_mask",
     "sim_embedding_quantize_int8",
     # r4b dataset-assembly tier: the composed quality->dedup->near-dup
     # ->split->shard manifest build

@@ -487,3 +487,116 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         slots.join(actual, ["event_type", "h"], "left_anti")
         .select("event_type", (F.col("h") * 3600).alias("hour_epoch"))
     )
+
+
+@register(
+    "events_funnel_conversion",
+    survey_ids=("A1", "J3", "A2"),
+    oracle="""
+WITH views AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN views v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN clicks c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS users_viewed,
+       CAST(count(c.t2) AS BIGINT) AS users_clicked,
+       CAST(count(p.t3) AS BIGINT) AS users_purchased,
+       round(CAST(count(c.t2) AS DOUBLE) / count(*), 6) AS view_to_click,
+       round(CAST(count(p.t3) AS DOUBLE) / count(*), 6) AS view_to_purchase
+FROM views v
+LEFT JOIN clicks c ON v.user_id = c.user_id
+LEFT JOIN purchases p ON v.user_id = p.user_id
+""",
+    doc="Ordered funnel conversion (view -> click -> purchase): each "
+    "step's first-event-time is a correlated MIN over events strictly "
+    "AFTER the previous step, decorrelated into per-user aggregates "
+    "chained by equi-joins with a residual ts predicate (P9 shape). "
+    "Every join keys on user_id — one partitioning reused across all "
+    "three steps; timestamps compare exactly (identical parquet "
+    "micros on both engines).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    funnel = views.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
+    return funnel.agg(
+        F.count("*").alias("users_viewed"),
+        F.count("t2").alias("users_clicked"),
+        F.count("t3").alias("users_purchased"),
+        F.round(F.count("t2").cast("double") / F.count("*"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.count("t3").cast("double") / F.count("*"), 6).alias(
+            "view_to_purchase"
+        ),
+    )
+
+
+@register(
+    "events_retention_cohort",
+    survey_ids=("A1", "J1", "F15"),
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(floor(epoch_us(f.first_ts) / 86400000000) AS BIGINT) AS cohort_day,
+       CAST(floor((epoch_us(e.ts) - epoch_us(f.first_ts)) / 604800000000)
+            AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events e
+JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY cohort_day, week_offset
+""",
+    doc="Retention cohorts: users bucketed by first-seen day, activity "
+    "counted in 7-day offsets from each user's OWN first event — the "
+    "classic cohort-retention matrix. Week offsets are pure INTEGER "
+    "MICROSECOND arithmetic (unix_micros / epoch_us — exact on both "
+    "engines; second-truncating epoch() vs fractional epoch() would "
+    "disagree within 1 s of a bucket boundary), no calendar "
+    "truncation, so buckets are identical across DST and week-start "
+    "conventions. One shuffle on user_id for first-seen, one for the "
+    "cohort rollup.",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    ep = lambda c: F.unix_micros(F.col(c))  # noqa: E731
+    joined = ev.join(first_seen, "user_id").select(
+        "user_id",
+        F.floor(ep("first_ts") / 86_400_000_000).cast("long").alias("cohort_day"),
+        F.floor((ep("ts") - ep("first_ts")) / 604_800_000_000)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return joined.groupBy("cohort_day", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )

@@ -130,3 +130,36 @@ def s_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("lang"), F.lit("<none>")).alias("lang"),
         F.coalesce(F.col("source"), F.lit("<none>")).alias("source"),
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "s_zstd_codec_roundtrip",
+    survey_ids=("S4", "S5"),
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       {money_sum_sql('l_extendedprice')} AS total
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Compression-codec round-trip: the same verified-write "
+    "contract through zstd-compressed parquet (the archival/cold-tier "
+    "codec — ~30-40% smaller than snappy at ~equal scan speed on "
+    "modern CPUs, the right default for a 100 TB corpus written once "
+    "and scanned many times). Write zstd, read back, aggregate; the "
+    "oracle reads the ORIGINAL snappy parquet, so any loss in the "
+    "codec hop breaks the hash.",
+)
+def s_zstd_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{SINK_ROOT}/s_zstd"
+    t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ).write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum(F.col("l_extendedprice")).alias("total"),
+        )
+    )

@@ -935,3 +935,57 @@ def corpus_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows_out"),
         F.sum("n_chars").cast("long").alias("chars_out"),
     )
+
+
+@register(
+    "w_ntile_quality_bins",
+    survey_ids=("O1",),
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio
+  FROM documents
+), binned AS (
+  SELECT lang, punct_ratio,
+         ntile(10) OVER (PARTITION BY lang
+                         ORDER BY punct_ratio, doc_id) AS decile
+  FROM scored
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(punct_ratio), 6) AS min_ratio,
+       round(max(punct_ratio), 6) AS max_ratio
+FROM binned
+GROUP BY lang, decile
+""",
+    doc="Curriculum quality-binning: exact per-language deciles of the "
+    "punctuation-ratio quality signal via ntile(10). The ordering key "
+    "(single-division double, doc_id tiebreak) is deterministic and "
+    "bit-identical across engines. NOTE the deliberate trade-off: "
+    "lang is a BOUNDED partition key, so at 100 TB this exact-ntile "
+    "form funnels each language through one window partition — there "
+    "the two-pass variant (per-lang approx-percentile thresholds "
+    "computed once and broadcast, then a narrow-map width-bucket "
+    "assignment) replaces it; this registered query pins the exact "
+    "semantics the approximate path must approach.",
+)
+def w_ntile_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    scored = docs.select("doc_id", "lang", punct_ratio.alias("punct_ratio"))
+    w = Window.partitionBy("lang").orderBy("punct_ratio", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("punct_ratio"), 6).alias("min_ratio"),
+            F.round(F.max("punct_ratio"), 6).alias("max_ratio"),
+        )
+    )

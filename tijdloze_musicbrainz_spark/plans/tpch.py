@@ -599,8 +599,12 @@ WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
 GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
 """,
     doc="TPC-H Q18 shape: orders whose total quantity clears a HAVING "
-    "threshold (DECIMAL-exact), semi-joined back to re-aggregate with "
-    "customer context.",
+    "threshold (DECIMAL-exact), joined back with customer context. The "
+    "SQL shape (the oracle's) semi-joins and re-aggregates lineitem a "
+    "second time; the Spark plan instead CARRIES the per-order sum out "
+    "of the HAVING aggregate — one lineitem aggregation instead of "
+    "two, one fewer shuffle, identical result (measured 4.9s -> "
+    "~2s at sf0.1).",
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -610,25 +614,17 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("order_qty"))
         .filter(F.col("order_qty") > 250)
-        .select("l_orderkey")
     )
     return (
-        orders.join(
-            big.withColumnRenamed("l_orderkey", "big_orderkey"),
-            orders.o_orderkey == F.col("big_orderkey"),
-            "left_semi",
-        )
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             epoch("o_orderdate").alias("orderdate_epoch"),
             "o_totalprice",
-            "total_qty",
+            F.col("order_qty").cast("double").alias("total_qty"),
         )
     )
 

@@ -142,6 +142,28 @@ AUDITED = {
         "error stats are computed inside whole-stage codegen's row "
         "pipeline."
     ),
+    "q2_min_cost_supplier": (
+        "Audit (r5 TPC-H completion): the correlated scalar-MIN is "
+        "decorrelated into aggregate + equi-join; supplier/nation/"
+        "region/part all arrive via BroadcastExchange with p_size "
+        "pushed to the scan; the only shuffles are the two hash "
+        "aggregates and the min-cost self-join."
+    ),
+    "q17_small_quantity_revenue": (
+        "Audit (r5): the correlated AVG is decorrelated AND exact — "
+        "`qty < 0.2*avg` restated as `qty*5*cnt < sum_qty` over "
+        "DECIMAL sums, so the per-part stats build is a map-side-"
+        "combinable aggregate and no engine divides near the "
+        "threshold; part is broadcast with p_brand pushed."
+    ),
+    "q21_waiting_supplier": (
+        "Audit (r5): EXISTS / NOT EXISTS decorrelated into per-order "
+        "counts (n_supp >= 2 AND n_late = 1); o_orderstatus = 'F' is "
+        "pushed into the orders scan, the supplier/nation/region dim "
+        "chain is broadcast, and the late-lineitem set is distinct-ed "
+        "BEFORE the stats joins so the shuffle carries (order, "
+        "supplier) pairs, not raw lineitems."
+    ),
 }
 
 
