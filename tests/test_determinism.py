@@ -14,6 +14,13 @@ FLOAT_QUERIES = [
     "q6_forecast_revenue",
     "events_tumbling_window",
     "a_accuracy_report",
+    # r5: queries whose THRESHOLD comparisons sit on aggregated floats —
+    # the exact-DECIMAL restatements must make the kept-row SET (not
+    # just the printed values) partition-count-invariant
+    "q8_market_share",
+    "q11_important_stock",
+    "q17_small_quantity_revenue",
+    "events_anomaly_zscore",
 ]
 
 

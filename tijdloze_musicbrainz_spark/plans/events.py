@@ -600,3 +600,58 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    survey_ids=("A1", "F15", "A2"),
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(25,6))
+                  * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         (e.value - st.s1 / st.n)
+           / sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n)) AS z
+  FROM events e JOIN stats st ON e.event_type = st.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       round(max(abs(z)), 6) AS max_abs_z
+FROM scored
+GROUP BY event_type
+""",
+    doc="Per-type z-score anomaly flagging. The moments accumulate in "
+    "DECIMAL (exact, order-independent — a double sum-of-squares would "
+    "differ in final ulps between engines and could flip a |z| > 3 "
+    "boundary row); the variance/sqrt happen once per GROUP on "
+    "identical doubles. The correlated mean/std is decorrelated into "
+    "a per-type aggregate equi-joined back (A2) — at scale that's a "
+    "broadcast of #event_types rows against the fact table.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(25,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    scored = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", F.abs(z).alias("abs_z")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("abs_z") > 3.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.max("abs_z"), 6).alias("max_abs_z"),
+    )
