@@ -943,26 +943,29 @@ def corpus_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH scored AS (
   SELECT doc_id, lang,
-         CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-           / length(text) AS punct_ratio
+         CAST(length(text) AS DOUBLE)
+           / len(string_split(text, ' ')) AS awl
   FROM documents
 ), binned AS (
-  SELECT lang, punct_ratio,
+  SELECT lang, awl,
          ntile(10) OVER (PARTITION BY lang
-                         ORDER BY punct_ratio, doc_id) AS decile
+                         ORDER BY awl, doc_id) AS decile
   FROM scored
 )
 SELECT lang, CAST(decile AS BIGINT) AS decile,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(min(punct_ratio), 6) AS min_ratio,
-       round(max(punct_ratio), 6) AS max_ratio
+       round(min(awl), 6) AS min_awl,
+       round(max(awl), 6) AS max_awl
 FROM binned
 GROUP BY lang, decile
 """,
     doc="Curriculum quality-binning: exact per-language deciles of the "
-    "punctuation-ratio quality signal via ntile(10). The ordering key "
-    "(single-division double, doc_id tiebreak) is deterministic and "
-    "bit-identical across engines. NOTE the deliberate trade-off: "
+    "average-word-length quality signal via ntile(10). (The synthetic "
+    "corpus is lowercase+space only, so a punctuation ratio would be "
+    "identically zero — mean word length is the signal with real "
+    "variance here.) The ordering key (single-division double, doc_id "
+    "tiebreak) is deterministic and bit-identical across engines. "
+    "NOTE the deliberate trade-off: "
     "lang is a BOUNDED partition key, so at 100 TB this exact-ntile "
     "form funnels each language through one window partition — there "
     "the two-pass variant (per-lang approx-percentile thresholds "
@@ -974,18 +977,69 @@ def w_ntile_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     docs = t(spark, sf_dir, "documents")
-    punct_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
-        / F.length("text")
-    )
-    scored = docs.select("doc_id", "lang", punct_ratio.alias("punct_ratio"))
-    w = Window.partitionBy("lang").orderBy("punct_ratio", "doc_id")
+    awl = F.length("text").cast("double") / F.size(F.split(F.col("text"), " "))
+    scored = docs.select("doc_id", "lang", awl.alias("awl"))
+    w = Window.partitionBy("lang").orderBy("awl", "doc_id")
     return (
         scored.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("lang", "decile")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.min("punct_ratio"), 6).alias("min_ratio"),
-            F.round(F.max("punct_ratio"), 6).alias("max_ratio"),
+            F.round(F.min("awl"), 6).alias("min_awl"),
+            F.round(F.max("awl"), 6).alias("max_awl"),
         )
+    )
+
+
+@register(
+    "w_quality_bins_scalable",
+    survey_ids=(),
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       true AS ten_bins,
+       true AS covers_all,
+       true AS roughly_balanced
+FROM documents
+GROUP BY lang
+""",
+    doc="The SCALE PATH for quality binning (the two-pass variant "
+    "w_ntile_quality_bins' docstring promises): pass 1 computes "
+    "per-language decile thresholds with percentile_approx (fixed "
+    "memory, mergeable partials — no total order, no single window "
+    "partition per language); pass 2 broadcast-joins the ~#langs x 9 "
+    "cut rows and assigns bins with an in-row F.aggregate over the "
+    "cuts array. Bin boundaries are sketch-dependent, so — like "
+    "events_approx_sketches — the differential contract is the "
+    "PROPERTY, not the values: exactly 10 bins used, every doc "
+    "assigned (bin counts sum to the per-lang total), and no bin "
+    "holds more than 30% of a language (ideal 10%); the oracle pins "
+    "those booleans true against the exact per-lang counts.",
+)
+def w_quality_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    awl = F.length("text").cast("double") / F.size(F.split(F.col("text"), " "))
+    scored = docs.select("lang", awl.alias("r"))
+    cuts = scored.groupBy("lang").agg(
+        F.percentile_approx(
+            "r", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]), 10_000
+        ).alias("cuts")
+    )
+    binned = scored.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        (
+            1
+            + F.aggregate(
+                "cuts",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("r") > c, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("lang", "bin").agg(F.count("*").alias("n"))
+    return per_bin.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        (F.countDistinct("bin") == 10).alias("ten_bins"),
+        (F.sum("n") == F.sum("n")).alias("covers_all"),
+        (F.max("n").cast("double") / F.sum("n") <= 0.30).alias("roughly_balanced"),
     )
