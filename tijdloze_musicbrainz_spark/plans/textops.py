@@ -1043,3 +1043,86 @@ def w_quality_bins_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n") == F.sum("n")).alias("covers_all"),
         (F.max("n").cast("double") / F.sum("n") <= 0.30).alias("roughly_balanced"),
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    survey_ids=("A1", "J1", "F15"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(tk)),
+                               i -> struct_pack(w1 := tk[i], w2 := tk[i + 1])))
+           AS b
+  FROM toks
+), pairs AS (
+  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM pairs GROUP BY w1
+), vocab AS (
+  SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM pairs
+)
+SELECT p.doc_id, p.lang,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(round(ln(
+                 CAST(c12.n12 + 1 AS DOUBLE) / (c1.n1 + vocab.v)
+             ), 6) AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS lm_score
+FROM pairs p
+JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
+JOIN c1 ON p.w1 = c1.w1
+CROSS JOIN vocab
+GROUP BY p.doc_id, p.lang
+""",
+    doc="Bigram language-model scoring — the perplexity-filter shape "
+    "(CCNet-style: score each document under a reference LM, filter "
+    "or curriculum-order by score). The LM is add-1-smoothed word "
+    "bigrams TRAINED ON THE CORPUS ITSELF in the same DAG (two "
+    "aggregates), then broadcast back against the exploded bigram "
+    "stream; the per-doc score is the mean log-probability. "
+    "Cross-engine float discipline: P is a single division of exact "
+    "integers (bit-identical), ln() may differ in the last ulp "
+    "between libm and the JVM so each term is rounded to 6 dp BEFORE "
+    "the exact-DECIMAL sum; the mean then divides identical values. "
+    "At 100 TB the model stays ~|vocab|^2 rows — broadcastable for "
+    "word-level vocabularies; for open vocabularies you shard the "
+    "model join on w1 instead of broadcasting.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toks = docs.select("doc_id", "lang", tk.alias("tk"))
+    pairs = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.struct(
+                    F.col("tk")[i - 1].alias("w1"), F.col("tk")[i].alias("w2")
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = pairs.groupBy(F.col("w1").alias("c1_w1")).agg(F.count("*").alias("n1"))
+    vocab = pairs.agg(F.countDistinct("w1").alias("v"))
+    prob = (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
+    scored = (
+        pairs.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), F.col("w1") == F.col("c1_w1"))
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.log(prob), 6).cast("decimal(25,6)").alias("term"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias("lm_score"),
+    )
