@@ -30,6 +30,7 @@ ALLOWED_NESTED_LOOP = {
     # BroadcastHashJoin because its filter is an equality.)
     "q11_important_stock",
     "q22_global_sales_opportunity",
+    "text_bigram_lm_score",  # |vocab| scalar (one row) x bigram stream
 }
 
 
