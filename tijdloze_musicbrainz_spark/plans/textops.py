@@ -1126,3 +1126,102 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("term").cast("double") / F.count("*"), 6).alias("lm_score"),
     )
+
+
+# Mixture planning: token budget per source GROUP. Groups partition the
+# 20 sources by index parity-ish buckets (a stand-in for domain labels
+# like web/books/code); budgets are the per-group token targets the
+# mixture must not exceed.
+MIXTURE_GROUP_BUDGET = {"grp0": 40_000, "grp1": 25_000, "grp2": 10_000}
+
+
+@register(
+    "corpus_mixture_plan",
+    survey_ids=("A1", "F15"),
+    oracle=f"""
+WITH sized AS (
+  SELECT source,
+         'grp' || CAST(CAST(replace(source, 'src', '') AS BIGINT) % 3
+                       AS VARCHAR) AS grp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), per_source AS (
+  SELECT source, grp,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS tokens_available
+  FROM sized GROUP BY source, grp
+), per_group AS (
+  SELECT grp, CAST(sum(tokens_available) AS BIGINT) AS group_tokens
+  FROM per_source GROUP BY grp
+)
+SELECT s.source, s.grp, s.n_docs, s.tokens_available,
+       CAST(CASE s.grp
+            WHEN 'grp0' THEN {MIXTURE_GROUP_BUDGET["grp0"]}
+            WHEN 'grp1' THEN {MIXTURE_GROUP_BUDGET["grp1"]}
+            ELSE {MIXTURE_GROUP_BUDGET["grp2"]} END AS BIGINT) AS group_budget,
+       round(least(1.0, CAST(CASE s.grp
+            WHEN 'grp0' THEN {MIXTURE_GROUP_BUDGET["grp0"]}
+            WHEN 'grp1' THEN {MIXTURE_GROUP_BUDGET["grp1"]}
+            ELSE {MIXTURE_GROUP_BUDGET["grp2"]} END AS DOUBLE)
+            / g.group_tokens), 6) AS sample_rate,
+       CAST(floor(s.tokens_available
+            * least(1.0, CAST(CASE s.grp
+                 WHEN 'grp0' THEN {MIXTURE_GROUP_BUDGET["grp0"]}
+                 WHEN 'grp1' THEN {MIXTURE_GROUP_BUDGET["grp1"]}
+                 ELSE {MIXTURE_GROUP_BUDGET["grp2"]} END AS DOUBLE)
+                 / g.group_tokens)) AS BIGINT) AS tokens_planned
+FROM per_source s JOIN per_group g ON s.grp = g.grp
+""",
+    doc="Mixture planning — the step BEFORE sampling in a real corpus "
+    "build: given per-domain-group token budgets, compute each "
+    "source's keep rate = min(1, budget / group_tokens) and the "
+    "planned token yield. Two aggregates and a broadcast join of "
+    "#groups rows; the rates feed corpus_sample_stratified's "
+    "hash-filter and corpus_domain_upsample's epoch map. The rate is "
+    "one division of exact integers (bit-identical), rounded once "
+    "for display; tokens_planned floors the SAME unrounded double on "
+    "both engines.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grp = F.concat(
+        F.lit("grp"),
+        (F.replace(F.col("source"), F.lit("src"), F.lit("")).cast("long") % 3).cast(
+            "string"
+        ),
+    )
+    sized = docs.select(
+        "source",
+        grp.alias("grp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    per_source = sized.groupBy("source", "grp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tokens_available"),
+    )
+    per_group = per_source.groupBy(F.col("grp").alias("g_grp")).agg(
+        F.sum("tokens_available").alias("group_tokens")
+    )
+    budget = (
+        F.when(F.col("grp") == "grp0", MIXTURE_GROUP_BUDGET["grp0"])
+        .when(F.col("grp") == "grp1", MIXTURE_GROUP_BUDGET["grp1"])
+        .otherwise(MIXTURE_GROUP_BUDGET["grp2"])
+        .cast("long")
+    )
+    rate = F.least(
+        F.lit(1.0), budget.cast("double") / F.col("group_tokens")
+    )
+    return (
+        per_source.join(F.broadcast(per_group), F.col("grp") == F.col("g_grp"))
+        .select(
+            "source",
+            "grp",
+            "n_docs",
+            "tokens_available",
+            budget.alias("group_budget"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(F.col("tokens_available") * rate).cast("long").alias(
+                "tokens_planned"
+            ),
+        )
+    )
