@@ -494,3 +494,59 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("purchase_ts").cast("long").alias("purchase_epoch"),
     )
     return run_stream_to_memory(out, output_mode="append")
+
+
+@register(
+    "streaming_static_join_zscore",
+    survey_ids=("A1", "J1"),
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value AS DECIMAL(25,6))
+                  * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN abs(
+             (e.value - st.s1 / st.n)
+             / sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n))
+           ) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN stats st ON e.event_type = st.event_type
+GROUP BY e.event_type
+""",
+    doc="STREAM-STATIC join — the remaining Structured Streaming join "
+    "surface (the interval join covers stream-stream): a model table "
+    "computed in batch (per-type mean/std, exact-DECIMAL moments, "
+    "identical to events_anomaly_zscore's) joins against the live "
+    "stream each micro-batch, scoring events as they arrive — the "
+    "batch-train / stream-score deployment shape. The static side is "
+    "#event_types rows, so the join is a broadcast against every "
+    "micro-batch; counts drain in complete mode via availableNow.",
+)
+def streaming_static_join_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.util import t  # noqa: PLC0415
+
+    ev_batch = t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(25,6)")
+    stats = ev_batch.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    scored = (
+        stream_events(spark, sf_dir)
+        .join(F.broadcast(stats), "event_type")
+        .select("event_type", F.abs(z).alias("abs_z"))
+    )
+    counted = scored.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("abs_z") > 3.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+    )
+    return run_stream_to_memory(counted)
