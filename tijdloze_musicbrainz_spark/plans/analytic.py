@@ -335,3 +335,33 @@ def a_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_acctbal",
         )
     )
+
+
+@register(
+    "w_percentile_ranks",
+    survey_ids=("O1", "A5"),
+    oracle="""
+SELECT c_nationkey, c_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    doc="Relative-standing window functions: percent_rank, cume_dist "
+    "and quartile ntile over account balance within each nation — "
+    "one window spec serves all three (single exchange + sort). The "
+    "ordering key carries the c_custkey tiebreak, so ranks are total "
+    "and deterministic; both ratios are (rank-based integer "
+    "arithmetic) / (partition count), identical across engines, "
+    "rounded once for the hash.",
+)
+def w_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -383,3 +383,95 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ip").cast("long").alias("ips_masked"),
         F.sum("masked_len").cast("long").alias("masked_chars"),
     )
+
+
+@register(
+    "corpus_curation_scorecard",
+    survey_ids=("A1", "F4", "F15"),
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS n,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(text, '{DENYLIST_PATTERN}')) AS n_deny,
+         md5(lower(trim(text))) AS digest
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CASE WHEN n >= 100 AND n <= 20000
+                            AND CAST(n_punct AS DOUBLE) / n < 0.1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS quality_pass_rate,
+       round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
+         AS exact_dup_rate,
+       round(CAST(sum(CASE WHEN n_deny > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS denylist_hit_rate,
+       round(CAST(sum(CAST(round(
+                 CAST(n_tok - n_distinct AS DOUBLE) / n_tok, 6)
+             AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+         AS mean_dup_word_ratio,
+       round(CAST(sum(CAST(n_tok AS DECIMAL(25,6))) AS DOUBLE) / count(*), 2)
+         AS mean_tokens
+FROM per_doc
+GROUP BY source
+""",
+    doc="The corpus datasheet: one row per source with the signals a "
+    "curation review reads first — quality-gate pass rate, "
+    "within-source exact-duplicate rate (md5 digest, the same "
+    "canonicalization the exact-dedup tier groups by), denylist hit "
+    "rate, mean duplicated-word ratio, mean token count. One narrow "
+    "projection + one aggregate (the digest COUNT DISTINCT is the "
+    "only expansion); per-doc ratios are single divisions rounded "
+    "before the exact-DECIMAL mean so the rollup is "
+    "partition-order-free.",
+)
+def corpus_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    ws = F.split(F.col("text"), " ")
+    n_tok = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    n_deny = F.regexp_count(F.col("text"), F.lit(DENYLIST_PATTERN))
+    per_doc = docs.select(
+        "source",
+        n.alias("n"),
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct"),
+        n_punct.alias("n_punct"),
+        n_deny.alias("n_deny"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
+    )
+    passes = (
+        (F.col("n") >= 100)
+        & (F.col("n") <= 20000)
+        & (F.col("n_punct").cast("double") / F.col("n") < 0.1)
+    )
+    dup_ratio_term = F.round(
+        (F.col("n_tok") - F.col("n_distinct")).cast("double") / F.col("n_tok"), 6
+    ).cast("decimal(25,6)")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.when(passes, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("quality_pass_rate"),
+        F.round(
+            1.0 - F.countDistinct("digest").cast("double") / F.count("*"), 6
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.when(F.col("n_deny") > 0, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("denylist_hit_rate"),
+        F.round(
+            F.sum(dup_ratio_term).cast("double") / F.count("*"), 6
+        ).alias("mean_dup_word_ratio"),
+        F.round(
+            F.sum(F.col("n_tok").cast("decimal(25,6)")).cast("double")
+            / F.count("*"),
+            2,
+        ).alias("mean_tokens"),
+    )
