@@ -1172,3 +1172,113 @@ def f8_relevance_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_key(F.col("p_name")) == "coldwidget", F.col("p_size")
     )
     return part.select("p_partkey", round2(rel).alias("relevance"))
+
+
+@register(
+    "j_full_outer_reconcile",
+    survey_ids=("J3", "F3", "A1"),
+    oracle=f"""
+WITH by_orders AS (
+  SELECT o_custkey AS custkey,
+         {money_sum_sql('o_totalprice')} AS order_value
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_custkey
+), by_balance AS (
+  SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal
+  FROM customer WHERE c_acctbal > 7500.0
+)
+SELECT coalesce(o.custkey, b.custkey) AS custkey,
+       o.order_value, b.acctbal,
+       CASE WHEN o.custkey IS NULL THEN 'balance_only'
+            WHEN b.custkey IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM by_orders o
+FULL OUTER JOIN by_balance b ON o.custkey = b.custkey
+""",
+    doc="FULL OUTER reconciliation — the join shape the rest of the "
+    "inventory lacks (J3/J4 cover LEFT): two independently-derived "
+    "keyed views of customers are merged with COALESCE'd keys and a "
+    "presence tag, the standard two-system reconciliation report. "
+    "Physical note: full-outer cannot broadcast either side — it is "
+    "always a shuffle join on the key, which is why both inputs are "
+    "PRE-AGGREGATED to one row per key before the join.",
+)
+def j_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7500.0)
+    by_orders = orders.groupBy(F.col("o_custkey").alias("o_key")).agg(
+        money_sum(F.col("o_totalprice")).alias("order_value")
+    )
+    by_balance = cust.select(
+        F.col("c_custkey").alias("b_key"), F.round("c_acctbal", 2).alias("acctbal")
+    )
+    joined = by_orders.join(by_balance, F.col("o_key") == F.col("b_key"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("o_key"), F.col("b_key")).alias("custkey"),
+        "order_value",
+        "acctbal",
+        F.when(F.col("o_key").isNull(), "balance_only")
+        .when(F.col("b_key").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@register(
+    "set_intersect_except",
+    survey_ids=("SET1", "A1"),
+    oracle="""
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT 'retained' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'churned' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'new' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+""",
+    doc="INTERSECT / EXCEPT set algebra — the set operations SET1-SET3 "
+    "(union family) leave uncovered: year-over-year customer "
+    "retention as retained (intersect), churned (except), new "
+    "(reverse except). Spark plans both as aggregate-then-join "
+    "(distinct + left-semi/anti) on the key — same shuffle shape as "
+    "the J9 semi/anti probes, no extra pass.",
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def actives(y0: str, y1: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = actives("1996-01-01", "1997-01-01")
+    y97 = actives("1997-01-01", "1998-01-01")
+
+    def tagged(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(name).alias("cohort"), "n_customers"
+        )
+
+    return (
+        tagged("retained", y96.intersect(y97))
+        .unionByName(tagged("churned", y96.exceptAll(y97).distinct()))
+        .unionByName(tagged("new", y97.exceptAll(y96).distinct()))
+    )
