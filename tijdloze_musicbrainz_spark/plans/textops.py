@@ -1225,3 +1225,44 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_unpivot_metrics",
+    survey_ids=("A1",),
+    oracle="""
+WITH wide AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_docs, total_chars, total_tokens))
+""",
+    doc="UNPIVOT — wide-to-long reshaping, the inverse of "
+    "text_pivot_source_lang's pivot: per-source corpus metrics fold "
+    "into (source, metric, value) rows for a generic metrics sink. "
+    "Spark's DataFrame.unpivot compiles to an in-row Expand (3 output "
+    "rows per input row, no shuffle beyond the feeding aggregate) — "
+    "the long format is what a 100 TB pipeline's metrics store "
+    "ingests regardless of how many metric columns the wide report "
+    "grows.",
+)
+def text_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wide = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    return wide.unpivot(
+        ids=["source"],
+        values=["n_docs", "total_chars", "total_tokens"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
