@@ -109,3 +109,50 @@ def test_bucketed_upsert_touches_only_its_buckets(spark, tmp_path_factory):
     got = {(r["k"], r["seq"]) for r in spark.read.parquet(target).collect()}
     assert (7, 10_000) in got
     assert len(got) == 500  # every other key survived the single-bucket merge
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path_factory):
+    """Exactly-once across restarts: a file-source stream drained with
+    availableNow + a persistent checkpoint must, on restart after new
+    files arrive, process ONLY the new files — the checkpointed source
+    offsets carry across query instances, so no event is double-counted
+    in an idempotent-append sink."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path_factory.mktemp("ckpt_restart")
+    src = f"{root}/src"
+    sink = f"{root}/sink"
+    ckpt = f"{root}/ckpt"
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    first, second = (d.coalesce(1) for d in ev.randomSplit([0.5, 0.5], seed=7))
+    n_first = first.count()
+    n_total = ev.count()
+    first.write.mode("overwrite").parquet(src)
+
+    schema = "event_id bigint, user_id bigint, value double"
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == n_first
+
+    # new file lands; SAME checkpoint — restart must pick up only it
+    second.write.mode("append").parquet(src)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == n_total  # nothing reprocessed, nothing lost
+    assert out.select(F.countDistinct("event_id")).first()[0] == n_total
