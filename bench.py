@@ -45,8 +45,12 @@ HEADLINERS = [
     # contamination probe, and the one-pass int8 quantizer
     "text_repetition_filter",
     "text_contamination_overlap",
-    # r5: structured-PII masking (regex-heavy narrow map)
+    # r5: structured-PII masking (regex-heavy narrow map), the bigram
+    # LM scorer (train + broadcast + score in one DAG), and the
+    # batch-train/stream-score static join
     "text_pii_mask",
+    "text_bigram_lm_score",
+    "streaming_static_join_zscore",
     "sim_embedding_quantize_int8",
     # r4b dataset-assembly tier: the composed quality->dedup->near-dup
     # ->split->shard manifest build
