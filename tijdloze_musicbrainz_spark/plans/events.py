@@ -655,3 +655,62 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_anomalies"),
         F.round(F.max("abs_z"), 6).alias("max_abs_z"),
     )
+
+
+@register(
+    "events_session_window_native",
+    survey_ids=("A1",),
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT *, sum(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM d
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+    doc="Gap sessionization via Spark's NATIVE session_window operator "
+    "(the third sessionizer next to the lag+running-sum batch form and "
+    "the applyInPandasWithState streaming form — same 30-min gap, "
+    "same sessions, pinned against the same oracle). session_window "
+    "merges overlapping per-row [ts, ts+gap) intervals inside a "
+    "dedicated SessionWindow aggregation — one shuffle on (user_id), "
+    "no window-function total sort, and the operator is "
+    "streaming-ready (works under watermark unchanged).",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
