@@ -156,6 +156,26 @@ AUDITED = {
         "combinable aggregate and no engine divides near the "
         "threshold; part is broadcast with p_brand pushed."
     ),
+    "text_bigram_lm_score": (
+        "Audit (r5): train + score in one DAG — the bigram/unigram "
+        "model aggregates are broadcast back against the exploded "
+        "bigram stream (BroadcastHashJoins; the single-row vocab join "
+        "is the allow-listed scalar nested-loop), so the fact stream "
+        "shuffles only once, for the final per-doc rollup. At open "
+        "vocabulary the c12 broadcast becomes a shuffled join on w1 "
+        "(documented in the query doc)."
+    ),
+    "events_session_window_native": (
+        "Audit (r5): the native SessionWindow aggregation — one "
+        "Exchange on user_id, sessions merged inside the aggregate; "
+        "no window-function sort, no state store in batch mode."
+    ),
+    "corpus_curation_scorecard": (
+        "Audit (r5): one narrow projection computes every per-doc "
+        "signal in-row (regex counts, distinct-token fold, digest), "
+        "then ONE aggregate per source; the COUNT DISTINCT digest is "
+        "the only expansion and rides the same shuffle."
+    ),
     "q21_waiting_supplier": (
         "Audit (r5): EXISTS / NOT EXISTS decorrelated into per-order "
         "counts (n_supp >= 2 AND n_late = 1); o_orderstatus = 'F' is "
