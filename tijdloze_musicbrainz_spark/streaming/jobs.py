@@ -550,3 +550,64 @@ def streaming_static_join_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_anomalies"),
     )
     return run_stream_to_memory(counted)
+
+
+@register(
+    "streaming_session_window_native",
+    survey_ids=("A1",),
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session,
+         event_id
+  FROM events
+),
+s AS (
+  SELECT *, sum(is_new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM d
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+""",
+    doc="The native session_window under Structured Streaming — the "
+    "built-in counterpart of the applyInPandasWithState sessionizer: "
+    "readStream -> watermark -> session_window aggregate, drained "
+    "complete-mode with availableNow so every session (including each "
+    "user's final one) emits and the result checks against the SAME "
+    "batch oracle as events_session_window_native / events_sessionize. "
+    "At scale the state store holds one open session per active user "
+    "per gap window; the stateful-UDF variant remains for emission "
+    "logic session_window can't express (streaming_sessionize's "
+    "closed-only protocol).",
+)
+def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "session_start_epoch"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(s)
