@@ -90,3 +90,48 @@ def test_retention_first_week_has_all_users(spark, sf_dir):
     week0_users = sum(r.n_users for r in rows if r.week_offset == 0)
     # every user's first event lands in their own offset-0 bucket
     assert week0_users >= n_users
+
+
+def test_pii_masking_removes_every_match(spark):
+    """Adversarial PII corpus: after the three-stage mask, NO email /
+    phone / IPv4 pattern may survive anywhere in the text — including
+    at string edges, back-to-back, and inside host-like tokens."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans.curation import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    adversarial = [
+        "a.b-c_d%e+f@sub.domain.example.co contact me",
+        "edge@case.io",
+        "two emails x@y.zz and a@b.cc in one line",
+        "phone 555-123-4567 then 555-000-1111",
+        "ip 10.0.0.1 and 255.255.255.255 and 1.2.3.4",
+        "email-with-ip-host user@10.0.0.1.example.com ok",
+        "555-123-4567@not-a-phone.example.org",
+        "not5-123-4567 a555-123-45678 (no match inside longer runs)",
+        "mixed: a@b.cc 1.2.3.4 555-111-2222 a@b.cc",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(adversarial)], "id long, text string")
+    masked = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            ),
+            PII_IPV4,
+            "<IP>",
+        ).alias("m")
+    )
+    leftovers = masked.select(
+        (
+            F.regexp_count("m", F.lit(PII_EMAIL))
+            + F.regexp_count("m", F.lit(PII_PHONE))
+            + F.regexp_count("m", F.lit(PII_IPV4))
+        ).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert leftovers == 0
