@@ -21,6 +21,10 @@ FLOAT_QUERIES = [
     "q11_important_stock",
     "q17_small_quantity_revenue",
     "events_anomaly_zscore",
+    # equality joins/filters on aggregated money values
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q18_large_volume_customer",
 ]
 
 
