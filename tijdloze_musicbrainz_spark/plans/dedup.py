@@ -549,3 +549,142 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(labels, docs.doc_id == labels.id, "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr pass): any
+# K-token span occurring more than once in the corpus is a duplicated
+# span; per document we report how many of its tokens are covered by
+# at least one duplicated span. The published implementation builds a
+# corpus-wide suffix array on one machine; the distributed
+# re-expression here is the K-gram inverted-index formulation: one
+# shuffle keyed by gram hash (3 longs per token of the corpus — the
+# inherent cost), then a per-document in-row interval-union fold.
+# ---------------------------------------------------------------------------
+
+K_SPAN = 8  # tokens per span seed (Lee et al. use 50 BPE tokens at web scale)
+
+
+@register(
+    "dedup_exact_substring_spans",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+sized AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, n_tok - {K_SPAN} + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, n_tok - {K_SPAN} + 2),
+                i -> array_to_string(list_slice(tk, i, i + {K_SPAN} - 1), ' ')))
+           AS g
+  FROM sized WHERE n_tok >= {K_SPAN}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+merged AS (
+  SELECT doc_id, pos,
+         max(pos + {K_SPAN} - 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM dpos
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_dup_grams,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                  THEN 1 ELSE 0 END) AS n_spans,
+         sum(greatest(0, pos + {K_SPAN}
+                         - greatest(coalesce(prev_end, -1) + 1, pos)))
+           AS dup_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tok AS BIGINT) AS n_tok,
+       CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(coalesce(a.dup_tokens, 0) / CAST(s.n_tok AS DOUBLE), 6)
+         AS dup_frac
+FROM sized s LEFT JOIN agg a USING (doc_id)
+""",
+    doc="Exact-substring span dedup (Lee et al. 2021 ExactSubstr pass, "
+    "re-expressed distributed): every K_SPAN-token gram is hashed "
+    "(xxhash64, JVM-side), grams occurring >= 2 times corpus-wide mark "
+    "duplicated positions, and a per-document interval-union fold over "
+    "the SORTED position list (aggregate with struct state — zero "
+    "window, map-side combinable collect) yields covered-token counts "
+    "and maximal-span counts. Shuffle cost: one row of three longs per "
+    "corpus token for the gram index (the algorithm's inherent cost; "
+    "the published suffix-array variant is single-machine), plus one "
+    "doc-keyed shuffle of only the DUPLICATED positions. The oracle "
+    "groups raw gram STRINGS — an independent formulation that also "
+    "certifies the hash carries no collisions at test scale.",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", toks.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
+    )
+    # array of (0-based pos implicit) gram hashes; empty when too short
+    gram_hashes = F.when(
+        F.col("n_tok") >= K_SPAN,
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n_tok") - K_SPAN).cast("int")),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("tk"), i + 1, K_SPAN))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos", "ghash")
+    )
+    dup_hashes = (
+        grams.groupBy("ghash").count().filter(F.col("count") >= 2).select("ghash")
+    )
+    dpos = grams.join(dup_hashes, "ghash", "leftsemi")
+    fold = F.expr(
+        f"""
+aggregate(ps,
+  -- sentinel end = -2: position 0 must register as a NEW span
+  -- (p > end + 1 must hold), and covered's greatest(end + 1, p)
+  -- still clamps to p for the first interval.
+  named_struct('end', CAST(-2 AS BIGINT), 'spans', 0L, 'covered', 0L),
+  (acc, p) -> named_struct(
+    'end', greatest(acc.end, CAST(p AS BIGINT) + {K_SPAN - 1}),
+    'spans', acc.spans + IF(CAST(p AS BIGINT) > acc.end + 1, 1L, 0L),
+    'covered', acc.covered + greatest(0L,
+      CAST(p AS BIGINT) + {K_SPAN}
+        - greatest(acc.end + 1, CAST(p AS BIGINT)))),
+  acc -> named_struct('spans', acc.spans, 'covered', acc.covered))
+"""
+    )
+    per_doc = (
+        dpos.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_grams"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_grams",
+            fold.getField("spans").alias("n_spans"),
+            fold.getField("covered").alias("dup_tokens"),
+        )
+    )
+    return base.select("doc_id", "n_tok").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.col("n_tok").cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -1266,3 +1266,86 @@ def text_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# -- sequence packing into fixed token-budget training examples ------
+
+# Next-fit packing: documents (in deterministic doc_id order, per
+# source) accumulate into the current sequence while they fit; a doc
+# that would overflow OPENS a new sequence — no doc ever straddles
+# two sequences. This is the "sequence packing" step that turns a
+# cleaned corpus into fixed-context training examples; it differs
+# from corpus_shard_by_token_budget, whose floor(cumsum/budget)
+# sharding lets a document straddle a shard boundary (fine for file
+# sizing, wrong for training examples).
+PACK_TOKEN_BUDGET = 256
+
+
+@register(
+    "corpus_pack_sequences",
+    survey_ids=(),
+    oracle=f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, rn, doc_id, n_tok,
+         CAST(0 AS BIGINT) AS seq_in_source, n_tok AS fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.rn, s.doc_id, s.n_tok,
+         CASE WHEN p.fill + s.n_tok <= {PACK_TOKEN_BUDGET}
+              THEN p.seq_in_source ELSE p.seq_in_source + 1 END,
+         CASE WHEN p.fill + s.n_tok <= {PACK_TOKEN_BUDGET}
+              THEN p.fill + s.n_tok ELSE s.n_tok END
+  FROM pack p JOIN sized s ON s.source = p.source AND s.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tok, seq_in_source FROM pack
+""",
+    doc="Sequence packing (next-fit): greedy assignment of documents "
+    "to fixed-token-budget training sequences, per source in "
+    "deterministic doc_id order; an overflowing document always opens "
+    "a new sequence, so no example mixes a split document. The fold "
+    "is inherently sequential WITHIN a source — the Spark plan runs "
+    "it as one applyInPandas per source group (sources are the "
+    "parallelism unit, exactly like the shard assigner), and inside "
+    "the group the next-fit is O(#sequences) numpy searchsorted "
+    "calls on the token cumsum, not a per-row Python loop. The "
+    "DuckDB twin is an independent formulation: a recursive CTE "
+    "stepping one row_number at a time.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    sized = docs.select(
+        "doc_id", "source", n_tok.cast("long").alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        n = pdf["n_tok"].to_numpy(np.int64)
+        cs = np.cumsum(n)
+        bins = np.zeros(len(n), np.int64)
+        start, bin_id, offset = 0, 0, 0
+        while start < len(n):
+            # widest prefix from `start` whose token sum fits the budget
+            j = int(np.searchsorted(cs, offset + PACK_TOKEN_BUDGET, side="right"))
+            if j == start:  # single doc larger than the budget: own bin
+                j = start + 1
+            bins[start:j] = bin_id
+            bin_id += 1
+            offset = int(cs[j - 1])
+            start = j
+        pdf["seq_in_source"] = bins
+        return pdf
+
+    return sized.groupBy("source").applyInPandas(
+        pack, schema="doc_id long, source string, n_tok long, seq_in_source long"
+    )

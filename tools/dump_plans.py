@@ -184,6 +184,22 @@ AUDITED = {
         "BEFORE the stats joins so the shuffle carries (order, "
         "supplier) pairs, not raw lineitems."
     ),
+    "dedup_exact_substring_spans": (
+        "Audit (r4b): the gram index shuffles (ghash, doc_id, pos) "
+        "triples — three longs per corpus token, the algorithm's "
+        "inherent cost; duplicated-gram detection is a codegen hash "
+        "aggregate on ghash, the position fetch is a left-semi join, "
+        "and the interval-union runs as an in-row aggregate() fold "
+        "over the sorted position list — no window, no per-row "
+        "Python."
+    ),
+    "corpus_pack_sequences": (
+        "Audit (r4b): one Exchange on source feeds the applyInPandas "
+        "packer (FlatMapGroupsInPandas); inside each group the "
+        "next-fit is O(#sequences) numpy searchsorted calls on the "
+        "token cumsum. Sources are the parallelism unit — the same "
+        "contract as the shard assigner."
+    ),
 }
 
 
