@@ -110,3 +110,79 @@ def test_kmeans_lloyd_conservation(spark, sf_dir):
     lo = min(r["centroid_component"] for r in rows)
     hi = max(r["centroid_component"] for r in rows)
     assert -1.0 <= lo <= hi <= 1.0
+
+
+def test_pack_sequences_next_fit_invariants(spark, sf_dir):
+    """Next-fit packing: per source, sequence ids are 0-contiguous and
+    non-decreasing in doc_id order; every sequence's token total fits
+    the budget unless it is a single oversized document; and a doc
+    that OPENS a new sequence genuinely did not fit the previous one
+    (the greedy property that distinguishes next-fit from sharding)."""
+    from tijdloze_musicbrainz_spark.plans.textops import PACK_TOKEN_BUDGET
+
+    df = REGISTRY["corpus_pack_sequences"].builder(spark, sf_dir)
+    rows = df.orderBy("source", "doc_id").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source, "no rows"
+    for source, docs in by_source.items():
+        ids = [r["seq_in_source"] for r in docs]
+        assert ids == sorted(ids), source
+        assert ids[0] == 0, source
+        assert sorted(set(ids)) == list(range(len(set(ids)))), source
+        fills: dict[int, int] = {}
+        counts: dict[int, int] = {}
+        for r in docs:
+            fills[r["seq_in_source"]] = fills.get(r["seq_in_source"], 0) + r["n_tok"]
+            counts[r["seq_in_source"]] = counts.get(r["seq_in_source"], 0) + 1
+        for sid, tok in fills.items():
+            assert tok <= PACK_TOKEN_BUDGET or counts[sid] == 1, (source, sid, tok)
+        # greedy: the first doc of sequence k did not fit in sequence k-1
+        for prev, cur in zip(docs, docs[1:]):
+            if cur["seq_in_source"] != prev["seq_in_source"]:
+                assert (
+                    fills[prev["seq_in_source"]] + cur["n_tok"] > PACK_TOKEN_BUDGET
+                ), (source, cur["doc_id"])
+
+
+def test_exact_substring_spans_model_check(spark, sf_dir):
+    """Model-based check of the exact-substring pass: a direct Python
+    recomputation (dict of gram occurrences -> duplicated positions ->
+    interval union) must agree with the distributed plan on every
+    document — a third implementation independent of both the Spark
+    fold and the DuckDB window formulation."""
+    import duckdb as _duck
+
+    from tijdloze_musicbrainz_spark.plans.dedup import K_SPAN
+
+    docs = _duck.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    occurrences: dict[tuple, int] = {}
+    per_doc: dict[int, list] = {}
+    for doc_id, text in docs:
+        tk = [w for w in text.split(" ") if w]
+        grams = [tuple(tk[i : i + K_SPAN]) for i in range(len(tk) - K_SPAN + 1)]
+        per_doc[doc_id] = grams
+        for g in grams:
+            occurrences[g] = occurrences.get(g, 0) + 1
+    expected = {}
+    for doc_id, grams in per_doc.items():
+        pos = [i for i, g in enumerate(grams) if occurrences[g] >= 2]
+        covered: set[int] = set()
+        spans = 0
+        prev_end = -2
+        for p in pos:
+            covered.update(range(p, p + K_SPAN))
+            if p > prev_end + 1:
+                spans += 1
+            prev_end = max(prev_end, p + K_SPAN - 1)
+        expected[doc_id] = (len(pos), spans, len(covered))
+    got = {
+        r["doc_id"]: (r["n_dup_grams"], r["n_spans"], r["dup_tokens"])
+        for r in REGISTRY["dedup_exact_substring_spans"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    bad = {d: (got[d], expected[d]) for d in got if got[d] != expected[d]}
+    assert not bad, dict(list(bad.items())[:5])
