@@ -33,6 +33,9 @@ HEADLINERS = [
     "fuzzy_search_precomputed",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r4c: the ExactSubstr pass — the gram-index shuffle is the
+    # heaviest per-token cost in the dedup tier, so it belongs here
+    "dedup_exact_substring_spans",
     "sim_cosine_topk_exact",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
@@ -53,8 +56,10 @@ HEADLINERS = [
     "streaming_static_join_zscore",
     "sim_embedding_quantize_int8",
     # r4b dataset-assembly tier: the composed quality->dedup->near-dup
-    # ->split->shard manifest build
+    # ->split->shard manifest build, plus the next-fit sequence packer
+    # (r4c — the one applyInPandas stage in the assembly tier)
     "corpus_training_dataset_e2e",
+    "corpus_pack_sequences",
     # the composed dataset-generation DAG at data scale — the closest
     # analog to the reference's headline 8-hour job (BASELINE.md)
     "mb_pipeline_scale",
