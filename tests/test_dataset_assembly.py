@@ -186,3 +186,36 @@ def test_exact_substring_spans_model_check(spark, sf_dir):
     assert set(got) == set(expected)
     bad = {d: (got[d], expected[d]) for d in got if got[d] != expected[d]}
     assert not bad, dict(list(bad.items())[:5])
+
+
+def test_chunk_overlap_coverage(spark, sf_dir):
+    """Chunking invariants: starts advance by exactly the stride,
+    chunk ids are 0-contiguous, every chunk except a doc's last is
+    full-size, and the last chunk reaches the final token — i.e. the
+    chunks COVER the document with the configured overlap."""
+    from tijdloze_musicbrainz_spark.plans.textops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    df = REGISTRY["corpus_chunk_overlap"].builder(spark, sf_dir)
+    docs = {}
+    for r in df.collect():
+        docs.setdefault(r["doc_id"], []).append(r)
+    assert docs
+    for doc_id, chunks in docs.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        ids = [c["chunk_id"] for c in chunks]
+        assert ids == list(range(len(chunks))), doc_id
+        for c in chunks:
+            assert c["start_tok"] == c["chunk_id"] * CHUNK_STRIDE, doc_id
+            assert 0 < c["chunk_len"] <= CHUNK_TOKENS, doc_id
+        for c in chunks[:-1]:
+            assert c["chunk_len"] == CHUNK_TOKENS, doc_id
+        last = chunks[-1]
+        n_tok = last["start_tok"] + last["chunk_len"]
+        # the doc would need one more chunk iff tokens remain past the
+        # last chunk's end — i.e. coverage is tight
+        if len(chunks) > 1:
+            assert n_tok > (len(chunks) - 1) * CHUNK_STRIDE, doc_id
+        assert n_tok <= (len(chunks) - 1) * CHUNK_STRIDE + CHUNK_TOKENS, doc_id

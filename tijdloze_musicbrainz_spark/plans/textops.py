@@ -1349,3 +1349,84 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("source").applyInPandas(
         pack, schema="doc_id long, source string, n_tok long, seq_in_source long"
     )
+
+
+# -- overlapping chunking for embedding / retrieval pipelines --------
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # chunk start spacing => CHUNK_TOKENS - CHUNK_STRIDE overlap
+
+
+@register(
+    "corpus_chunk_overlap",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+sized AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks WHERE len(tk) > 0),
+starts AS (
+  SELECT doc_id, n_tok,
+         unnest(range(0, CASE WHEN n_tok <= {CHUNK_TOKENS} THEN 1
+                              ELSE CAST(ceil((n_tok - {CHUNK_TOKENS})
+                                             / {CHUNK_STRIDE}.0) AS BIGINT) + 1
+                         END)) AS chunk_id,
+         tk
+  FROM sized
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least(n_tok - chunk_id * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS BIGINT)
+         AS chunk_len,
+       md5(array_to_string(list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1,
+                                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                           ' ')) AS chunk_digest
+FROM starts
+""",
+    doc="Overlapping chunking — the window step ahead of embedding / "
+    "retrieval indexing: chunks of CHUNK_TOKENS tokens every "
+    "CHUNK_STRIDE (16-token overlap), last chunk ragged, one chunk "
+    "for short docs. Pure JVM in-row expansion (sequence + slice + "
+    "posexplode) — no UDF, no shuffle at all: the plan is scan -> "
+    "generate -> project, embarrassingly parallel at any corpus "
+    "size. The md5 chunk digest makes the oracle verify the actual "
+    "chunk TEXT, not just offsets.",
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    sized = (
+        docs.select("doc_id", toks.alias("tk"))
+        .withColumn("n_tok", F.size("tk"))
+        .filter(F.col("n_tok") > 0)
+    )
+    n_chunks = F.when(F.col("n_tok") <= CHUNK_TOKENS, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((F.col("n_tok") - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))).cast(
+            "bigint"
+        )
+        + 1
+    )
+    exploded = sized.select(
+        "doc_id",
+        "n_tok",
+        "tk",
+        F.posexplode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    start = F.col("chunk_id").cast("bigint") * CHUNK_STRIDE
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_tok"),
+        F.least(F.col("n_tok") - start, F.lit(CHUNK_TOKENS)).cast("long").alias(
+            "chunk_len"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("tk"), (start + 1).cast("int"), CHUNK_TOKENS)
+            )
+        ).alias("chunk_digest"),
+    )

@@ -193,6 +193,11 @@ AUDITED = {
         "over the sorted position list — no window, no per-row "
         "Python."
     ),
+    "corpus_chunk_overlap": (
+        "Audit (r4c): scan -> Generate (posexplode of chunk ids) -> "
+        "Project — zero Exchange nodes in the whole plan; the chunk "
+        "digest is computed in-row from the token slice."
+    ),
     "corpus_pack_sequences": (
         "Audit (r4b): one Exchange on source feeds the applyInPandas "
         "packer (FlatMapGroupsInPandas); inside each group the "
