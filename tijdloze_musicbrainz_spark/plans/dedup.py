@@ -688,3 +688,113 @@ aggregate(ps,
             6,
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "dedup_exact_substring_cut",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+sized AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, n_tok - {K_SPAN} + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, n_tok - {K_SPAN} + 2),
+                i -> array_to_string(list_slice(tk, i, i + {K_SPAN} - 1), ' ')))
+           AS g
+  FROM sized WHERE n_tok >= {K_SPAN}
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM grams
+),
+losers AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rn > 1),
+per_doc AS (
+  SELECT doc_id, list_sort(list(pos)) AS ps FROM losers GROUP BY doc_id
+),
+cleaned AS (
+  SELECT s.doc_id, s.n_tok,
+         CASE WHEN p.ps IS NULL THEN s.tk
+              ELSE list_filter(s.tk, (w, i) ->
+                     len(list_filter(p.ps,
+                         q -> q <= i - 1 AND i - 1 < q + {K_SPAN})) = 0)
+         END AS kept
+  FROM sized s LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(len(kept) AS BIGINT) AS kept_tok,
+       CAST(n_tok - len(kept) AS BIGINT) AS cut_tok,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_digest
+FROM cleaned
+""",
+    doc="Exact-substring REMOVAL (the output side of Lee et al. "
+    "ExactSubstr): every duplicated K_SPAN-gram occurrence except the "
+    "canonical one (globally minimal (doc_id, pos)) is cut; a "
+    "document's surviving text is its tokens outside the union of its "
+    "loser spans. Same gram-index shuffle as the span reporter plus "
+    "one min_by per gram (map-side combinable) for the winner; the "
+    "cleaned text is rebuilt IN-ROW (filter-by-index against the "
+    "sorted loser positions) and certified by an md5 digest, so the "
+    "oracle checks the actual rewritten corpus, not just counts. "
+    "Within-doc repeats keep only their first occurrence too. Note "
+    "the same caveat as the published byte-range cutter: a canonical "
+    "occurrence can still be clipped when a DIFFERENT gram's loser "
+    "span overlaps it — span union, not per-gram surgery, is what "
+    "gets removed.",
+)
+def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = docs.select("doc_id", toks.alias("tk")).select(
+        "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
+    )
+    gram_hashes = F.when(
+        F.col("n_tok") >= K_SPAN,
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n_tok") - K_SPAN).cast("int")),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice(F.col("tk"), i + 1, K_SPAN))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos", "ghash")
+    )
+    winners = (
+        grams.groupBy("ghash")
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by(
+                F.struct(F.col("doc_id").alias("w_doc"), F.col("pos").alias("w_pos")),
+                F.struct("doc_id", "pos"),
+            ).alias("w"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("ghash", "w.w_doc", "w.w_pos")
+    )
+    losers = grams.join(winners, "ghash").filter(
+        ~((F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos")))
+    )
+    per_doc = losers.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("ps")
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    kept = F.when(F.col("ps").isNull(), F.col("tk")).otherwise(
+        F.expr(
+            f"filter(tk, (w, i) -> "
+            f"size(filter(ps, q -> q <= i AND i < q + {K_SPAN})) = 0)"
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "n_tok",
+        F.size(kept).cast("long").alias("kept_tok"),
+        (F.col("n_tok") - F.size(kept)).cast("long").alias("cut_tok"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_digest"),
+    )
