@@ -198,6 +198,13 @@ AUDITED = {
         "Project — zero Exchange nodes in the whole plan; the chunk "
         "digest is computed in-row from the token slice."
     ),
+    "dedup_exact_substring_cut": (
+        "Audit (r4c): same gram-index shuffle as the span reporter; "
+        "the canonical-occurrence pick is a min_by hash aggregate "
+        "(map-side combinable), loser positions join back as an "
+        "equi-join, and the cleaned text is rebuilt by an in-row "
+        "indexed filter — no window, no Python."
+    ),
     "corpus_pack_sequences": (
         "Audit (r4b): one Exchange on source feeds the applyInPandas "
         "packer (FlatMapGroupsInPandas); inside each group the "
