@@ -222,3 +222,27 @@ def test_contamination_probes_via_broadcast_semi(plans):
     shingles."""
     plan = plans["text_contamination_overlap"]
     assert "BroadcastHashJoin LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_no_duplicated_lambda_in_filter(plans, name):
+    """InferFiltersFromGenerate regression guard (r4c): exploding a
+    NAMED column whose expression is an expensive higher-order lambda
+    lets the optimizer infer a size(col) > 0 filter that
+    project-collapse rewrites back into the full interpreted
+    transform(...) INSIDE the Filter — the array then builds twice
+    per row (text_contamination_overlap measured 4.4 s vs 0.9 s at
+    sf0.1 before the fix: inline the generator input). No registered
+    plan may evaluate a transform/aggregate lambda in a Filter
+    condition."""
+    plan = plans[name]
+    conditions = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("Condition")
+    ]
+    for line in conditions:
+        assert "transform(" not in line and "aggregate(" not in line, (
+            f"{name}: higher-order lambda evaluated inside a Filter — "
+            f"likely a duplicated generator input: {line.strip()[:200]}"
+        )

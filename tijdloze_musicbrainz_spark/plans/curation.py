@@ -223,25 +223,24 @@ GROUP BY d.lang
 def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    with_sh = (
+    # The shingle array is INLINED into explode() on purpose: naming it
+    # as a column first lets InferFiltersFromGenerate add a
+    # size(shingles) > 0 predicate that project-collapse then rewrites
+    # back into the full interpreted transform(...) lambda INSIDE the
+    # Filter — the whole shingle build runs twice per row (measured
+    # 4.4 s vs 0.9 s at sf0.1). Inline generator input dodges the rule.
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - SHINGLE_N),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, SHINGLE_N)),
+        )
+    )
+    exploded = (
         docs.select("doc_id", "source", "lang", toks.alias("tk"))
         .filter(F.size("tk") >= SHINGLE_N)
         .select(
-            "doc_id",
-            "source",
-            "lang",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("tk") - SHINGLE_N),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("tk"), i + 1, SHINGLE_N)
-                    ),
-                )
-            ).alias("shingles"),
+            "doc_id", "source", "lang", F.explode(shingles).alias("shingle")
         )
-    )
-    exploded = with_sh.select(
-        "doc_id", "source", "lang", F.explode("shingles").alias("shingle")
     )
     bench = (
         exploded.filter(F.col("source") == BENCH_SOURCE)

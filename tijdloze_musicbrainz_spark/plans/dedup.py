@@ -224,13 +224,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", shingles_col(F.col("ws")).alias("sgs"))
 
     # (doc, shingle) rows -> 64 permutation-mins in ONE codegen'd hash
-    # aggregate (map-side partial min), then 16 band keys.
-    exploded_sh = sh.select("doc_id", F.explode("sgs").alias("shingle"))
+    # aggregate (map-side partial min), then 16 band keys. Both
+    # explodes take their array expression INLINE: exploding a NAMED
+    # array column lets InferFiltersFromGenerate plant a size(col) > 0
+    # predicate that project-collapse expands back into the full
+    # interpreted shingle transform inside the Filter — the shingle
+    # build then runs twice per row in BOTH self-join branches
+    # (the text_contamination_overlap lesson, r4c; lint-pinned).
+    exploded_sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("ws"))).alias("shingle")
+    )
     sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_exprs())
-    bands = sig.select("doc_id", F.array(*band_key_cols()).alias("bands"))
 
     # (band_key, doc) — 16 rows per doc, shuffled once on band_key.
-    exploded = bands.select("doc_id", F.explode("bands").alias("band_key"))
+    exploded = sig.select(
+        "doc_id", F.explode(F.array(*band_key_cols())).alias("band_key")
+    )
     a = exploded.alias("a")
     b = exploded.alias("b")
     cand = (

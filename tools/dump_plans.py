@@ -32,7 +32,10 @@ AUDITED = {
         "Audit: the 64 permutation mins are flat codegen aggregates "
         "(partial_min / min pairs) after an explode — no interpreted "
         "higher-order lambdas; the band self-join is a plain "
-        "SortMergeJoin/ShuffledHashJoin on band_key."
+        "SortMergeJoin/ShuffledHashJoin on band_key. r4c: both "
+        "explodes take their array expression inline so "
+        "InferFiltersFromGenerate cannot re-expand the shingle "
+        "transform inside a Filter (was 2.3x slower; lint-pinned)."
     ),
     "events_sessionize": (
         "Audit: the session window partitions by user_id "
