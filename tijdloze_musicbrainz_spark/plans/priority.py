@@ -56,7 +56,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # oracle with sim_cosine_topk_exact above, and the slot carries the
     # composed training-dataset headline instead)
     "corpus_training_dataset_e2e",
-    "sim_embedding_near_dup",
+    # (sim_embedding_near_dup moved to the tail in r4c: it is the
+    # brute-force baseline whose scale path sim_near_dup_lsh_bucketed
+    # already lives in the tail; the slot carries the new ExactSubstr
+    # family instead so every dedup tier has an official row)
+    "dedup_exact_substring_spans",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
     # (text_quality_score / text_language_id moved to the tail in r4 to
@@ -78,7 +82,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "j_multiway_candidates",
     "j_left_outer_counts",
     "a_pick_one_deterministic",
-    "a_argmax_threshold",
+    # (a_argmax_threshold moved to the tail in r4c: its A9/O4 are
+    # carried in-window by benchmark_accuracy_replay_e2e and
+    # fuzzy_two_phase_search; the slot carries the next-fit sequence
+    # packer so the dataset-assembly tier has a second official row)
+    "corpus_pack_sequences",
     "a_accuracy_report",
     "set_union_distinct_aliases",
     "f_search_key_normalization",
