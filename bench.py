@@ -36,6 +36,7 @@ HEADLINERS = [
     # r4c: the ExactSubstr pass — the gram-index shuffle is the
     # heaviest per-token cost in the dedup tier, so it belongs here
     "dedup_exact_substring_spans",
+    "dedup_exact_substring_cut",
     "sim_cosine_topk_exact",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
@@ -60,6 +61,7 @@ HEADLINERS = [
     # (r4c — the one applyInPandas stage in the assembly tier)
     "corpus_training_dataset_e2e",
     "corpus_pack_sequences",
+    "corpus_chunk_overlap",
     # the composed dataset-generation DAG at data scale — the closest
     # analog to the reference's headline 8-hour job (BASELINE.md)
     "mb_pipeline_scale",
