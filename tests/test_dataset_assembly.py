@@ -219,3 +219,50 @@ def test_chunk_overlap_coverage(spark, sf_dir):
         if len(chunks) > 1:
             assert n_tok > (len(chunks) - 1) * CHUNK_STRIDE, doc_id
         assert n_tok <= (len(chunks) - 1) * CHUNK_STRIDE + CHUNK_TOKENS, doc_id
+
+
+def test_exact_substring_cut_model_check(spark, sf_dir):
+    """Model-based check of the removal pass: a direct Python
+    recomputation (winner = globally minimal (doc_id, pos) per
+    duplicated gram; cut = union of loser spans; cleaned text md5)
+    must agree with the distributed plan on every document."""
+    import duckdb as _duck
+    import hashlib
+
+    from tijdloze_musicbrainz_spark.plans.dedup import K_SPAN
+
+    docs = _duck.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    occ: dict[tuple, list] = {}
+    toks: dict[int, list] = {}
+    for doc_id, text in docs:
+        tk = [w for w in text.split(" ") if w]
+        toks[doc_id] = tk
+        for i in range(len(tk) - K_SPAN + 1):
+            occ.setdefault(tuple(tk[i : i + K_SPAN]), []).append((doc_id, i))
+    losers: dict[int, list] = {}
+    for g, places in occ.items():
+        if len(places) >= 2:
+            win = min(places)
+            for d, p in places:
+                if (d, p) != win:
+                    losers.setdefault(d, []).append(p)
+    expected = {}
+    for doc_id, tk in toks.items():
+        cut: set[int] = set()
+        for p in losers.get(doc_id, []):
+            cut.update(range(p, p + K_SPAN))
+        kept = [w for i, w in enumerate(tk) if i not in cut]
+        expected[doc_id] = (
+            len(kept),
+            len(tk) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["kept_tok"], r["cut_tok"], r["kept_digest"])
+        for r in REGISTRY["dedup_exact_substring_cut"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    bad = {d: (got[d], expected[d]) for d in got if got[d] != expected[d]}
+    assert not bad, dict(list(bad.items())[:5])
