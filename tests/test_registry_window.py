@@ -76,3 +76,11 @@ def test_window_queries_all_have_oracles():
     exceptions left inside the driver window."""
     rows_only = {n for n in window_names() if REGISTRY[n].oracle is None}
     assert not rows_only, f"unexpected rows-only in window: {rows_only}"
+
+
+def test_no_rows_only_anywhere():
+    """r4c: the volume bench mb_pipeline_scale gained its full SQL twin,
+    so the ENTIRE registry is oracle-checked — pin it so a future
+    registration without an oracle is a conscious decision, not drift."""
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert not rows_only, f"rows-only queries appeared: {rows_only}"
