@@ -71,7 +71,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_clean_pipeline",
     "events_sessionize",
     "multimodal_fake_decode",
-    "multimodal_frame_sample",
+    # (multimodal_frame_sample moved to the tail in r4c: the
+    # multimodal tier keeps its fake_decode row; the slot carries the
+    # composed VOLUME job, which gained its full SQL twin in r4c —
+    # the single strongest row in the registry)
+    "mb_pipeline_scale",
     "streaming_tumbling_window",
     # -- tier 4: unique-coverage relational / fuzzy ----------------------
     "q1_pricing_summary",
