@@ -18,7 +18,7 @@ import pytest
 # brute-force baselines), or an inequality-only self pairing.
 ALLOWED_NESTED_LOOP = {
     "sim_cosine_topk_exact",  # |Q|=5 broadcast x corpus scan
-    "sim_embedding_near_dup",  # documented brute-force baseline
+    "sim_embedding_near_dup",  # 16-row blocks relation self-pairs (<=)
     "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF

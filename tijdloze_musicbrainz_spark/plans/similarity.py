@@ -77,6 +77,12 @@ MAX_QUERIES = 64
 # MAX_BRUTE_FORCE_N + 1 rows (limit-count), not the full corpus.
 MAX_BRUTE_FORCE_N = 200_000
 
+# Hash-block count for the blocked exact near-dup scan: B(B+1)/2 block
+# pairs, each scored by one numpy matmul. 16 blocks keep every task's
+# two block matrices small (N/16 x dim) while giving local[32] full
+# parallelism on the 136 pairs.
+NEAR_DUP_BLOCKS = 16
+
 
 def _guard_brute_force(vecs: DataFrame, name: str, scale_path: str) -> None:
     if vecs.limit(MAX_BRUTE_FORCE_N + 1).count() > MAX_BRUTE_FORCE_N:
@@ -349,14 +355,64 @@ WHERE round({_COS_SQL}, 6) >= 0.45
     "sim_ann_lsh_bucketed is the bucketed scale path.",
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Blocked exact all-pairs (r4c): the old per-pair zip_with/aggregate
+    # fold ran INTERPRETED inside a BroadcastNestedLoopJoin — 111 s for
+    # the 10k-vector sf0.1 corpus. Same O(N^2) math as one BLAS matmul
+    # per block pair runs in ~2 s: vectors group into NEAR_DUP_BLOCKS
+    # hash blocks (one shuffle of N rows), the tiny blocks relation
+    # cross-pairs with itself (B(B+1)/2 rows), and mapInPandas scores
+    # each block pair with one numpy matmul. Still guarded: this is
+    # the oracle baseline, sim_near_dup_lsh_bucketed is the scale path.
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     vecs = _vecs(spark, sf_dir)
     _guard_brute_force(vecs, "sim_embedding_near_dup", "sim_ann_lsh_bucketed")
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = F.broadcast(a).join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= 0.45
+    blocks = vecs.groupBy((F.col("vec_id") % NEAR_DUP_BLOCKS).alias("bid")).agg(
+        F.collect_list("vec_id").alias("ids"),
+        F.collect_list("v").alias("vs"),
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.bid") <= F.col("b.bid"))
+        .select(
+            (F.col("a.bid") == F.col("b.bid")).alias("same_block"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vs").alias("vs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vs").alias("vs_b"),
+        )
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                va = np.array([np.asarray(v) for v in row["vs_a"]], dtype=np.float64)
+                vb = np.array([np.asarray(v) for v in row["vs_b"]], dtype=np.float64)
+                va /= np.linalg.norm(va, axis=1, keepdims=True)
+                vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                sims = np.round(va @ vb.T, 6)
+                # same block: the matrix holds BOTH orderings of every
+                # pair — keep the id-ordered triangle. Distinct blocks:
+                # each unordered pair appears exactly once, but the
+                # smaller id may sit in the higher block — keep all and
+                # emit (min, max).
+                mask = sims >= 0.45
+                if row["same_block"]:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ai, bi = np.nonzero(mask)
+                lo = np.minimum(ids_a[ai], ids_b[bi])
+                hi = np.maximum(ids_a[ai], ids_b[bi])
+                yield pd.DataFrame(
+                    {"vec_a": lo, "vec_b": hi, "cosine": sims[ai, bi]}
+                )
+
+    return pairs.mapInPandas(
+        score, schema="vec_a long, vec_b long, cosine double"
     )
 
 
