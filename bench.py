@@ -38,6 +38,9 @@ HEADLINERS = [
     "dedup_exact_substring_spans",
     "dedup_exact_substring_cut",
     "sim_cosine_topk_exact",
+    # r4c: the blocked exact near-dup scan (was the 111s interpreted
+    # nested loop; now one numpy matmul per block pair)
+    "sim_embedding_near_dup",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
     "corpus_clean_pipeline",
