@@ -25,6 +25,17 @@ FLOAT_QUERIES = [
     "q2_min_cost_supplier",
     "q15_top_supplier",
     "q18_large_volume_customer",
+    # r4c: the new operators' determinism claims — in-row interval
+    # folds over SORTED position lists (spans/cut), the per-source
+    # sorted next-fit (pack), the narrow chunker, the blocked numpy
+    # near-dup (per-pair dot order is fixed by the vector layout, not
+    # by collect_list row order), and the hash-checked volume job
+    "dedup_exact_substring_spans",
+    "dedup_exact_substring_cut",
+    "corpus_pack_sequences",
+    "corpus_chunk_overlap",
+    "sim_embedding_near_dup",
+    "mb_pipeline_scale",
 ]
 
 
