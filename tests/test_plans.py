@@ -246,3 +246,10 @@ def test_no_duplicated_lambda_in_filter(plans, name):
             f"{name}: higher-order lambda evaluated inside a Filter — "
             f"likely a duplicated generator input: {line.strip()[:200]}"
         )
+
+
+def test_chunker_is_shuffle_free(plans):
+    """Overlapping chunking is a pure in-row expansion: scan ->
+    generate -> project with ZERO exchanges (its whole scale story)."""
+    plan = plans["corpus_chunk_overlap"]
+    assert "Exchange" not in plan, "corpus_chunk_overlap shuffles"
