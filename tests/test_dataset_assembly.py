@@ -266,3 +266,52 @@ def test_exact_substring_cut_model_check(spark, sf_dir):
     assert set(got) == set(expected)
     bad = {d: (got[d], expected[d]) for d in got if got[d] != expected[d]}
     assert not bad, dict(list(bad.items())[:5])
+
+
+def test_interval_union_fold_randomized(spark):
+    """The in-row interval-union fold (shared shape of the spans and
+    cut queries) against a brute-force Python union on randomized
+    position lists — batched as ONE DataFrame so Spark overhead stays
+    sane. Covers empties, duplicates-free sorted lists, adjacency at
+    every offset, and position 0 (the sentinel-end=-2 edge)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans.dedup import K_SPAN
+
+    rng = random.Random(20260814)
+    cases = [[]] + [
+        sorted(rng.sample(range(0, 40), rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, ps) for i, ps in enumerate(cases)], "case_id int, ps array<int>"
+    )
+    fold = F.expr(
+        f"""
+aggregate(ps,
+  named_struct('end', CAST(-2 AS BIGINT), 'spans', 0L, 'covered', 0L),
+  (acc, p) -> named_struct(
+    'end', greatest(acc.end, CAST(p AS BIGINT) + {K_SPAN - 1}),
+    'spans', acc.spans + IF(CAST(p AS BIGINT) > acc.end + 1, 1L, 0L),
+    'covered', acc.covered + greatest(0L,
+      CAST(p AS BIGINT) + {K_SPAN}
+        - greatest(acc.end + 1, CAST(p AS BIGINT)))),
+  acc -> named_struct('spans', acc.spans, 'covered', acc.covered))
+"""
+    )
+    got = {
+        r["case_id"]: (r["f"]["spans"], r["f"]["covered"])
+        for r in df.select("case_id", fold.alias("f")).collect()
+    }
+    for i, ps in enumerate(cases):
+        covered: set[int] = set()
+        spans = 0
+        prev_end = -2
+        for p in ps:
+            covered.update(range(p, p + K_SPAN))
+            if p > prev_end + 1:
+                spans += 1
+            prev_end = max(prev_end, p + K_SPAN - 1)
+        assert got[i] == (spans, len(covered)), (i, ps, got[i])
