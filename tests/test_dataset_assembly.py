@@ -315,3 +315,60 @@ aggregate(ps,
                 spans += 1
             prev_end = max(prev_end, p + K_SPAN - 1)
         assert got[i] == (spans, len(covered)), (i, ps, got[i])
+
+
+def test_next_fit_kernel_randomized():
+    """The numpy next-fit kernel vs a sequential reference, including
+    oversized docs (> budget) — a branch no testdata document reaches
+    through the registered query."""
+    import random
+
+    from tijdloze_musicbrainz_spark.plans.textops import next_fit_bins
+
+    rng = random.Random(42)
+    for trial in range(300):
+        budget = rng.choice([1, 5, 17, 64])
+        n = [rng.choice([0, 1, 2, 3, budget - 1, budget, budget + 1,
+                         rng.randint(0, 3 * budget)])
+             for _ in range(rng.randint(0, 25))]
+        # sequential next-fit reference
+        ref, fill, bin_id = [], 0, 0
+        first = True
+        for x in n:
+            if not first and fill + x > budget:
+                bin_id += 1
+                fill = x
+            else:
+                fill += x
+            first = False
+            ref.append(bin_id)
+        got = list(next_fit_bins(n, budget))
+        assert got == ref, (trial, budget, n, got, ref)
+
+
+def test_pack_nested_kernel_matches_module_kernel(spark, sf_dir):
+    """The builder's nested (closure-self-contained) next-fit copy and
+    the module-level next_fit_bins must agree — the duplication exists
+    only because a module-referencing UDF closure cannot unpickle on
+    workers when the driver runs outside the repo."""
+    import numpy as np
+
+    from tijdloze_musicbrainz_spark.plans.textops import (
+        PACK_TOKEN_BUDGET,
+        next_fit_bins,
+    )
+
+    rows = (
+        REGISTRY["corpus_pack_sequences"]
+        .builder(spark, sf_dir)
+        .orderBy("source", "doc_id")
+        .collect()
+    )
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, docs in by_source.items():
+        n = np.array([r["n_tok"] for r in docs], dtype=np.int64)
+        expect = list(next_fit_bins(n, PACK_TOKEN_BUDGET))
+        got = [r["seq_in_source"] for r in docs]
+        assert got == expect, source

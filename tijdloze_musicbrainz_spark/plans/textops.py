@@ -1281,6 +1281,41 @@ def text_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_TOKEN_BUDGET = 256
 
 
+def next_fit_bins(n, budget: int):
+    """Next-fit packing kernel: bin ids for token counts ``n`` in
+    order. O(#bins) numpy searchsorted calls on the cumsum — never a
+    per-row Python loop. A doc larger than ``budget`` becomes an
+    oversized singleton bin (it can never share). Unit-testable on its
+    own because the testdata has no oversized docs to exercise that
+    branch through the registered query.
+
+    NOTE: the registered builder carries a NESTED copy of this kernel
+    on purpose — a UDF closure referencing this module-level function
+    pickles BY REFERENCE, and Python workers import by PYTHONPATH, not
+    the driver's sys.path, so a driver launched outside the repo dies
+    with ModuleNotFoundError (caught by the /verify recipe's fresh
+    /tmp process). tests/test_dataset_assembly.py pins that the two
+    copies agree."""
+    import numpy as np  # noqa: PLC0415
+
+    n = np.asarray(n, dtype=np.int64)
+    cs = np.cumsum(n)
+    bins = np.zeros(len(n), np.int64)
+    start, bin_id, offset = 0, 0, 0
+    while start < len(n):
+        # widest prefix from `start` whose token sum fits the budget
+        j = int(np.searchsorted(cs, offset + budget, side="right"))
+        if j == start:  # single doc larger than the budget: own bin
+            j = start + 1
+        bins[start:j] = bin_id
+        bin_id += 1
+        offset = int(cs[j - 1])
+        start = j
+    return bins
+
+
+
+
 @register(
     "corpus_pack_sequences",
     survey_ids=(),
@@ -1328,16 +1363,20 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", n_tok.cast("long").alias("n_tok")
     )
 
+    budget = PACK_TOKEN_BUDGET
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # self-contained copy of next_fit_bins (see its NOTE): the
+        # closure must not reference this module or workers launched
+        # from a foreign cwd cannot unpickle it
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
         n = pdf["n_tok"].to_numpy(np.int64)
         cs = np.cumsum(n)
         bins = np.zeros(len(n), np.int64)
         start, bin_id, offset = 0, 0, 0
         while start < len(n):
-            # widest prefix from `start` whose token sum fits the budget
-            j = int(np.searchsorted(cs, offset + PACK_TOKEN_BUDGET, side="right"))
-            if j == start:  # single doc larger than the budget: own bin
+            j = int(np.searchsorted(cs, offset + budget, side="right"))
+            if j == start:
                 j = start + 1
             bins[start:j] = bin_id
             bin_id += 1
