@@ -33,7 +33,14 @@ def canon(v):
 
 
 def main() -> int:
-    sys.path.insert(0, ".")
+    # repo root derived from this file, NOT cwd: the sweep must work
+    # from any directory — which also proves every UDF closure is
+    # self-contained (workers resolve imports via PYTHONPATH, so a
+    # closure that references a repo module dies from a foreign cwd;
+    # see the corpus_pack_sequences history).
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     import duckdb
