@@ -1,0 +1,81 @@
+"""Edge-case differential harness for the r4c operators: a constructed
+documents table exercises branches the driver testdata never reaches
+(empty text, docs shorter than K_SPAN, a doc larger than the packing
+budget, heavy in-document gram repetition, double spaces), and each
+query's Spark builder is compared against its own DuckDB oracle on the
+SAME parquet — the full differential contract, just on hostile rows."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+EDGE_QUERIES = [
+    "dedup_exact_substring_spans",
+    "dedup_exact_substring_cut",
+    "corpus_pack_sequences",
+    "corpus_chunk_overlap",
+    "text_repetition_filter",
+]
+
+DOCS = [
+    (0, "", "en", "srcA"),
+    (1, "one", "en", "srcA"),
+    (2, "a b c d e f g", "en", "srcA"),  # K_SPAN - 1 tokens
+    (3, "a b c d e f g h", "en", "srcA"),  # exactly K_SPAN
+    (4, "  double  spaces   here  ", "en", "srcB"),
+    # oversized vs PACK_TOKEN_BUDGET=256 -> singleton sequence
+    (5, " ".join(f"w{i}" for i in range(300)), "en", "srcB"),
+    # heavy in-doc repetition: the same 8-gram recurs within ONE doc
+    (6, " ".join(["r"] * 40), "en", "srcB"),
+    # cross-doc duplicated span: shares an 8+-gram with doc 3
+    (7, "a b c d e f g h extra tail words", "en", "srcA"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_corpus")
+    df = spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, t, lang, src in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    return v
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_corpus_matches_oracle(spark, edge_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, edge_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(_canon(r[c]) for c in scols) for r in sdf.collect()], key=repr
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet/*.parquet')"
+    )
+    rel = con.execute(spec.oracle)
+    cols0 = [d[0] for d in rel.description]
+    idx = [cols0.index(c) for c in sorted(cols0)]
+    drows = sorted(
+        [tuple(_canon(r[i]) for i in idx) for r in rel.fetchall()], key=repr
+    )
+    assert scols == sorted(cols0), (scols, sorted(cols0))
+    assert srows == drows, (
+        f"{name}: first diffs "
+        f"{[(a, b) for a, b in zip(srows, drows) if a != b][:3]}"
+    )
+    assert len(srows) > 0

@@ -110,7 +110,7 @@ per_doc AS (
 SELECT t.doc_id,
        CAST(len(t.tk) AS BIGINT) AS n_words,
        round((len(t.tk) - len(list_distinct(t.tk)))
-             / CAST(len(t.tk) AS DOUBLE), 6) AS dup_word_ratio,
+             / CAST(nullif(len(t.tk), 0) AS DOUBLE), 6) AS dup_word_ratio,
        round(p.top_n / CAST(p.n_bigrams AS DOUBLE), 6) AS top_bigram_ratio,
        (p.top_n / CAST(p.n_bigrams AS DOUBLE)) > {TOP_BIGRAM_RATIO_MAX}
          AS is_repetitive
@@ -158,9 +158,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared.select(
         "doc_id",
         F.size("tk").cast("long").alias("n_words"),
+        # nullif: empty document -> NULL ratio, not a divide-by-zero
         F.round(
             (F.size("tk") - F.size(F.array_distinct("tk")))
-            / F.size("tk").cast("double"),
+            / F.nullif(F.size("tk"), F.lit(0)).cast("double"),
             6,
         ).alias("dup_word_ratio"),
         F.round(ratio, 6).alias("top_bigram_ratio"),

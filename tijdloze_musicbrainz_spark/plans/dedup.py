@@ -616,8 +616,8 @@ SELECT s.doc_id,
        CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
        CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
        CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-       round(coalesce(a.dup_tokens, 0) / CAST(s.n_tok AS DOUBLE), 6)
-         AS dup_frac
+       round(coalesce(a.dup_tokens, 0)
+             / CAST(nullif(s.n_tok, 0) AS DOUBLE), 6) AS dup_frac
 FROM sized s LEFT JOIN agg a USING (doc_id)
 """,
     doc="Exact-substring span dedup (Lee et al. 2021 ExactSubstr pass, "
@@ -691,9 +691,11 @@ aggregate(ps,
         F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        # nullif: an empty document (n_tok = 0) must yield a NULL
+        # fraction, not an ANSI divide-by-zero (edge-corpus test)
         F.round(
             F.coalesce("dup_tokens", F.lit(0))
-            / F.col("n_tok").cast("double"),
+            / F.nullif(F.col("n_tok"), F.lit(0)).cast("double"),
             6,
         ).alias("dup_frac"),
     )
