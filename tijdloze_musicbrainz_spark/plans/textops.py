@@ -82,10 +82,10 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id, lang,
-       round(CAST(n_punct AS DOUBLE) / n, 4) AS punct_ratio,
+       round(CAST(n_punct AS DOUBLE) / nullif(n, 0), 4) AS punct_ratio,
        round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
        (n >= 100 AND n <= 20000
-        AND CAST(n_punct AS DOUBLE) / n < 0.1) AS passes_quality
+        AND CAST(n_punct AS DOUBLE) / nullif(n, 0) < 0.1) AS passes_quality
 FROM q
 """,
     doc="Quality scoring: length gate, punctuation ratio, stopword "
@@ -103,7 +103,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: w.isin("the", "a", "and", "of", "to"),
         )
     )
-    punct_ratio = n_punct.cast("double") / n
+    # nullif: an empty document must yield NULL ratios, not an ANSI
+    # divide-by-zero (edge-corpus test); n_tok is never 0 (split of ''
+    # yields [''])
+    punct_ratio = n_punct.cast("double") / F.nullif(n, F.lit(0))
     return docs.select(
         "doc_id",
         "lang",
