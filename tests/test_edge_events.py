@@ -1,0 +1,81 @@
+"""Edge-case differential harness for the events tier: constructed
+events exercise zero-variance groups (the z-score crash class),
+singleton event types, duplicate timestamps, and single-event users —
+each query's builder vs its own DuckDB oracle on the same parquet."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+EDGE_EVENT_QUERIES = [
+    "events_anomaly_zscore",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_session_window_native",
+    "events_json_extract",
+    "events_hypertable_rollup",
+    "events_moving_frame",
+    "events_funnel_conversion",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_events")
+    con = duckdb.connect()
+    rows = []
+    # zero-variance type: 20 events, constant value, one per minute
+    for i in range(20):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "flat", 5.0, '{"k": 1}'))
+    # singleton type (n = 1: variance term is exactly 0 too)
+    rows.append((100, "2024-01-01 01:00:00", 2, "solo", 7.0, '{"k": 2}'))
+    # duplicate timestamps, same user, funnel-ish types
+    rows.append((200, "2024-01-02 00:00:00", 3, "view", 1.0, '{"k": 3}'))
+    rows.append((201, "2024-01-02 00:00:00", 3, "click", 2.0, '{"k": 4}'))
+    rows.append((202, "2024-01-02 00:00:00", 3, "purchase", 3.0, '{"k": 5}'))
+    # single-event user far away in time
+    rows.append((300, "2024-02-01 12:00:00", 4, "view", 9.0, '{"k": 6}'))
+    con.execute(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT parquet)")
+    return str(d)
+
+
+def _canon(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 9)
+    return v
+
+
+@pytest.mark.parametrize("name", EDGE_EVENT_QUERIES)
+def test_edge_events_matches_oracle(spark, edge_events_dir, name):
+    spec = REGISTRY[name]
+    sdf = spec.builder(spark, edge_events_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        [tuple(_canon(r[c]) for c in scols) for r in sdf.collect()], key=repr
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{edge_events_dir}/events.parquet')"
+    )
+    rel = con.execute(spec.oracle)
+    cols0 = [d[0] for d in rel.description]
+    idx = [cols0.index(c) for c in sorted(cols0)]
+    drows = sorted(
+        [tuple(_canon(r[i]) for i in idx) for r in rel.fetchall()], key=repr
+    )
+    assert scols == sorted(cols0), (scols, sorted(cols0))
+    assert srows == drows, (
+        f"{name}: first diffs "
+        f"{[(a, b) for a, b in zip(srows, drows) if a != b][:3]}"
+    )

@@ -616,7 +616,8 @@ WITH stats AS (
 ), scored AS (
   SELECT e.event_id, e.event_type, e.value,
          (e.value - st.s1 / st.n)
-           / sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n)) AS z
+           / nullif(sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n)), 0)
+           AS z
   FROM events e JOIN stats st ON e.event_type = st.event_type
 )
 SELECT event_type,
@@ -644,7 +645,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec * vdec).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    z = (F.col("value") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # nullif: a zero-variance group (constant values) must yield NULL
+    # z-scores, not an ANSI divide-by-zero (edge-events test)
+    z = (F.col("value") - mean) / F.nullif(
+        F.sqrt(F.col("s2") / F.col("n") - mean * mean), F.lit(0.0)
+    )
     scored = ev.join(F.broadcast(stats), "event_type").select(
         "event_type", F.abs(z).alias("abs_z")
     )

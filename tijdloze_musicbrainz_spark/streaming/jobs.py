@@ -512,7 +512,8 @@ SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN abs(
              (e.value - st.s1 / st.n)
-             / sqrt(st.s2 / st.n - (st.s1 / st.n) * (st.s1 / st.n))
+             / nullif(sqrt(st.s2 / st.n
+                           - (st.s1 / st.n) * (st.s1 / st.n)), 0)
            ) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM events e JOIN stats st ON e.event_type = st.event_type
 GROUP BY e.event_type
@@ -537,7 +538,11 @@ def streaming_static_join_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(vdec * vdec).cast("double").alias("s2"),
     )
     mean = F.col("s1") / F.col("n")
-    z = (F.col("value") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    # nullif: a zero-variance group (constant values) must yield NULL
+    # z-scores, not an ANSI divide-by-zero (edge-events test)
+    z = (F.col("value") - mean) / F.nullif(
+        F.sqrt(F.col("s2") / F.col("n") - mean * mean), F.lit(0.0)
+    )
     scored = (
         stream_events(spark, sf_dir)
         .join(F.broadcast(stats), "event_type")
