@@ -109,8 +109,13 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine over double-cast arrays; norms are never 0 in testdata."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine over double-cast arrays. A zero-norm side yields NULL
+    (nullif), never an ANSI divide-by-zero — threshold filters and the
+    IS NOT NULL guards then exclude the pair: a zero vector has no
+    direction, so it matches nothing (edge-embeddings test)."""
+    return dot(a, b) / F.nullif(
+        F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0.0)
+    )
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,9 +124,17 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit null-safe cosine (NOT list_cosine_similarity): a zero-norm
+# side must yield NULL in BOTH engines — DuckDB's NaN compares GREATER
+# than everything, so a NaN cosine would contaminate thresholds and
+# top-k windows that Spark's NULL correctly excludes.
 _COS_SQL = (
-    "list_cosine_similarity("
-    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    "(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) "
+    "/ nullif(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(a.embedding AS DOUBLE[]))) "
+    "* sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[]))), 0))"
 )
 
 
@@ -137,6 +150,7 @@ scored AS (
 )
 SELECT query_id, match_id, cosine
 FROM scored
+WHERE cosine IS NOT NULL
 QUALIFY row_number() OVER (
   PARTITION BY query_id ORDER BY cosine DESC, match_id) <= {TOP_K}
 """,
@@ -163,7 +177,8 @@ def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= TOP_K)
         .drop("__rn")
     )
@@ -393,8 +408,12 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids_b = np.asarray(row["ids_b"], dtype=np.int64)
                 va = np.array([np.asarray(v) for v in row["vs_a"]], dtype=np.float64)
                 vb = np.array([np.asarray(v) for v in row["vs_b"]], dtype=np.float64)
-                va /= np.linalg.norm(va, axis=1, keepdims=True)
-                vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                # zero-norm rows normalize to the zero vector (cosine
+                # 0 to everything -> below threshold), never 0/0 NaN
+                na = np.linalg.norm(va, axis=1, keepdims=True)
+                nb = np.linalg.norm(vb, axis=1, keepdims=True)
+                va /= np.where(na == 0, 1.0, na)
+                vb /= np.where(nb == 0, 1.0, nb)
                 sims = np.round(va @ vb.T, 6)
                 # same block: the matrix holds BOTH orderings of every
                 # pair — keep the id-ordered triangle. Distinct blocks:
@@ -461,7 +480,9 @@ def sim_cosine_topk_pandas(
 
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_valid = q_norms[:, 0] > 0  # zero-norm queries match nothing
+    q_norm = q_mat / np.where(q_norms == 0, 1.0, q_norms)
 
     out_schema = "query_id long, match_id long, cosine double"
 
@@ -471,7 +492,9 @@ def sim_cosine_topk_pandas(
         for pdf in batches:
             m = np.array(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
-            m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+            m_norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m_valid = m_norms[:, 0] > 0
+            m_norm = m / np.where(m_norms == 0, 1.0, m_norms)
             # NOTE: numpy matmul uses pairwise/SIMD summation while
             # the oracle folds sequentially — the float64 results can
             # differ in the last ulps. The 6-digit rounding absorbs
@@ -479,12 +502,14 @@ def sim_cosine_topk_pandas(
             # 0.5e-6 boundary (~1e-9 per pair); at corpus scale,
             # demote this entry to rows-only.
             sims = np.round(q_norm @ m_norm.T, 6)
-            n_q, n_m = sims.shape
+            # zero-norm pairs are EXCLUDED (the exact variant's NULL
+            # cosine), not emitted as 0.0
+            qi, mi = np.nonzero(q_valid[:, None] & m_valid[None, :])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, n_m),
-                    "match_id": np.tile(ids, n_q),
-                    "cosine": sims.reshape(-1),
+                    "query_id": q_ids[qi],
+                    "match_id": ids[mi],
+                    "cosine": sims[qi, mi],
                 }
             )
 
@@ -619,8 +644,11 @@ scaled AS (
 ),
 quant AS (
   SELECT vec_id, v, max_abs,
-         list_transform(v, x -> CAST(floor(x * 127.0 / max_abs + 0.5)
-                                     AS BIGINT)) AS q
+         CASE WHEN max_abs = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(floor(x * 127.0 / max_abs
+                                                     + 0.5) AS BIGINT))
+         END AS q
   FROM scaled
 )
 SELECT vec_id,
@@ -647,10 +675,12 @@ def sim_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     max_abs = F.array_max(F.transform(F.col("v"), F.abs))
     scaled = vecs.withColumn("max_abs", max_abs)
+    # a zero vector (max_abs = 0) quantizes to all-zero codes — the
+    # 0/0 division would be an ANSI error (edge-embeddings test)
     q = F.transform(
         F.col("v"),
-        lambda x: F.floor(x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)).cast(
-            "long"
+        lambda x: F.when(F.col("max_abs") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(x * F.lit(127.0) / F.col("max_abs") + F.lit(0.5)).cast("long")
         ),
     )
     quant = scaled.withColumn("q", q)
