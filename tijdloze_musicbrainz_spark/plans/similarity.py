@@ -27,17 +27,20 @@ Three registered queries:
    vectors are fetched once afterwards — never O(N·Q) for large Q
    and never an array-carrying 24·N shuffle.
 3. ``sim_embedding_near_dup`` — the embedding-cosine near-dup tier of
-   the dedup suite: all pairs with cosine >= 0.45. Documented
-   brute-force baseline (oracle-checked); the LSH variant above is
-   the scale path for this too.
+   the dedup suite: all pairs with cosine >= 0.45. Exact oracle
+   baseline, since r4c BLOCKED: 16 hash blocks, one numpy matmul per
+   block pair (127x over the old per-pair interpreted fold); the LSH
+   variant above is the scale path for this too.
 
-Dot products run as ``zip_with``/``aggregate`` fold over
-``array<double>`` — sequential in index order, matching the DuckDB
-oracle's double-cast ``list_cosine_similarity``; results are rounded
-to 6 digits before ranking so both engines rank identical values.
-These higher-order folds are interpreted (not codegen) — fine for
-64-dim × small candidate sets; the documented scale path for wide
-batches is a vectorized Pandas UDF over ``mapInPandas``.
+Expression-lane dot products run as ``zip_with``/``aggregate`` folds
+over ``array<double>`` — sequential in index order; results are
+rounded to 6 digits before ranking so both engines rank identical
+values. Zero-norm vectors yield NULL cosine on BOTH engines (the
+oracles use an explicit dot/nullif(norms) formula because DuckDB's
+NaN compares greater than everything) and are excluded from every
+match set. The folds are interpreted (not codegen) — fine for
+64-dim × small candidate sets; wide batches take the numpy-matmul
+lanes (``sim_cosine_topk_pandas``, the blocked near-dup).
 """
 
 from __future__ import annotations
