@@ -21,6 +21,10 @@ EDGE_EVENT_QUERIES = [
     "events_hypertable_rollup",
     "events_moving_frame",
     "events_funnel_conversion",
+    # streaming twins drain the same file via availableNow — the
+    # zero-variance fix in the stream scorer is pinned here too
+    "streaming_static_join_zscore",
+    "streaming_tumbling_window",
 ]
 
 
