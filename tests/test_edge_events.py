@@ -25,6 +25,10 @@ EDGE_EVENT_QUERIES = [
     # zero-variance fix in the stream scorer is pinned here too
     "streaming_static_join_zscore",
     "streaming_tumbling_window",
+    # the multimodal tier decodes the same props payloads as bytes
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "multimodal_feature_embed",
 ]
 
 
@@ -44,6 +48,11 @@ def edge_events_dir(tmp_path_factory):
     rows.append((202, "2024-01-02 00:00:00", 3, "purchase", 3.0, '{"k": 5}'))
     # single-event user far away in time
     rows.append((300, "2024-02-01 12:00:00", 4, "view", 9.0, '{"k": 6}'))
+    # hostile props payloads: empty, malformed, NULL — from_json NULLs
+    # them, so the json_extract oracle must too
+    rows.append((400, "2024-02-01 13:00:00", 5, "view", 1.0, ""))
+    rows.append((401, "2024-02-01 13:01:00", 5, "view", 1.0, '{"k": oops'))
+    rows.append((402, "2024-02-01 13:02:00", 5, "view", 1.0, None))
     con.execute(
         "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"

@@ -25,11 +25,16 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
     survey_ids=(),
     oracle="""
 SELECT event_id, event_type,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS BIGINT)
+            ELSE NULL END AS k
 FROM events
 """,
     doc="from_json with explicit schema over the props payload "
-    "(never schema inference at scale).",
+    "(never schema inference at scale). Spark's from_json NULLs "
+    "corrupt/empty/NULL payloads rather than failing; the oracle "
+    "guards with json_valid so both engines agree on hostile rows "
+    "(edge-events test).",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")

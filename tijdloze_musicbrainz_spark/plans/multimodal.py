@@ -50,7 +50,9 @@ def fake_byte_features(spark: SparkSession, media: DataFrame) -> DataFrame:
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            blobs = pdf["blob"]
+            # a NULL media blob decodes as the EMPTY payload — a None
+            # would TypeError every len/sum below (edge-events test)
+            blobs = pdf["blob"].map(lambda b: b if b is not None else b"")
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"],
@@ -72,15 +74,17 @@ def fake_byte_features(spark: SparkSession, media: DataFrame) -> DataFrame:
     "multimodal_fake_decode",
     survey_ids=(),
     oracle="""
+WITH p AS (SELECT event_id, coalesce(props, '') AS props FROM events)
 SELECT event_id,
        CAST(length(props) AS BIGINT) AS n_bytes,
        CAST(CASE WHEN length(props) > 0
             THEN ascii(substring(props, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte,
-       CAST(list_reduce(
+       CAST(CASE WHEN length(props) > 0 THEN list_reduce(
             list_transform(range(1, length(props) + 1),
                            i -> ascii(substring(props, i, 1))),
-            (acc, x) -> (acc + x) % 256) % 256 AS BIGINT) AS byte_sum_mod
-FROM events
+            (acc, x) -> (acc + x) % 256) % 256
+            ELSE 0 END AS BIGINT) AS byte_sum_mod
+FROM p
 """,
     doc="The multimodal decode pattern end-to-end with a fake decoder: "
     "binary column (props bytes) -> repartition -> mapInPandas Arrow "
@@ -156,7 +160,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
         for pdf in batches:
-            blobs = pdf["blob"].tolist()
+            # NULL blob == empty payload: yields no frames (matches the
+            # oracle, whose range over length(NULL) unnests to nothing)
+            blobs = [b if b is not None else b"" for b in pdf["blob"].tolist()]
             if not blobs:
                 yield empty
                 continue
@@ -211,8 +217,8 @@ N_FEATURES = 8
     # octet_length, not character length.
     oracle=f"""
 WITH h AS (
-  SELECT event_id, to_hex(encode(props)) AS hx,
-         octet_length(encode(props)) AS nb
+  SELECT event_id, to_hex(encode(coalesce(props, ''))) AS hx,
+         octet_length(encode(coalesce(props, ''))) AS nb
   FROM events
 ),
 b AS (
@@ -254,7 +260,8 @@ def multimodal_feature_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
-            blobs = pdf["blob"].tolist()
+            # NULL blob == empty payload -> all-zero histogram
+            blobs = [b if b is not None else b"" for b in pdf["blob"].tolist()]
             n_rows = len(blobs)
             lens = np.fromiter(
                 (len(b) for b in blobs), dtype=np.int64, count=n_rows
