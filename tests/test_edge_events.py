@@ -53,6 +53,20 @@ def edge_events_dir(tmp_path_factory):
     rows.append((400, "2024-02-01 13:00:00", 5, "view", 1.0, ""))
     rows.append((401, "2024-02-01 13:01:00", 5, "view", 1.0, '{"k": oops'))
     rows.append((402, "2024-02-01 13:02:00", 5, "view", 1.0, None))
+    # VALID JSON, hostile k types (ADVICE r4): non-numeric k hard-errors
+    # a plain CAST in DuckDB; Spark's strict LongType parse NULLs every
+    # one of these (including the quoted "5", the float, the bool, and
+    # the int64 overflow) — both engines must agree on NULL
+    rows.append((403, "2024-02-01 13:03:00", 5, "view", 1.0, '{"k": "abc"}'))
+    rows.append((404, "2024-02-01 13:04:00", 5, "view", 1.0, '{"k": "5"}'))
+    rows.append((405, "2024-02-01 13:05:00", 5, "view", 1.0, '{"k": 5.7}'))
+    rows.append((406, "2024-02-01 13:06:00", 5, "view", 1.0, '{"k": true}'))
+    rows.append((407, "2024-02-01 13:07:00", 5, "view", 1.0, '{"k": null}'))
+    rows.append((408, "2024-02-01 13:08:00", 5, "view", 1.0, "{}"))
+    rows.append(
+        (409, "2024-02-01 13:09:00", 5, "view", 1.0, '{"k": 99999999999999999999}')
+    )
+    rows.append((410, "2024-02-01 13:10:00", 5, "view", 1.0, '{"k": -3}'))
     con.execute(
         "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"

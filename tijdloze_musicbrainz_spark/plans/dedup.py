@@ -575,6 +575,34 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_SPAN = 8  # tokens per span seed (Lee et al. use 50 BPE tokens at web scale)
 
 
+def _gram_hashes(k: int):
+    """Per-position 128-bit gram fingerprints: array<struct<h1,h2>> of
+    TWO independently-seeded xxhash64 values over each k-token gram
+    (h2 prepends a salt literal, giving an independent keyspace).
+
+    One 64-bit hash collides at corpus scale: ~1e13 grams in 100 TB
+    puts the 64-bit birthday bound at p ~ 1 — a silent false
+    "duplicated" mark (and in the cut variant, silently removed text).
+    Grouping on the (h1, h2) PAIR is a 128-bit key: p ~ G^2 / 2^129
+    ~ 1e-13 at 1e13 grams (ADVICE r4). Cost: one extra long per gram
+    row in the inverted-index shuffle (3 -> 4 longs). The gram string
+    materializes once in the inner transform; both hashes map over it.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), (F.col("n_tok") - k).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k)),
+    )
+    pair = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.xxhash64(g).alias("h1"), F.xxhash64(F.lit("xs2"), g).alias("h2")
+        ),
+    )
+    return F.when(F.col("n_tok") >= k, pair).otherwise(
+        F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+    )
+
+
 @register(
     "dedup_exact_substring_spans",
     survey_ids=(),
@@ -626,12 +654,15 @@ FROM sized s LEFT JOIN agg a USING (doc_id)
     "duplicated positions, and a per-document interval-union fold over "
     "the SORTED position list (aggregate with struct state — zero "
     "window, map-side combinable collect) yields covered-token counts "
-    "and maximal-span counts. Shuffle cost: one row of three longs per "
+    "and maximal-span counts. Shuffle cost: one row of four longs per "
     "corpus token for the gram index (the algorithm's inherent cost; "
     "the published suffix-array variant is single-machine), plus one "
-    "doc-keyed shuffle of only the DUPLICATED positions. The oracle "
-    "groups raw gram STRINGS — an independent formulation that also "
-    "certifies the hash carries no collisions at test scale.",
+    "doc-keyed shuffle of only the DUPLICATED positions. Grams key on "
+    "a 128-bit (h1, h2) double xxhash64 so a corpus-scale collision "
+    "cannot silently mark unrelated grams duplicated (see "
+    "_gram_hashes). The oracle groups raw gram STRINGS — an "
+    "independent formulation that certifies collision-freedom "
+    "end-to-end at test scale.",
 )
 def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -639,23 +670,17 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("tk")).select(
         "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
     )
-    # array of (0-based pos implicit) gram hashes; empty when too short
-    gram_hashes = F.when(
-        F.col("n_tok") >= K_SPAN,
-        F.transform(
-            F.sequence(F.lit(0), (F.col("n_tok") - K_SPAN).cast("int")),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("tk"), i + 1, K_SPAN))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # per-position 128-bit gram fingerprints; empty when too short
     grams = base.select(
-        "doc_id", F.posexplode(gram_hashes).alias("pos", "ghash")
-    )
+        "doc_id", F.posexplode(_gram_hashes(K_SPAN)).alias("pos", "gh")
+    ).select("doc_id", "pos", "gh.h1", "gh.h2")
     dup_hashes = (
-        grams.groupBy("ghash").count().filter(F.col("count") >= 2).select("ghash")
+        grams.groupBy("h1", "h2")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("h1", "h2")
     )
-    dpos = grams.join(dup_hashes, "ghash", "leftsemi")
+    dpos = grams.join(dup_hashes, ["h1", "h2"], "leftsemi")
     fold = F.expr(
         f"""
 aggregate(ps,
@@ -765,20 +790,13 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", toks.alias("tk")).select(
         "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
     )
-    gram_hashes = F.when(
-        F.col("n_tok") >= K_SPAN,
-        F.transform(
-            F.sequence(F.lit(0), (F.col("n_tok") - K_SPAN).cast("int")),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", F.slice(F.col("tk"), i + 1, K_SPAN))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # 128-bit (h1, h2) gram keys — a collision here would CUT unrelated
+    # text, the worst silent-failure mode (see _gram_hashes)
     grams = base.select(
-        "doc_id", F.posexplode(gram_hashes).alias("pos", "ghash")
-    )
+        "doc_id", F.posexplode(_gram_hashes(K_SPAN)).alias("pos", "gh")
+    ).select("doc_id", "pos", "gh.h1", "gh.h2")
     winners = (
-        grams.groupBy("ghash")
+        grams.groupBy("h1", "h2")
         .agg(
             F.count("*").alias("n"),
             F.min_by(
@@ -787,9 +805,9 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .filter(F.col("n") >= 2)
-        .select("ghash", "w.w_doc", "w.w_pos")
+        .select("h1", "h2", "w.w_doc", "w.w_pos")
     )
-    losers = grams.join(winners, "ghash").filter(
+    losers = grams.join(winners, ["h1", "h2"]).filter(
         ~((F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos")))
     )
     per_doc = losers.groupBy("doc_id").agg(

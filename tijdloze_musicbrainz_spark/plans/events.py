@@ -26,15 +26,20 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
     oracle="""
 SELECT event_id, event_type,
        CASE WHEN props IS NOT NULL AND json_valid(props)
-            THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                 AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+            THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
             ELSE NULL END AS k
 FROM events
 """,
     doc="from_json with explicit schema over the props payload "
     "(never schema inference at scale). Spark's from_json NULLs "
-    "corrupt/empty/NULL payloads rather than failing; the oracle "
-    "guards with json_valid so both engines agree on hostile rows "
-    "(edge-events test).",
+    "corrupt/empty/NULL payloads rather than failing, and is STRICT "
+    "about the value type: only actual JSON integers parse as LongType "
+    '({"k": "5"}, {"k": 5.7}, {"k": true} are all NULL — probed). The '
+    "oracle therefore gates on json_type IN (BIGINT, UBIGINT) and uses "
+    "TRY_CAST (int64 overflow -> NULL on both engines); a plain CAST "
+    'would hard-error DuckDB on {"k": "abc"} (ADVICE r4; edge-events '
+    "test pins all 11 payload classes).",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")

@@ -376,7 +376,13 @@ WHERE round({_COS_SQL}, 6) >= 0.45
 """,
     doc="Embedding-cosine near-dup pairs (threshold 0.45): the "
     "documented brute-force baseline of the dedup suite; "
-    "sim_ann_lsh_bucketed is the bucketed scale path.",
+    "sim_ann_lsh_bucketed is the bucketed scale path. NOTE (ADVICE "
+    "r4): the numpy matmul uses pairwise/SIMD summation while the "
+    "oracle folds sequentially — a last-ulp float64 difference "
+    "straddling the 0.45 threshold (or a 0.5e-6 rounding boundary) "
+    "can flip pair membership (~1e-9 chance per pair). If a boundary "
+    "mismatch ever appears at scale, demote this entry to rows-only "
+    "exactly as documented on sim_cosine_topk_pandas.",
 )
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked exact all-pairs (r4c): the old per-pair zip_with/aggregate

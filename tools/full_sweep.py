@@ -29,6 +29,12 @@ def canon(v):
         return round(float(v), 9)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    # Recurse into nested collections so floats inside array/struct/map
+    # columns are ulp-normalized too, not compared raw (ADVICE r4).
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
 
 
