@@ -16,6 +16,7 @@ from tijdloze_musicbrainz_spark.plans import REGISTRY
 
 EDGE_QUERIES = [
     "dedup_exact_substring_spans",
+    "dedup_exact_substring_spans_k50",
     "dedup_exact_substring_cut",
     "corpus_pack_sequences",
     "corpus_chunk_overlap",

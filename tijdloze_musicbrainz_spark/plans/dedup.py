@@ -651,28 +651,44 @@ def _gram_hashes(k: int):
     )
 
 
-@register(
-    "dedup_exact_substring_spans",
-    survey_ids=(),
-    oracle=f"""
+# tokenizer pairs (Spark expr, DuckDB SQL) — proven hash-identical in
+# the token-stats queries: whitespace words, and the BPE-ish regex
+# (runs of letters, runs of digits, single other chars; no token can
+# contain a space, so the ' '-joined gram string stays injective)
+_WS_TOKENS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+_BPE_TOKENS_SQL = "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+
+
+def _ws_tokens():
+    return F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+
+def _bpe_tokens():
+    return F.regexp_extract_all(
+        F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+    )
+
+
+def _spans_oracle(k: int, tokens_sql: str) -> str:
+    return f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  SELECT doc_id, {tokens_sql} AS tk
   FROM documents
 ),
 sized AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks),
 grams AS (
   SELECT doc_id,
-         unnest(range(1, n_tok - {K_SPAN} + 2)) - 1 AS pos,
-         unnest(list_transform(range(1, n_tok - {K_SPAN} + 2),
-                i -> array_to_string(list_slice(tk, i, i + {K_SPAN} - 1), ' ')))
+         unnest(range(1, n_tok - {k} + 2)) - 1 AS pos,
+         unnest(list_transform(range(1, n_tok - {k} + 2),
+                i -> array_to_string(list_slice(tk, i, i + {k} - 1), ' ')))
            AS g
-  FROM sized WHERE n_tok >= {K_SPAN}
+  FROM sized WHERE n_tok >= {k}
 ),
 dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
 dpos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
 merged AS (
   SELECT doc_id, pos,
-         max(pos + {K_SPAN} - 1) OVER (
+         max(pos + {k} - 1) OVER (
            PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
   FROM dpos
@@ -682,7 +698,7 @@ agg AS (
          count(*) AS n_dup_grams,
          sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
                   THEN 1 ELSE 0 END) AS n_spans,
-         sum(greatest(0, pos + {K_SPAN}
+         sum(greatest(0, pos + {k}
                          - greatest(coalesce(prev_end, -1) + 1, pos)))
            AS dup_tokens
   FROM merged GROUP BY doc_id
@@ -695,32 +711,21 @@ SELECT s.doc_id,
        round(coalesce(a.dup_tokens, 0)
              / CAST(nullif(s.n_tok, 0) AS DOUBLE), 6) AS dup_frac
 FROM sized s LEFT JOIN agg a USING (doc_id)
-""",
-    doc="Exact-substring span dedup (Lee et al. 2021 ExactSubstr pass, "
-    "re-expressed distributed): every K_SPAN-token gram is hashed "
-    "(xxhash64, JVM-side), grams occurring >= 2 times corpus-wide mark "
-    "duplicated positions, and a per-document interval-union fold over "
-    "the SORTED position list (aggregate with struct state — zero "
-    "window, map-side combinable collect) yields covered-token counts "
-    "and maximal-span counts. Shuffle cost: one row of four longs per "
-    "corpus token for the gram index (the algorithm's inherent cost; "
-    "the published suffix-array variant is single-machine), plus one "
-    "doc-keyed shuffle of only the DUPLICATED positions. Grams key on "
-    "a 128-bit (h1, h2) double xxhash64 so a corpus-scale collision "
-    "cannot silently mark unrelated grams duplicated (see "
-    "_gram_hashes). The oracle groups raw gram STRINGS — an "
-    "independent formulation that certifies collision-freedom "
-    "end-to-end at test scale.",
-)
-def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _exact_substring_spans(
+    spark: SparkSession, sf_dir: str, k: int, tokens
+) -> DataFrame:
+    """Shared ExactSubstr span reporter, parameterized by span length
+    ``k`` and tokenizer expression (r5, VERDICT #5)."""
     docs = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    base = docs.select("doc_id", toks.alias("tk")).select(
+    base = docs.select("doc_id", tokens.alias("tk")).select(
         "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
     )
     # per-position 128-bit gram fingerprints; empty when too short
     grams = base.select(
-        "doc_id", F.posexplode(_gram_hashes(K_SPAN)).alias("pos", "gh")
+        "doc_id", F.posexplode(_gram_hashes(k)).alias("pos", "gh")
     ).select("doc_id", "pos", "gh.h1", "gh.h2")
     dup_hashes = (
         grams.groupBy("h1", "h2")
@@ -737,10 +742,10 @@ aggregate(ps,
   -- still clamps to p for the first interval.
   named_struct('end', CAST(-2 AS BIGINT), 'spans', 0L, 'covered', 0L),
   (acc, p) -> named_struct(
-    'end', greatest(acc.end, CAST(p AS BIGINT) + {K_SPAN - 1}),
+    'end', greatest(acc.end, CAST(p AS BIGINT) + {k - 1}),
     'spans', acc.spans + IF(CAST(p AS BIGINT) > acc.end + 1, 1L, 0L),
     'covered', acc.covered + greatest(0L,
-      CAST(p AS BIGINT) + {K_SPAN}
+      CAST(p AS BIGINT) + {k}
         - greatest(acc.end + 1, CAST(p AS BIGINT)))),
   acc -> named_struct('spans', acc.spans, 'covered', acc.covered))
 """
@@ -772,6 +777,54 @@ aggregate(ps,
             6,
         ).alias("dup_frac"),
     )
+
+
+@register(
+    "dedup_exact_substring_spans",
+    survey_ids=(),
+    oracle=_spans_oracle(K_SPAN, _WS_TOKENS_SQL),
+    doc="Exact-substring span dedup (Lee et al. 2021 ExactSubstr pass, "
+    "re-expressed distributed): every K_SPAN-token gram is hashed "
+    "(xxhash64, JVM-side), grams occurring >= 2 times corpus-wide mark "
+    "duplicated positions, and a per-document interval-union fold over "
+    "the SORTED position list (aggregate with struct state — zero "
+    "window, map-side combinable collect) yields covered-token counts "
+    "and maximal-span counts. Shuffle cost: one row of four longs per "
+    "corpus token for the gram index (the algorithm's inherent cost; "
+    "the published suffix-array variant is single-machine), plus one "
+    "doc-keyed shuffle of only the DUPLICATED positions. Grams key on "
+    "a 128-bit (h1, h2) double xxhash64 so a corpus-scale collision "
+    "cannot silently mark unrelated grams duplicated (see "
+    "_gram_hashes). The oracle groups raw gram STRINGS — an "
+    "independent formulation that certifies collision-freedom "
+    "end-to-end at test scale.",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _exact_substring_spans(spark, sf_dir, K_SPAN, _ws_tokens())
+
+
+K_SPAN_BPE = 50  # Lee et al.'s published span length (50 BPE tokens)
+
+
+@register(
+    "dedup_exact_substring_spans_k50",
+    survey_ids=(),
+    oracle=_spans_oracle(K_SPAN_BPE, _BPE_TOKENS_SQL),
+    doc="ExactSubstr at the PUBLISHED span length: K=50 over BPE-ish "
+    "regex tokens (Lee et al. 2021 use 50 BPE tokens at web scale; "
+    "the K=8 whitespace variant above exists because short synthetic "
+    "docs need a shorter seed to exercise the span-merge logic). "
+    "Same parameterized core — 128-bit gram keys, one 4-long row per "
+    "token shuffle, in-row interval-union fold. Shuffle-cost delta "
+    "vs K=8 is documented in SCALE.md: gram ROW COUNT is identical "
+    "(one per token position), so K only changes the hashed-string "
+    "length CPU, not shuffle bytes — the index carries hashes, never "
+    "gram text.",
+)
+def dedup_exact_substring_spans_k50(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _exact_substring_spans(spark, sf_dir, K_SPAN_BPE, _bpe_tokens())
 
 
 @register(
