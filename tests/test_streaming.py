@@ -156,3 +156,106 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path_fac
     out = spark.read.parquet(sink)
     assert out.count() == n_total  # nothing reprocessed, nothing lost
     assert out.select(F.countDistinct("event_id")).first()[0] == n_total
+
+
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path_factory):
+    """Crash-recovery proof for the custom stateful operator (r5,
+    VERDICT #4): drain half the events with a durable
+    checkpointLocation, STOP the query, append later events, and
+    resume a NEW query instance on the same checkpoint. Sessions that
+    were OPEN at the stop must be restored from the state store —
+    neither lost (drain 2 closing them with the full count/start) nor
+    duplicated (the emissions log stays key-unique) — and the bucketed
+    upsert target must converge to the hand-derived batch truth.
+
+    The reference analog is per-artist commit restartability
+    (/root/reference/src/main.py:357): work committed before a crash
+    is not redone and not lost."""
+    import os
+
+    import pandas as pd
+
+    from tijdloze_musicbrainz_spark.operators.upsert import merge_upsert_bucketed
+    from tijdloze_musicbrainz_spark.streaming.jobs import sessionize_stream
+
+    root = tmp_path_factory.mktemp("sess_ckpt")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    log, target = f"{root}/log", f"{root}/target"
+    base = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+
+    def rows(offsets_by_user):
+        out = []
+        for uid, offs in offsets_by_user.items():
+            for j, off in enumerate(offs):
+                out.append((uid * 1000 + j, base + off, uid, 1.5))
+        return out
+
+    # batch 1: every session still OPEN when the query stops
+    batch1 = rows({1: [0, 100, 200], 2: [0, 500]})
+    # batch 2: closes user 1 (gap 9600s) and user 2 (gap 49500s); user 3
+    # opens, closes one session (gap 4900s), leaves the last open
+    batch2 = rows({1: [300, 400, 10_000], 2: [50_000], 3: [20_000, 20_100, 25_000]})
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+
+    def write_batch(data):
+        pdf = pd.DataFrame(data, columns=["event_id", "epoch", "user_id", "value"])
+        df = spark.createDataFrame(pdf).select(
+            "event_id",
+            F.timestamp_seconds("epoch").alias("ts"),
+            "user_id",
+            "value",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        sessions = sessionize_stream(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.persist()
+            batch_df.write.mode("append").parquet(log)
+            merge_upsert_bucketed(
+                batch_df, target, ["user_id", "session_start_epoch"], "n_events"
+            )
+            batch_df.unpersist()
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch(batch1)
+    drain()
+    # nothing closed yet: emissions would only exist if a gap elapsed
+    emitted1 = (
+        spark.read.parquet(log).count() if os.path.exists(log) else 0
+    )
+    assert emitted1 == 0
+
+    # query instance is gone; new files land; RESUME on the same ckpt
+    write_batch(batch2)
+    drain()
+
+    expected = {
+        (1, base + 0, 5, 7.5),  # 3 pre-stop events + 2 post-resume
+        (2, base + 0, 2, 3.0),
+        (3, base + 20_000, 2, 3.0),
+    }
+    logged = [
+        (r.user_id, r.session_start_epoch, r.n_events, r.total_value)
+        for r in spark.read.parquet(log).collect()
+    ]
+    # not duplicated: each closed session emitted exactly once
+    assert len(logged) == len(set(logged)) == 3
+    # not lost: the spanning sessions carry their FULL pre-stop prefix
+    assert set(logged) == expected
+    # and the bucketed upsert target converged to the same truth
+    got = {
+        (r.user_id, r.session_start_epoch, r.n_events, r.total_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == expected
