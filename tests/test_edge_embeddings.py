@@ -19,6 +19,7 @@ EDGE_EMBEDDING_QUERIES = [
     "sim_embedding_near_dup",
     "sim_embedding_quantize_int8",
     "sim_near_dup_lsh_bucketed",
+    "dedup_semantic_semdedup",
 ]
 
 DIM = 64

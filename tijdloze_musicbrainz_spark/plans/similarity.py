@@ -890,3 +890,100 @@ def sim_near_dup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= NEAR_DUP_THRESHOLD)
     )
+
+
+SEMDEDUP_TAU = NEAR_DUP_THRESHOLD  # within-cluster duplicate threshold
+
+
+@register(
+    "dedup_semantic_semdedup",
+    survey_ids=(),
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
+),
+assigned AS (
+  SELECT v.vec_id, v.v, cents.cent_id
+  FROM v CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY round(list_dot_product(v.v, cents.cv)
+                   / nullif(sqrt(list_dot_product(v.v, v.v))
+                            * sqrt(list_dot_product(cents.cv, cents.cv)), 0),
+             6) DESC NULLS LAST,
+             cents.cent_id) <= 1
+),
+dups AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cent_id = b.cent_id AND a.vec_id > b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / nullif(sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v)), 0),
+        6) >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id,
+       a.cent_id AS cluster_id,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dups d USING (vec_id)
+""",
+    doc="Semantic deduplication (SemDeDup, Abbas et al. 2023 "
+    "arXiv:2303.09540): embeddings are clustered (deterministic "
+    "every-50th centroids — the IVF playbook — assigned by max "
+    "rounded cosine, centroid-id tie-break), then duplicate pairs "
+    "are searched ONLY within a cluster, and of any within-cluster "
+    "pair with cosine >= tau the LARGER vec_id is marked duplicate "
+    "(first-writer-wins, the paper's keep-one policy made "
+    "deterministic). The published O(N^2/k) trick verbatim: the "
+    "pair join is keyed on cluster id, so candidate volume is "
+    "sum(cluster_size^2), never corpus^2 — at 100 TB you raise k "
+    "so clusters stay bounded and the same plan holds; assignment "
+    "is one broadcast-centroids scan (k vectors broadcast, corpus "
+    "never shuffles). Null-safe cosine throughout: a zero-norm "
+    "vector matches nothing and lands in NO cluster deterministically "
+    "(NULLS LAST on both engines).",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cent_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc_nulls_last("__sim"), F.asc("cent_id")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("__c"),
+        )
+        .filter(F.col("__c") >= SEMDEDUP_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__is_dup", F.lit(True))
+    )
+    return assigned.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cent_id").alias("cluster_id"),
+        F.coalesce("__is_dup", F.lit(False)).alias("is_dup"),
+    )
