@@ -57,3 +57,19 @@ def test_planes_fixture_matches_generator():
     t = pq.read_table(PLANES_FIXTURE)
     assert t.column("p").to_pylist() == list(range(96))
     assert t.column("w").to_pylist() == _planes()
+
+
+def test_tight_planes_fixture_matches_generator():
+    """Same oracle contract for the tight-threshold variant: the
+    committed 192-plane (16 bands x 12 bits) fixture must equal the
+    seeded generator output bit for bit."""
+    import pyarrow.parquet as pq
+
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        TIGHT_PLANES_FIXTURE,
+        _planes_tight,
+    )
+
+    t = pq.read_table(TIGHT_PLANES_FIXTURE)
+    assert t.column("p").to_pylist() == list(range(192))
+    assert t.column("w").to_pylist() == _planes_tight()

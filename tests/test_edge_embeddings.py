@@ -20,6 +20,7 @@ EDGE_EMBEDDING_QUERIES = [
     "sim_embedding_quantize_int8",
     "sim_near_dup_lsh_bucketed",
     "dedup_semantic_semdedup",
+    "sim_near_dup_lsh_tight",
 ]
 
 DIM = 64
@@ -41,6 +42,11 @@ def edge_embeddings_dir(tmp_path_factory):
     # filler vectors so top-k has candidates
     for i in range(10, 30):
         vecs.append((i, [math.sin(i * j + 1) for j in range(DIM)]))
+    # near-identical (not exact) clone of the query: cosine in
+    # (0.92, 1) — the tight-threshold LSH variant must find BOTH this
+    # and the exact duplicate (8), proving the >= 0.92 path is
+    # exercised non-trivially, not just on cosine-1.0 copies
+    vecs.append((31, [x + (0.002 if j % 3 == 0 else -0.002) for j, x in enumerate(base)]))
     con.execute(
         "CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
     )

@@ -1,7 +1,10 @@
 """Similarity search over the ``embeddings`` table (``array<float>``,
 64-dim) — the ANN extension surface of the brief (no reference twin).
 
-Three registered queries:
+The core registered queries (plus the IVF ANN, the pandas top-k lane,
+int8 quantization, the k-means Lloyd step, the LSH-bucketed and
+tight-threshold near-dup scale paths, and SemDeDup — see each
+docstring):
 
 1. ``sim_cosine_topk_exact`` — brute-force cosine top-k for a small
    query set: broadcast the queries against the corpus, score, top-k
@@ -225,6 +228,38 @@ def _planes() -> list[list[int]]:
 
 _PLANES = _planes()
 
+# Tight-threshold sign-LSH (r5): the regime where LSH SCALES. At the
+# near-dup threshold 0.45 (angle 63°) the per-bit collision odds for a
+# true pair (p1 = 1 - 63/180 = 0.65) sit too close to the random
+# baseline (p2 = 0.5): the LSH exponent rho = ln p1/ln p2 = 0.62 makes
+# any fixed-recall parameterization ~n^1.62 — measured empirically by
+# tools/scale_curve.py (exponent 1.84 for the fixed-4-bit variant).
+# At a REALISTIC near-dup threshold of 0.92 (angle 23°, p1 = 0.87,
+# rho = 0.20) twelve bits per band push random collisions to 2^-12
+# while 16 bands still give ~97% recall per true pair
+# (1 - (1 - 0.87^12)^16). Bucket space per band is 4096 keys — sparse
+# until n ~ 1e6, after which bits grow with log n (documented in
+# SCALE.md; the committed fixture pins today's parameters).
+TIGHT_TAU = 0.92
+TIGHT_BANDS = 16
+TIGHT_BITS = 12
+TIGHT_PLANES_FIXTURE = (
+    Path(__file__).resolve().parent.parent
+    / "fixture_data"
+    / "ann_planes_tight.parquet"
+)
+
+
+def _planes_tight() -> list[list[int]]:
+    rng = random.Random(11)
+    return [
+        [round(rng.uniform(-1.0, 1.0) * PLANE_QUANT) for _ in range(DIM)]
+        for _ in range(TIGHT_BANDS * TIGHT_BITS)
+    ]
+
+
+_PLANES_TIGHT = _planes_tight()
+
 
 def _band_keys_udf():
     """All 96 hyperplane sign bits in ONE Arrow-batched numpy matmul,
@@ -241,19 +276,35 @@ def _band_keys_udf():
     EXACT — the DuckDB oracle reproduces every bucket bit-for-bit
     (recall is additionally asserted in tests/test_ann_recall.py and
     measured per round in bench.py)."""
+    return _band_keys_udf_for(_PLANES, N_SIM_BANDS, BITS_PER_BAND, 8)
+
+
+def _band_keys_udf_for(
+    planes_list: list[list[int]], n_bands: int, bits_per_band: int, tag_shift: int
+):
+    """Parameterized band-key projector (see _band_keys_udf docstring
+    for the why-a-pandas-udf rationale). ``tag_shift`` must exceed
+    ``bits_per_band`` so band tags never collide with bit patterns.
+    The plane/constant closures are self-contained (no repo-module
+    references) so the pickle survives foreign-cwd drivers."""
     import numpy as np  # noqa: PLC0415
 
-    planes = np.array(_PLANES, dtype=np.int64)  # 96 x 64
-    powers = np.array([1 << i for i in range(BITS_PER_BAND)], dtype=np.int64)
-    band_tags = np.arange(N_SIM_BANDS, dtype=np.int64) << 8
+    assert tag_shift >= bits_per_band
+    planes = np.array(planes_list, dtype=np.int64)  # (bands*bits) x DIM
+    powers = np.array([1 << i for i in range(bits_per_band)], dtype=np.int64)
+    band_tags = np.arange(n_bands, dtype=np.int64) << tag_shift
+    quant = QUANT
 
     @F.pandas_udf("array<long>")
     def band_keys(s: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
         if len(s) == 0:
             return pd.Series([], dtype=object)
         m = np.array(list(s), dtype=np.float64)  # N x DIM
-        q = np.floor(m * QUANT).astype(np.int64)
-        bits = (q @ planes.T > 0).reshape(len(m), N_SIM_BANDS, BITS_PER_BAND)
+        q = np.floor(m * quant).astype(np.int64)
+        bits = (q @ planes.T > 0).reshape(len(m), n_bands, bits_per_band)
         keys = bits.astype(np.int64) @ powers + band_tags
         return pd.Series(list(keys))
 
@@ -986,4 +1037,101 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("cent_id").alias("cluster_id"),
         F.coalesce("__is_dup", F.lit(False)).alias("is_dup"),
+    )
+
+
+_TIGHT_ORACLE = f"""
+WITH pw AS (
+  SELECT p, w FROM read_parquet('{TIGHT_PLANES_FIXTURE}')
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
+  FROM embeddings
+),
+bits AS (
+  SELECT v.vec_id,
+         pw.p // {TIGHT_BITS} AS band,
+         pw.p % {TIGHT_BITS} AS bit,
+         CASE WHEN list_sum(list_transform(list_zip(v.iv, pw.w),
+                                           z -> z[1] * z[2])) > 0
+              THEN 1 ELSE 0 END AS b
+  FROM v, pw
+),
+keys AS (
+  SELECT vec_id,
+         band * 65536 + sum(CAST(b AS BIGINT) * (1 << bit)) AS band_key
+  FROM bits GROUP BY vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b USING (band_key)
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.vec_a, cand.vec_b,
+         round(list_dot_product(a.v, b.v)
+               / nullif(sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v)), 0),
+               6) AS cosine
+  FROM cand
+  JOIN v a ON a.vec_id = cand.vec_a
+  JOIN v b ON b.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {TIGHT_TAU}
+"""
+
+
+@register(
+    "sim_near_dup_lsh_tight",
+    survey_ids=(),
+    oracle=_TIGHT_ORACLE,
+    doc="Embedding near-dup at the REALISTIC tight threshold "
+    f"(cosine >= {TIGHT_TAU}) — the regime where sign-LSH genuinely "
+    "scales (rho = ln 0.87/ln 0.5 = 0.20 at angle 23°, vs 0.62 at "
+    "the 0.45 demo threshold whose measured n^1.84 curve motivated "
+    f"this variant; see SCALE.md). {TIGHT_BANDS} bands x {TIGHT_BITS} "
+    "sign bits: random collisions at 2^-12 per band keep the bucket "
+    "self-join linear until n ~ 1e6 (then bits grow with log n), "
+    "while a true >= 0.92 pair still collides in >= 1 band with "
+    "p ~ 0.97. Same engine-shared integer-planes playbook as "
+    "sim_ann_lsh_bucketed (committed fixture, exact int64 sign "
+    "bits, null-safe rounded-cosine verify). The synthetic corpus "
+    "has no >= 0.92 pairs (max 0.60), so the registry answer is "
+    "empty-but-exercised; the edge-embeddings harness constructs "
+    "near-identical pairs and pins non-trivial recall.",
+)
+def sim_near_dup_lsh_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    exploded = vecs.select(
+        "vec_id",
+        F.explode(
+            _band_keys_udf_for(_PLANES_TIGHT, TIGHT_BANDS, TIGHT_BITS, 16)(
+                F.col("v")
+            )
+        ).alias("band_key"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("xa"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("xb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("xa"), F.col("xb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= TIGHT_TAU)
     )

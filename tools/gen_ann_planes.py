@@ -23,20 +23,29 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tijdloze_musicbrainz_spark.plans.similarity import PLANES_FIXTURE, _planes
+from tijdloze_musicbrainz_spark.plans.similarity import (
+    PLANES_FIXTURE,
+    TIGHT_PLANES_FIXTURE,
+    _planes,
+    _planes_tight,
+)
 
 
-def main() -> None:
-    planes = _planes()
+def _write(planes, path) -> None:
     table = pa.table(
         {
             "p": pa.array(range(len(planes)), type=pa.int64()),
             "w": pa.array(planes, type=pa.list_(pa.int64())),
         }
     )
-    PLANES_FIXTURE.parent.mkdir(parents=True, exist_ok=True)
-    pq.write_table(table, PLANES_FIXTURE)
-    print(f"wrote {len(planes)} planes -> {PLANES_FIXTURE}")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, path)
+    print(f"wrote {len(planes)} planes -> {path}")
+
+
+def main() -> None:
+    _write(_planes(), PLANES_FIXTURE)
+    _write(_planes_tight(), TIGHT_PLANES_FIXTURE)
 
 
 if __name__ == "__main__":

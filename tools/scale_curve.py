@@ -1,0 +1,253 @@
+"""Empirical scale-curve harness (r5, VERDICT #2).
+
+An sf0.1 bench cannot see superlinear behavior — a quadratic candidate
+explosion looks fine at one scale. This harness derives 2x/4x/8x
+corpora from the sf0.1 ``documents``/``embeddings`` tables by
+DETERMINISTIC row multiplication and times the five dedup/similarity
+headliners at each multiplier, fitting the wall-time growth exponent
+(log-log least squares). Near-linear fits (<= ~1.2) certify the
+banded/bucketed candidate generation really is linear in corpus size.
+
+Replica perturbation matters: naive copies would make every clone a
+near-duplicate of its siblings, growing the TRUE answer (and any
+correct algorithm's output) quadratically — the harness would then
+measure the problem, not the engine. Instead each replica k > 0 is
+pushed outside every similarity threshold while preserving
+WITHIN-replica structure exactly:
+
+- documents: every 5th token gets a replica suffix (``w~r<k>``) —
+  kills 3 of every 5 shingles cross-replica (Jaccard ~0.25 << 0.9,
+  MinHash bands miss, SimHash far) and every cross-replica 8-gram,
+  while replica-internal duplicate pairs replicate one-to-one.
+  Verified leak-free: 0 cross-replica pairs, answers exactly m-linear;
+- embeddings: a replica-specific SIGNED PERMUTATION of dimensions (a
+  seeded orthogonal map) — norms and within-replica cosines preserved
+  exactly; cross-replica cosines behave like random directions
+  (std 1/sqrt(64) ~ 0.125). HONEST CAVEAT: at d=64 the random-
+  direction tail P(cos >= 0.45) ~ 2e-4 is irreducible by ANY
+  orthogonal transform, so the true cross-replica answer leaks a few
+  thousand pairs at m=8 (measured ~9.6k vs 1.2k within-replica) —
+  immaterial for WALL TIME, which is dominated by the linear scan +
+  band-bucket join (buckets stay sparse at these n); the harness
+  certifies the TIME exponent.
+
+Usage:
+    python tools/scale_curve.py [base_sf_dir] [--mult 1,2,4,8] [--out SCALE_CURVE.json]
+
+Prints one BENCH-style JSON line and writes it to --out. Derived data
+lands under /tmp/spark_graft_scale/ (rebuilt only if missing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+# (name, max_multiplier or None, expected_linear, note)
+QUERIES = (
+    ("dedup_minhash_lsh", None, True, None),
+    ("dedup_simhash", None, True, None),
+    ("dedup_exact_substring_spans", None, True, None),
+    ("text_contamination_overlap", None, True, None),
+    (
+        "sim_near_dup_lsh_tight",
+        None,
+        True,
+        "tight-threshold (0.92) LSH: rho=0.20, 12-bit bands — the "
+        "regime where sign-LSH scales; answer empty on the synthetic "
+        "corpus but the explode/bucket-join/verify work is real",
+    ),
+    (
+        "sim_embedding_near_dup",
+        None,
+        False,
+        "quadratic-FLOPs BLAS baseline (size-guarded at 200k vectors), "
+        "included to show constants: one blocked matmul pass beats the "
+        "0.45-threshold LSH by ~100x at m=8 — at low thresholds "
+        "blocked-BLAS IS the right plan until the guard trips",
+    ),
+    (
+        "sim_near_dup_lsh_bucketed",
+        4,
+        False,
+        "measured superlinear AND EXPECTED: at threshold 0.45 "
+        "(angle 63°) the LSH exponent rho = ln 0.65/ln 0.5 = 0.62 "
+        "bounds ANY fixed-recall parameterization at ~n^1.6, and the "
+        "fixed 4-bit bands degrade to n^2 (random collisions). Kept "
+        "as the empirical motivation for sim_near_dup_lsh_tight; "
+        "capped at 4x to bound harness runtime. See SCALE.md "
+        "'Near-dup at scale: the threshold decides the physics'.",
+    ),
+)
+
+DERIVED_ROOT = "/tmp/spark_graft_scale"
+ID_STRIDE = 10_000_000
+
+
+def derive(spark, base_dir: str, m: int) -> str:
+    """Materialize the m-times corpus (documents + embeddings) under
+    DERIVED_ROOT/m{m}; idempotent via a _DONE marker."""
+    from pyspark.sql import functions as F
+
+    out_dir = f"{DERIVED_ROOT}/m{m}"
+    marker = f"{out_dir}/_DONE"
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    vecs = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+
+    doc_parts = []
+    vec_parts = []
+    for k in range(m):
+        if k == 0:
+            doc_parts.append(docs)
+            vec_parts.append(vecs)
+            continue
+        salted_text = F.concat_ws(
+            " ",
+            F.expr(
+                f"transform(split(text, ' '), (w, i) -> "
+                f"IF(i % 5 = 4 AND w <> '', concat(w, '~r{k}'), w))"
+            ),
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+                salted_text.alias("text"),
+                "lang",
+                "source",
+                F.length(salted_text).alias("n_chars"),
+            )
+        )
+        import random  # noqa: PLC0415
+
+        r = random.Random(1000 + k)
+        perm = list(range(64))
+        r.shuffle(perm)
+        signs = [r.choice((-1.0, 1.0)) for _ in range(64)]
+        rotated = F.array(
+            *[
+                (F.col("embedding")[perm[i]] * signs[i]).cast("float")
+                for i in range(64)
+            ]
+        )
+        vec_parts.append(
+            vecs.select(
+                (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    v = vec_parts[0]
+    for p in vec_parts[1:]:
+        v = v.unionByName(p)
+    # one parquet dir per table, name-compatible with plans.util.t
+    d.repartition(max(4, 4 * m)).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    v.repartition(max(4, 2 * m)).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def fit_exponent(points: list[tuple[int, float]]) -> float:
+    """Least-squares slope of log(t) vs log(m)."""
+    xs = [math.log(m) for m, _ in points]
+    ys = [math.log(t) for _, t in points]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("base", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", default="1,2,4,8")
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--out", default="SCALE_CURVE.json")
+    args = ap.parse_args()
+    mults = [int(x) for x in args.mult.split(",")]
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.session import get_spark
+
+    spark = get_spark("scale_curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for m in mults:
+        t0 = time.monotonic()
+        dirs[m] = derive(spark, args.base, m)
+        print(
+            f"[scale] derived m={m} in {time.monotonic() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    def run(name: str, sf_dir: str) -> None:
+        REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # warmup: codegen + Python workers + file listing, untimed
+    for name, _cap, _lin, _note in QUERIES:
+        run(name, dirs[mults[0]])
+
+    results: dict[str, dict] = {}
+    worst_linear = 0.0
+    for name, cap, expected_linear, note in QUERIES:
+        q_mults = [m for m in mults if cap is None or m <= cap]
+        times = {}
+        for m in q_mults:
+            best = float("inf")
+            for _ in range(args.trials):
+                t0 = time.monotonic()
+                run(name, dirs[m])
+                best = min(best, time.monotonic() - t0)
+            times[m] = round(best, 3)
+        exp = round(fit_exponent(sorted(times.items())), 3)
+        if expected_linear:
+            worst_linear = max(worst_linear, exp)
+        results[name] = {
+            "times_sec": {str(m): t for m, t in sorted(times.items())},
+            "exponent": exp,
+            "expected_linear": expected_linear,
+        }
+        if note:
+            results[name]["note"] = note
+        print(f"[scale] {name}: {results[name]}", file=sys.stderr)
+
+    out = {
+        # the headline is the WORST exponent among queries whose plan
+        # claims linear scaling; documented-superlinear baselines are
+        # reported alongside, flagged expected_linear=false
+        "metric": "scale_curve_max_linear_exponent",
+        "value": round(worst_linear, 3),
+        "unit": "exponent",
+        "sf": 0.1,
+        "multipliers": mults,
+        "queries": results,
+    }
+    line = json.dumps(out)
+    print(line)
+    with open(args.out, "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
