@@ -135,3 +135,45 @@ def test_pii_masking_removes_every_match(spark):
         ).alias("n")
     ).agg(F.sum("n")).first()[0]
     assert leftovers == 0
+
+
+def test_semdedup_every_cluster_keeps_one(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dedup_semantic_semdedup")
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    # within every cluster the smallest vec_id can never be marked
+    # duplicate (first-writer-wins), so each cluster keeps >= 1 member
+    for members in by_cluster.values():
+        smallest = min(members, key=lambda r: r.vec_id)
+        assert smallest.is_dup is False
+        assert any(not r.is_dup for r in members)
+    # every vector appears exactly once (assignment is total + unique)
+    assert len(rows) == len({r.vec_id for r in rows})
+
+
+def test_exact_substring_k50_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dedup_exact_substring_spans_k50")
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tok
+        assert r.n_spans <= r.n_dup_grams
+        if r.n_tok > 0:
+            assert 0.0 <= r.dup_frac <= 1.0
+        # a duplicated span needs >= 50 tokens of coverage per span
+        if r.n_spans > 0:
+            assert r.dup_tokens >= 50
+
+
+def test_tight_near_dup_subset_of_brute(spark, sf_dir):
+    # every tight-threshold LSH pair must be a TRUE >= 0.92 pair
+    # (verify-after-bucket guarantees precision 1.0; recall is the
+    # approximate part) — and must also appear in the 0.45 brute set
+    tight = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _rows(spark, sf_dir, "sim_near_dup_lsh_tight")
+    }
+    assert all(c >= 0.92 for c in tight.values())
+    brute = {
+        (r.vec_a, r.vec_b) for r in _rows(spark, sf_dir, "sim_embedding_near_dup")
+    }
+    assert set(tight) <= brute
