@@ -43,6 +43,12 @@ HEADLINERS = [
     "sim_embedding_near_dup",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
+    # r5: the tight-threshold near-dup LSH (the rho=0.20 regime that
+    # actually scales — see SCALE_CURVE.json), SemDeDup, and the
+    # published-length ExactSubstr variant
+    "sim_near_dup_lsh_tight",
+    "dedup_semantic_semdedup",
+    "dedup_exact_substring_spans_k50",
     "corpus_clean_pipeline",
     "dedup_cluster_components",
     "j_skew_salted_join",

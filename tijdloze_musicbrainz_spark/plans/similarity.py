@@ -1016,27 +1016,64 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("vec_id", "v", "cent_id")
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dup = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") > F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("__c"),
-        )
-        .filter(F.col("__c") >= SEMDEDUP_TAU)
-        .select("vec_id")
-        .distinct()
-        .withColumn("__is_dup", F.lit(True))
+    # Within-cluster scoring: ONE numpy matmul per cluster inside
+    # mapInPandas (the blocked-near-dup playbook) instead of an
+    # expression self-join — the self-join recomputed the whole
+    # assignment subtree on both sides and scored every pair with an
+    # interpreted 64-dim fold (measured 3.8 s vs 1.8 s at sf0.1).
+    # Cluster members aggregate in-row (bounded occupancy by design),
+    # zero-norm members match nothing, np.round(6) carries the same
+    # documented ulp caveat as sim_embedding_near_dup.
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    grouped = assigned.groupBy("cent_id").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("members")
     )
-    return assigned.join(dup, "vec_id", "left").select(
-        "vec_id",
-        F.col("cent_id").alias("cluster_id"),
-        F.coalesce("__is_dup", F.lit(False)).alias("is_dup"),
+
+    def label(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            frames = []
+            for cent_id, members in zip(pdf["cent_id"], pdf["members"]):
+                ids = np.array([m["vec_id"] for m in members], dtype=np.int64)
+                V = np.array(
+                    [np.asarray(m["v"]) for m in members], dtype=np.float64
+                )
+                norms = np.linalg.norm(V, axis=1, keepdims=True)
+                valid = norms[:, 0] > 0
+                Vn = V / np.where(norms == 0, 1.0, norms)
+                sims = np.round(Vn @ Vn.T, 6)
+                # i is a dup iff some SMALLER id j in the cluster has
+                # cosine >= tau (both sides norm-valid)
+                mask = (
+                    (sims >= SEMDEDUP_TAU)
+                    & valid[:, None]
+                    & valid[None, :]
+                    & (ids[None, :] < ids[:, None])
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "cluster_id": np.full(len(ids), cent_id),
+                            "is_dup": mask.any(axis=1),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {"vec_id": [], "cluster_id": [], "is_dup": []}
+                )
+            )
+
+    return grouped.mapInPandas(
+        label, "vec_id long, cluster_id long, is_dup boolean"
     )
 
 
