@@ -188,13 +188,38 @@ AUDITED = {
         "supplier) pairs, not raw lineitems."
     ),
     "dedup_exact_substring_spans": (
-        "Audit (r4b): the gram index shuffles (ghash, doc_id, pos) "
-        "triples — three longs per corpus token, the algorithm's "
-        "inherent cost; duplicated-gram detection is a codegen hash "
-        "aggregate on ghash, the position fetch is a left-semi join, "
-        "and the interval-union runs as an in-row aggregate() fold "
-        "over the sorted position list — no window, no per-row "
-        "Python."
+        "Audit (r5): the gram index shuffles (h1, h2, doc_id, pos) "
+        "quads — four longs per corpus token (the 128-bit double-hash "
+        "collision fix, ADVICE r4), the algorithm's inherent cost; "
+        "duplicated-gram detection is a codegen hash aggregate on the "
+        "hash pair, the position fetch is a left-semi join, and the "
+        "interval-union runs as an in-row aggregate() fold over the "
+        "sorted position list — no window, no per-row Python."
+    ),
+    "dedup_semantic_semdedup": (
+        "Audit (r5): assignment is one broadcast-centroids scan + "
+        "per-vector row_number window (corpus never shuffles for the "
+        "broadcast); clusters aggregate in-row (collect_list, bounded "
+        "occupancy) and ONE numpy matmul per cluster labels all "
+        "members inside mapInPandas — the only Exchange is the "
+        "cluster groupBy. Candidate volume is sum(cluster_size^2), "
+        "the published SemDeDup O(N^2/k) bound."
+    ),
+    "sim_near_dup_lsh_tight": (
+        "Audit (r5): same id-only band-bucket self-join as the 0.45 "
+        "variant but at 16x12-bit bands — 2^-12 random collisions "
+        "per band keep the bucket join linear until n ~ 1e6 "
+        "(SCALE_CURVE.json pins exponent 0.92 over 8x); vectors are "
+        "fetched after pair dedup, verify is the rounded exact "
+        "cosine."
+    ),
+    "dedup_cluster_components": (
+        "Audit (r5): alternating large-star/small-star — each round "
+        "is symmetrize + groupBy-min + join (all shuffle-bounded, no "
+        "driver-side data beyond the fixpoint counters), frontier "
+        "localCheckpoint'd eagerly (a lazy checkpoint recomputes the "
+        "plan on materialization — measured, documented in the "
+        "code); O(log^2 n) rounds proven, diameter-independent."
     ),
     "corpus_chunk_overlap": (
         "Audit (r4c): scan -> Generate (posexplode of chunk ids) -> "
