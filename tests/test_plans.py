@@ -32,6 +32,8 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_stock",
     "q22_global_sales_opportunity",
     "text_bigram_lm_score",  # |vocab| scalar (one row) x bigram stream
+    "text_bm25_topk",  # (N, avgdl, df) one-row corpus stats x doc scan
+    "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
 }
 
 

@@ -475,3 +475,123 @@ def corpus_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("mean_tokens"),
     )
+
+
+# -- BM25 retrieval ---------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# fixed query terms (mid-frequency corpus words) — a deterministic
+# retrieval workload; a real engine parameterizes these (P10 pattern)
+BM25_QUERY = ("join", "vector", "slow")
+
+
+def _bm25_term_sql(term: str, i: int) -> str:
+    return (
+        f"round(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1) * "
+        f"tf{i} * ({BM25_K1} + 1) / "
+        f"(tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 9)"
+    )
+
+
+@register(
+    "text_bm25_topk",
+    survey_ids=(),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS dl,
+         {", ".join(f"CAST(len(list_filter(tk, w -> w = '{t}')) AS BIGINT) AS tf{i}" for i, t in enumerate(BM25_QUERY))}
+  FROM toks
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
+         {", ".join(f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}" for i in range(len(BM25_QUERY)))}
+  FROM sized
+),
+scored AS (
+  SELECT doc_id,
+         round({" + ".join(_bm25_term_sql(t, i) for i, t in enumerate(BM25_QUERY))}, 6) AS bm25
+  FROM sized CROSS JOIN stats
+)
+SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+""",
+    doc="BM25 top-k retrieval (Robertson-Sparck Jones; the lexical "
+    "baseline every RAG pipeline keeps beside its embedding index): "
+    "per-document term frequencies for the fixed query terms are "
+    "computed IN-ROW (filter+len on the token array — never an "
+    "explode of the corpus for a 3-term query), corpus stats "
+    "(N, avgdl, per-term df) fold to ONE row that cross-joins back "
+    "as a broadcast scalar, and the top-k is a global "
+    "TakeOrdered (no window). Per-term scores round to 9 digits "
+    "before summing and the sum to 6 — ln() may differ in the last "
+    "ulp between engines, rounding absorbs it. At 100 TB the same "
+    "plan holds: one narrow pass + one single-row aggregate + "
+    "TakeOrdered; a multi-term ad-hoc workload would swap the in-row "
+    "tf columns for an inverted-index join (the ExactSubstr "
+    "playbook).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+    def tf_expr(term: str):
+        # NB: the closure takes ONE lambda param — a two-param lambda
+        # (even via a default arg) is interpreted by Spark as
+        # (element, index) and the "term" becomes the index column
+        return F.size(F.filter(tk, lambda w: w == term)).cast("long")
+
+    sized = docs.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("dl"),
+        *[tf_expr(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY)],
+    )
+    stats = sized.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("long") * F.lit(1.0) / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+
+    def term_score(i: int):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+            + 1
+        )
+        tf = F.col(f"tf{i}")
+        return F.round(
+            idf
+            * tf
+            * (BM25_K1 + 1)
+            / (
+                tf
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+            9,
+        )
+
+    scored = sized.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(
+            sum(term_score(i) for i in range(len(BM25_QUERY))), 6
+        ).alias("bm25"),
+    )
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )

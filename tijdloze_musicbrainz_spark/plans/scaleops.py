@@ -129,3 +129,114 @@ def s4_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_custkey", "c_mktsegment").agg(
         F.count("*").alias("n_orders")
     )
+
+
+# -- exact-integer PageRank -------------------------------------------------
+
+PR_SCALE = 1_000_000_000  # micro-rank fixed point: ranks in units of 1e-9
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _pr_oracle() -> str:
+    it_prev = "r0"
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+it{i} AS (
+  SELECT e.v AS u,
+         (SELECT base FROM consts)
+         + ({PR_DAMP_NUM} * sum(r.r // d.deg)) // {PR_DAMP_DEN} AS r
+  FROM edges e
+  JOIN {it_prev} r ON r.u = e.u
+  JOIN deg d ON d.u = e.u
+  GROUP BY e.v
+)""")
+        it_prev = f"it{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+consts AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST({PR_SCALE} AS BIGINT) // count(*) AS r_init,
+         ({PR_DAMP_DEN - PR_DAMP_NUM} * CAST({PR_SCALE} AS BIGINT))
+           // ({PR_DAMP_DEN} * count(*)) AS base
+  FROM deg
+),
+r0 AS (SELECT u, (SELECT r_init FROM consts) AS r FROM deg),
+{",".join(its)}
+SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(u // 2 AS BIGINT) AS node_key,
+       CAST(r AS BIGINT) AS rank_nano
+FROM it{PR_ITERS}
+"""
+
+
+@register(
+    "graph_pagerank_exact_int",
+    survey_ids=(),
+    oracle=_pr_oracle(),
+    doc="PageRank (3 unrolled power iterations, damping 0.85) over the "
+    "undirected customer-supplier bipartite graph from orders x "
+    "lineitem — the iterative-graph tier beside connected components. "
+    "EXACT-INTEGER fixed point: ranks live in 1e-9 units and every "
+    "step is integer floor division ((85*sum)//100, base = "
+    "(15*SCALE)//(100*n)), so the per-node sums are order-free and "
+    "the DuckDB unrolled-CTE twin is bit-identical — float PageRank "
+    "could never hash-match across engines (summation order). Plan "
+    "shape per iteration: edges JOIN ranks JOIN degrees + one hash "
+    "aggregate on the destination — three shuffle-bounded rounds, "
+    "no driver-side data; at 100 TB the rank/degree relation "
+    "pre-partitions on u so each iteration reuses the partitioning "
+    "(no re-shuffle of edges), and iterations extend to convergence "
+    "with the same checkpoint cadence as connected_components.",
+)
+def graph_pagerank_exact_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    consts = deg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(f"CAST({PR_SCALE} AS BIGINT) div count(*)").alias("r_init"),
+        F.expr(
+            f"({PR_DAMP_DEN - PR_DAMP_NUM} * CAST({PR_SCALE} AS BIGINT)) "
+            f"div ({PR_DAMP_DEN} * count(*))"
+        ).alias("base"),
+    )
+    ranks = deg.crossJoin(F.broadcast(consts)).select(
+        "u", F.col("r_init").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .select("v", F.expr("r div deg").alias("c"))
+        )
+        summed = contrib.groupBy("v").agg(
+            F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}").alias("s")
+        )
+        ranks = summed.crossJoin(F.broadcast(consts)).select(
+            F.col("v").alias("u"), (F.col("base") + F.col("s")).alias("r")
+        )
+    return ranks.select(
+        F.when(F.col("u") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.expr("u div 2").cast("long").alias("node_key"),
+        F.col("r").cast("long").alias("rank_nano"),
+    )
