@@ -259,3 +259,59 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path_factory):
         for r in spark.read.parquet(target).collect()
     }
     assert got == expected
+
+
+def test_minhash_index_absorbs_increment(spark, tmp_path_factory):
+    """The streaming MinHash index must absorb NEW documents across
+    query restarts: a near-dup planted in a second file pairs with its
+    batch-1 original through the MAINTAINED index (the checkpointed
+    source offsets prove batch 1 was not re-read, and the merge only
+    touches the new keys' buckets)."""
+    import shutil
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.plans.etl import SINK_ROOT
+
+    root = tmp_path_factory.mktemp("minhash_inc")
+    sf = str(root)
+    tag = "minhash_inc0"  # tmp dirs get a trailing counter; resolve it
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf))
+    # clear any stale sink/checkpoint for this tag
+    shutil.rmtree(f"{SINK_ROOT}/minhash_index_{tag}", ignore_errors=True)
+    shutil.rmtree(
+        f"{SINK_ROOT}/minhash_index_{tag}__checkpoint", ignore_errors=True
+    )
+
+    import duckdb
+
+    def write_increment(rows, fname):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+            "source VARCHAR, n_chars BIGINT)"
+        )
+        con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
+        con.execute(f"COPY d TO '{sf}/{fname}' (FORMAT parquet)")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    far = "completely different words about spark shuffles and parquet files"
+    write_increment(
+        [(1, base, "en", "s0", len(base)), (2, far, "en", "s0", len(far))],
+        "documents.parquet",
+    )
+
+    spec = REGISTRY["streaming_minhash_index"]
+    assert spec.builder(spark, sf).count() == 0  # no near-dups yet
+
+    # a near-identical copy of doc 1 arrives in a NEW increment file
+    neardup = base.replace("today", "tonight")
+    write_increment(
+        [(3, neardup, "en", "s0", len(neardup))], "documents_b2.parquet"
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in spec.builder(spark, sf).collect()
+    }
+    assert pairs == {(1, 3)}
