@@ -18,6 +18,7 @@ EDGE_EVENT_QUERIES = [
     "events_sessionize",
     "events_session_window_native",
     "events_json_extract",
+    "events_kmv_distinct_sketch",
     "events_hypertable_rollup",
     "events_moving_frame",
     "events_funnel_conversion",

@@ -729,3 +729,98 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# -- KMV distinct sketch ----------------------------------------------------
+
+KMV_K = 64
+KMV_P = 2_147_483_647  # Mersenne prime 2^31-1
+# Multiplier ~0.62*P: (u%P)*A wraps mod P many times even for small
+# consecutive ids, making the hash equidistributed (the original
+# minstd 48271 never wrapped for test-scale ids — the map stayed
+# ORDER-PRESERVING and the estimator read 44k for 150 users).
+# (u%P)*A + B < 2^62: no int64 overflow on either engine.
+KMV_A, KMV_B = 1_327_217_885, 11
+
+
+@register(
+    "events_kmv_distinct_sketch",
+    survey_ids=("A1",),
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ((user_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_hashes
+  FROM h
+),
+sk AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN rn <= {KMV_K} THEN hv END) AS BIGINT) AS kth_min,
+         CAST(any_value(n_hashes) AS BIGINT) AS n_hashes
+  FROM ranked GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.n_exact,
+       CASE WHEN s.n_hashes < {KMV_K}
+            THEN CAST(s.n_hashes AS DOUBLE)
+            ELSE round(CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} * 1.0
+                       / s.kth_min, 4)
+       END AS kmv_estimate
+FROM exact e JOIN sk s USING (event_type)
+""",
+    doc="KMV (k-minimum-values) distinct-user sketch per event_type — "
+    "the MERGEABLE distinct sketch a 100 TB rollup pipeline keeps in "
+    "its aggregate tables (union two sketches = union the hash sets, "
+    "re-truncate to k; estimate = (k-1)*P/kth_min). Unlike "
+    "approx_count_distinct (implementation-specific HLL, only "
+    "bound-checkable — events_approx_sketches), the KMV sketch is "
+    "built from an ENGINE-NEUTRAL universal hash ((u%P)*48271+11 mod "
+    "P, exact int64 arithmetic — the SimHash playbook), so the "
+    "DuckDB twin reproduces the sketch VALUE bit-for-bit and the "
+    "driver hash-checks the estimator itself, not just its error "
+    "bound. Groups with < k distinct hashes report the exact count. "
+    "Spark plan: one distinct-aggregate + per-group row_number "
+    "window over <= k surviving rows.",
+)
+def events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        (
+            (F.col("user_id") % KMV_P) * KMV_A + KMV_B
+        ).cast("long").__mod__(KMV_P).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    ranked = h.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_hashes", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    sk = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("hv")))
+        .cast("long")
+        .alias("kth_min"),
+        F.first("n_hashes").cast("long").alias("n_hashes"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.when(
+            F.col("n_hashes") < KMV_K, F.col("n_hashes").cast("double")
+        )
+        .otherwise(
+            F.round((KMV_K - 1) * KMV_P * F.lit(1.0) / F.col("kth_min"), 4)
+        )
+        .alias("kmv_estimate"),
+    )
