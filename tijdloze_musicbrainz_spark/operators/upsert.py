@@ -92,7 +92,9 @@ def merge_upsert_bucketed(
     Atomicity: each bucket swap is a per-directory rmtree+rename, so a
     concurrent reader can observe one bucket mid-swap; on a real
     lakehouse table the same layout maps onto dynamic partition
-    overwrite or a transactional MERGE.
+    overwrite or a transactional MERGE. For the ATOMIC multi-bucket
+    variant (single pointer-swap commit, snapshot isolation, time
+    travel) use ``operators.manifest.merge_upsert_manifest`` (r5).
 
     Returns the sorted touched bucket ids (tests/observability)."""
     import os  # noqa: PLC0415

@@ -618,3 +618,63 @@ def s_corrupt_json_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = agg.collect()
     back.unpersist()
     return spark.createDataFrame(rows, agg.schema)
+
+
+@register(
+    "s7_upsert_manifest_atomic",
+    survey_ids=("S7", "A10"),
+    oracle="""
+WITH both_batches AS (
+  SELECT o_orderkey, o_totalprice, 1 AS batch_id
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 2 AS batch_id
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(batch_id AS BIGINT) AS batch_id
+FROM both_batches
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderkey ORDER BY batch_id DESC) = 1
+""",
+    doc="TRANSACTIONAL incremental MERGE (r5; VERDICT r4 missing #2): "
+    "the same two-batch workload as s7_incremental_merge, but through "
+    "operators.manifest.merge_upsert_manifest — immutable data files, "
+    "a JSON manifest per commit, and ONE os.replace pointer swap as "
+    "the commit point, so ALL touched buckets change together and a "
+    "reader can never observe a torn multi-bucket merge (the "
+    "simplified Delta-log protocol, since the lakehouse jars are not "
+    "in this image). Old manifests are retained: "
+    "tests/test_manifest.py pins snapshot isolation under a simulated "
+    "mid-merge crash, optimistic-concurrency conflict detection, and "
+    "time travel to the pre-merge version. The read-back must equal "
+    "last-writer-wins over both batches — same oracle as the "
+    "non-atomic variant, proving the commit protocol changes "
+    "durability semantics, not results.",
+)
+def s7_upsert_manifest_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    from ..operators.manifest import (  # noqa: PLC0415
+        merge_upsert_manifest,
+        read_table,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"{SINK_ROOT}/s7_manifest_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    full_load = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("batch_id")
+    )
+    merge_upsert_manifest(full_load, table, ["o_orderkey"], "batch_id")
+    increment = orders.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("batch_id"),
+    )
+    merge_upsert_manifest(increment, table, ["o_orderkey"], "batch_id")
+    out = read_table(spark, table)
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "batch_id"
+    )
