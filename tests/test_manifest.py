@@ -107,3 +107,78 @@ def test_replayed_batch_is_idempotent(spark, tmp_path_factory):
     merge_upsert_manifest(full, table, ["k"], "seq")  # replay
     assert _rows(spark, table) == snap1  # same winners, new version
     assert current_version(table) == 1
+
+
+def test_cdc_merge_deletes_and_reinserts(spark, tmp_path_factory):
+    from tijdloze_musicbrainz_spark.operators.manifest import merge_cdc_manifest
+
+    table = str(tmp_path_factory.mktemp("manifest_cdc") / "t")
+    base = spark.range(10).selectExpr(
+        "id as k", "1L as seq", "id as v", "'I' as op"
+    )
+    merge_cdc_manifest(base, table, ["k"], "seq")
+    assert len(_rows(spark, table)) == 10
+
+    # delete 3, update 5, and a LATE update for 3 that loses to the
+    # delete on priority (seq 2 vs 3): arrival order must not matter
+    changes = spark.createDataFrame(
+        [(3, 3, 0, "D"), (5, 2, 555, "U"), (3, 2, 333, "U")],
+        "k long, seq long, v long, op string",
+    )
+    merge_cdc_manifest(changes, table, ["k"], "seq")
+    now = _rows(spark, table)
+    assert len(now) == 9  # key 3 gone
+    assert all(r[0] != 3 for r in now)
+    assert (5, 2, 555) in now
+
+    # re-insert key 3 with a higher priority than its tombstone
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 4, 777, "I")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert (3, 4, 777) in _rows(spark, table)
+
+
+def test_compaction_preserves_snapshot_and_shrinks_files(
+    spark, tmp_path_factory
+):
+    import glob
+
+    from tijdloze_musicbrainz_spark.operators.manifest import compact
+
+    table = str(tmp_path_factory.mktemp("manifest_opt") / "t")
+    for i in range(4):  # four commits → many small files
+        batch = spark.range(i * 25, (i + 1) * 25).selectExpr(
+            "id as k", f"{i + 1}L as seq", "id as v"
+        )
+        merge_upsert_manifest(batch, table, ["k"], "seq")
+    before = _rows(spark, table)
+    v_before = current_version(table)
+    n_files_before = len(glob.glob(f"{table}/data/*/*.parquet"))
+
+    compact(table, spark)
+    assert current_version(table) == v_before + 1
+    assert _rows(spark, table) == before  # contents identical
+    # old version still readable (immutable files retained)
+    assert _rows(spark, table, version=v_before) == before
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(table, "_manifests", f"v{v_before + 1}.json")) as f:
+        m = _json.load(f)
+    # one entry PER BUCKET after OPTIMIZE (bucket structure preserved)
+    assert all(len(v) == 1 for v in m["files"].values())
+    n_files_after = sum(
+        len(glob.glob(f"{table}/{ps[0]}/*.parquet"))
+        for ps in m["files"].values()
+    )
+    assert n_files_after < n_files_before
+
+    # CRITICAL: a post-compaction incremental merge must still see the
+    # compacted buckets (entry "0"-collapse would detach them)
+    late = spark.createDataFrame([(10, 99, 1010)], "k long, seq long, v long")
+    merge_upsert_manifest(late, table, ["k"], "seq")
+    after = _rows(spark, table)
+    assert (10, 99, 1010) in after and len(after) == len(before)

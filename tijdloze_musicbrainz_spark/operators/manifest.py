@@ -153,19 +153,120 @@ def merge_upsert_manifest(
         else:
             new_files.pop(str(b), None)  # bucket emptied (all rows lost)
     shutil.rmtree(tmp, ignore_errors=True)
+    # THE commit point: readers flip from snapshot v to v+1 atomically
+    _commit(table, v, new_files)
+    return touched
 
-    manifest = {"version": v + 1, "files": new_files}
-    mpath = os.path.join(_manifest_dir(table), f"v{v + 1}.json")
+
+def merge_cdc_manifest(
+    changes: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    priority_col: str,
+    op_col: str = "op",
+    n_buckets: int = N_MERGE_BUCKETS,
+) -> list[int]:
+    """CDC MERGE: apply an insert/update/delete change stream to the
+    manifest table. ``op_col`` holds 'I'/'U'/'D' (insert and update
+    are the same upsert under last-writer-wins); a 'D' row is a
+    TOMBSTONE — if it is the key's winning (highest-priority) change,
+    the key disappears from the snapshot. The tombstone participates
+    in the same dedup as data rows, so D-then-late-U ordering is
+    decided by ``priority_col``, never arrival order (retry-safe).
+
+    Implementation: upsert batch ∪ existing with the op column kept,
+    then filter the winners' tombstones out BEFORE writing — one extra
+    narrow filter over the merge's existing plan. Commit protocol
+    identical to merge_upsert_manifest."""
+    spark = changes.sparkSession
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+    ).cast("int")
+    batch = changes.withColumn("__bucket", bucket)
+    touched = sorted(
+        r["__bucket"] for r in batch.select("__bucket").distinct().collect()
+    )
+    if not touched:
+        return []
+    v = current_version(table)
+    files: dict[str, list[str]] = (
+        dict(_read_manifest(table, v)["files"]) if v >= 0 else {}
+    )
+    old_paths = [
+        os.path.join(table, p)
+        for b in touched
+        for p in files.get(str(b), [])
+    ]
+    if old_paths:
+        existing = (
+            spark.read.parquet(*old_paths)
+            # committed rows are all live data (tombstones never land)
+            .withColumn(op_col, F.lit("I"))
+            .withColumn("__bucket", bucket)
+        )
+        merged = existing.unionByName(batch, allowMissingColumns=False)
+    else:
+        merged = batch
+    winners = dedup_last_wins(merged, list(keys), [F.desc(priority_col)])
+    out = winners.filter(F.col(op_col) != "D").drop(op_col)
+
+    tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    new_files = dict(files)
+    for b in touched:
+        src = os.path.join(tmp, f"__bucket={b}")
+        entry = f"data/v{v + 1}_b{b}_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(src):
+            os.rename(src, os.path.join(table, entry))
+            new_files[str(b)] = [entry]
+        else:
+            new_files.pop(str(b), None)  # every key in the bucket deleted
+    shutil.rmtree(tmp, ignore_errors=True)
+    _commit(table, v, new_files)
+    return touched
+
+
+def compact(table: str, spark: SparkSession) -> int:
+    """OPTIMIZE analog: rewrite each bucket's file list into ONE
+    coalesced file set and commit — readers of older versions are
+    untouched (immutable files + retained manifests), new readers see
+    fewer, larger files. The BUCKET STRUCTURE of the manifest is
+    preserved (compaction works per bucket entry), so subsequent
+    incremental merges keep pruning to their touched buckets — a
+    whole-table rewrite into one entry would silently detach every
+    other bucket from future merges. Returns the new version. At
+    100 TB this runs incrementally over the small-file buckets only."""
+    v = current_version(table)
+    if v < 0:
+        raise ValueError(f"{table}: nothing to compact")
+    files = _read_manifest(table, v)["files"]
+    new_files: dict[str, list[str]] = {}
+    for bkey, ps in files.items():
+        df = spark.read.parquet(*[os.path.join(table, p) for p in ps])
+        tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        entry = f"data/v{v + 1}_compact_b{bkey}_{uuid.uuid4().hex[:8]}"
+        os.rename(tmp, os.path.join(table, entry))
+        new_files[bkey] = [entry]
+    _commit(table, v, new_files)
+    return v + 1
+
+
+def _commit(table: str, base_version: int, new_files: dict) -> None:
+    manifest = {"version": base_version + 1, "files": new_files}
+    mpath = os.path.join(_manifest_dir(table), f"v{base_version + 1}.json")
     try:
         with open(mpath, "x") as f:
             json.dump(manifest, f)
     except FileExistsError as exc:
         raise CommitConflict(
-            f"{table}: version {v + 1} already committed by another writer"
+            f"{table}: version {base_version + 1} already committed by "
+            "another writer"
         ) from exc
-    # THE commit point: readers flip from snapshot v to v+1 atomically
     ptmp = _latest_path(table) + f".{uuid.uuid4().hex[:8]}"
     with open(ptmp, "w") as f:
-        f.write(str(v + 1))
+        f.write(str(base_version + 1))
     os.replace(ptmp, _latest_path(table))
-    return touched

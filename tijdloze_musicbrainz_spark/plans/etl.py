@@ -678,3 +678,78 @@ def s7_upsert_manifest_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "batch_id"
     )
+
+
+@register(
+    "s7_cdc_merge_deletes",
+    survey_ids=("S7", "A10"),
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_totalprice, 1 AS seq, 'I' AS op
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(0 AS DOUBLE), 2 AS seq, 'D' AS op
+  FROM orders WHERE o_orderkey % 40 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2, 2 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 40 <> 0
+),
+winners AS (
+  SELECT o_orderkey, o_totalprice, CAST(seq AS BIGINT) AS seq, op
+  FROM changes
+  QUALIFY row_number() OVER (
+    PARTITION BY o_orderkey ORDER BY seq DESC) = 1
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, seq
+FROM winners WHERE op <> 'D'
+""",
+    doc="CDC MERGE with delete tombstones (r5): a change stream of "
+    "I/U/D rows applied to the manifest table — every 40th key is "
+    "DELETED (its tombstone outranks the base insert on priority), "
+    "every other 20th key updated, the rest upserted; tombstone "
+    "winners vanish from the committed snapshot. Priority, not "
+    "arrival order, decides D-vs-late-U races (retry-safe; pinned in "
+    "tests/test_manifest.py). The read-back equals the SQL winners "
+    "minus tombstones — the Postgres DELETE+upsert semantics the "
+    "parquet tier previously couldn't express.",
+)
+def s7_cdc_merge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    from ..operators.manifest import (  # noqa: PLC0415
+        merge_cdc_manifest,
+        read_table,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"{SINK_ROOT}/s7_cdc_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    merge_cdc_manifest(base, table, ["o_orderkey"], "seq")
+    deletes = orders.filter(F.col("o_orderkey") % 40 == 0).select(
+        "o_orderkey",
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderkey") % 40 != 0)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    merge_cdc_manifest(
+        deletes.unionByName(updates), table, ["o_orderkey"], "seq"
+    )
+    out = read_table(spark, table)
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "seq"
+    )
