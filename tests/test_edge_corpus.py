@@ -21,6 +21,7 @@ EDGE_QUERIES = [
     "corpus_pack_sequences",
     "corpus_chunk_overlap",
     "text_repetition_filter",
+    "text_bm25_topk",
     # broader per-document tier on the same hostile rows
     "dedup_exact_first_wins",
     "dedup_ngram_jaccard_blocked",

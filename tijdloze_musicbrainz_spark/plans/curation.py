@@ -491,7 +491,7 @@ def _bm25_term_sql(term: str, i: int) -> str:
     return (
         f"round(ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1) * "
         f"tf{i} * ({BM25_K1} + 1) / "
-        f"(tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 9)"
+        f"(tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / nullif(avgdl, 0))), 9)"
     )
 
 
@@ -579,7 +579,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (
                 tf
                 + BM25_K1
-                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                * (
+                    1
+                    - BM25_B
+                    # nullif: an ALL-EMPTY corpus makes avgdl 0.0 and
+                    # dl/0.0 an IEEE NaN that DuckDB's NaN>0 would KEEP
+                    # while Spark drops — NULL excludes on both engines
+                    + BM25_B * F.col("dl") / F.nullif(F.col("avgdl"), F.lit(0.0))
+                )
             ),
             9,
         )

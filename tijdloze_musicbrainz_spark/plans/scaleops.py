@@ -162,9 +162,9 @@ edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
 deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
 consts AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST({PR_SCALE} AS BIGINT) // count(*) AS r_init,
+         CAST({PR_SCALE} AS BIGINT) // nullif(count(*), 0) AS r_init,
          ({PR_DAMP_DEN - PR_DAMP_NUM} * CAST({PR_SCALE} AS BIGINT))
-           // ({PR_DAMP_DEN} * count(*)) AS base
+           // nullif({PR_DAMP_DEN} * count(*), 0) AS base
   FROM deg
 ),
 r0 AS (SELECT u, (SELECT r_init FROM consts) AS r FROM deg),
@@ -212,10 +212,15 @@ def graph_pagerank_exact_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
     consts = deg.agg(
         F.count("*").cast("long").alias("n"),
-        F.expr(f"CAST({PR_SCALE} AS BIGINT) div count(*)").alias("r_init"),
+        # nullif: an EMPTY graph must yield NULL consts (and an empty
+        # result), not an ANSI integer-divide-by-zero when the global
+        # agg row evaluates (hostile-input rule)
+        F.expr(
+            f"CAST({PR_SCALE} AS BIGINT) div nullif(count(*), 0)"
+        ).alias("r_init"),
         F.expr(
             f"({PR_DAMP_DEN - PR_DAMP_NUM} * CAST({PR_SCALE} AS BIGINT)) "
-            f"div ({PR_DAMP_DEN} * count(*))"
+            f"div nullif({PR_DAMP_DEN} * count(*), 0)"
         ).alias("base"),
     )
     ranks = deg.crossJoin(F.broadcast(consts)).select(
