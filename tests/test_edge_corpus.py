@@ -22,6 +22,7 @@ EDGE_QUERIES = [
     "corpus_chunk_overlap",
     "text_repetition_filter",
     "text_bm25_topk",
+    "text_bpe_train_merges",
     # broader per-document tier on the same hostile rows
     "dedup_exact_first_wins",
     "dedup_ngram_jaccard_blocked",

@@ -1472,3 +1472,145 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_digest"),
     )
+
+
+# -- iterative BPE merge training -------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    parts = ["t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+             "w -> w <> '') AS tk FROM documents)"]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"t{r - 1}"
+        parts.append(f"""
+pairs{r} AS (
+  SELECT t.tk[u.i] AS a, t.tk[u.i + 1] AS b
+  FROM {prev} t, unnest(range(1, len(t.tk))) AS u(i)
+),
+w{r} AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs{r} GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+mpos{r} AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, min(p) OVER (PARTITION BY doc_id, grp) AS rs
+    FROM (
+      SELECT t.doc_id, u.i AS p,
+             u.i - row_number() OVER (
+               PARTITION BY t.doc_id ORDER BY u.i) AS grp
+      FROM {prev} t, unnest(range(1, len(t.tk))) AS u(i), w{r}
+      WHERE t.tk[u.i] = w{r}.a AND t.tk[u.i + 1] = w{r}.b
+    )
+  ) WHERE (p - rs) % 2 = 0
+),
+kept{r} AS (
+  SELECT doc_id, list(p ORDER BY p) AS ks FROM mpos{r} GROUP BY doc_id
+),
+t{r} AS (
+  SELECT t.doc_id,
+         CASE WHEN k.ks IS NULL THEN t.tk
+         ELSE list_filter(list_transform(range(1, len(t.tk) + 1),
+            i -> CASE WHEN list_contains(k.ks, i)
+                      THEN t.tk[i] || t.tk[i + 1]
+                      WHEN list_contains(k.ks, i - 1) THEN NULL
+                      ELSE t.tk[i] END), x -> x IS NOT NULL)
+         END AS tk
+  FROM {prev} t LEFT JOIN kept{r} k USING (doc_id)
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS token_a, b AS token_b, "
+        f"cnt AS pair_count FROM w{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + unions
+
+
+@register(
+    "text_bpe_train_merges",
+    survey_ids=(),
+    oracle=_bpe_oracle(),
+    doc=f"ITERATIVE BPE tokenizer training ({BPE_ROUNDS} unrolled merge "
+    "rounds — the trainer loop behind every modern tokenizer, at "
+    "word level): each round counts adjacent token pairs corpus-wide, "
+    "elects the most frequent pair (lexicographic tie-break), and "
+    "merges its non-overlapping occurrences GREEDY LEFT-TO-RIGHT "
+    "before the next round re-counts over the rewritten corpus. The "
+    "Spark side rewrites each document with an in-row struct-state "
+    "fold (aggregate: carry + acc — zero shuffle for the merge "
+    "itself; the only shuffles are the per-round pair counts), the "
+    "winner is a 1-row min_by aggregate broadcast back (never "
+    "collected); rounds chain LAZILY into one DAG. The oracle is an "
+    "INDEPENDENT formulation: positions via unnest, greedy "
+    "non-overlap via run-grouping window parity ((p - run_start) % 2 "
+    "= 0), array rebuild via transform+filter — so the two engines "
+    "agree on the subtle overlap semantics ('a a a' merges once), "
+    "not just the easy counts. At 100 TB each round is one "
+    "pair-count shuffle over the corpus; merges are narrow.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias("tk"),
+    )
+    merge_fold = F.expr(
+        """
+aggregate(tk,
+  named_struct('acc', CAST(array() AS ARRAY<STRING>),
+               'carry', CAST(NULL AS STRING)),
+  (s, x) -> IF(s.carry IS NULL,
+               named_struct('acc', s.acc, 'carry', x),
+               IF(wa IS NOT NULL AND s.carry = wa AND x = wb,
+                  named_struct('acc', array_append(s.acc, concat(wa, wb)),
+                               'carry', CAST(NULL AS STRING)),
+                  named_struct('acc', array_append(s.acc, s.carry),
+                               'carry', x))),
+  s -> IF(s.carry IS NULL, s.acc, array_append(s.acc, s.carry)))
+"""
+    )
+    winners = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = docs.select(
+            F.explode(
+                F.when(
+                    F.size("tk") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tk") - 2),
+                        lambda i: F.struct(
+                            F.get(F.col("tk"), i).alias("a"),
+                            F.get(F.col("tk"), i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("g")
+        ).select("g.a", "g.b")
+        counts = pairs.groupBy("a", "b").agg(F.count("*").alias("cnt"))
+        # 1-row global winner: most frequent, then lexicographic —
+        # min_by over (-cnt, a, b); empty corpus -> NULL winner row
+        winner = counts.agg(
+            F.min_by(
+                F.struct("a", "b", "cnt"),
+                F.struct((-F.col("cnt")).alias("nc"), "a", "b"),
+            ).alias("w")
+        ).select(
+            F.col("w.a").alias("wa"),
+            F.col("w.b").alias("wb"),
+            F.col("w.cnt").alias("wcnt"),
+        )
+        winners.append(
+            winner.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("wa").alias("token_a"),
+                F.col("wb").alias("token_b"),
+                F.col("wcnt").alias("pair_count"),
+            )
+        )
+        docs = docs.crossJoin(F.broadcast(winner)).select(
+            "doc_id", merge_fold.alias("tk")
+        )
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    return out.filter(F.col("token_a").isNotNull())
