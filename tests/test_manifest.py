@@ -182,3 +182,37 @@ def test_compaction_preserves_snapshot_and_shrinks_files(
     merge_upsert_manifest(late, table, ["k"], "seq")
     after = _rows(spark, table)
     assert (10, 99, 1010) in after and len(after) == len(before)
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path_factory):
+    import os as _os
+
+    from tijdloze_musicbrainz_spark.operators.manifest import vacuum
+
+    table = str(tmp_path_factory.mktemp("manifest_vac") / "t")
+    for i in range(4):
+        batch = spark.range(0, 40).selectExpr(
+            "id as k", f"{i + 1}L as seq", f"id + {i} as v"
+        )
+        merge_upsert_manifest(batch, table, ["k"], "seq")
+    live = _rows(spark, table)
+    v = current_version(table)
+
+    deleted = vacuum(table, keep_versions=2)
+    assert deleted  # old rewrites were garbage
+    # live + previous snapshot still read fine
+    assert _rows(spark, table) == live
+    assert _rows(spark, table, version=v - 1)
+    # vacuumed manifests are gone; time travel past retention fails loudly
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, version=0)
+    # deleted entries are really off disk
+    assert all(not _os.path.exists(_os.path.join(table, p)) for p in deleted)
+    # a further merge on the vacuumed table still works
+    merge_upsert_manifest(
+        spark.createDataFrame([(1, 99, 123)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert (1, 99, 123) in _rows(spark, table)

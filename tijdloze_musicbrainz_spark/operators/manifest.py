@@ -270,3 +270,35 @@ def _commit(table: str, base_version: int, new_files: dict) -> None:
     with open(ptmp, "w") as f:
         f.write(str(base_version + 1))
     os.replace(ptmp, _latest_path(table))
+
+
+def vacuum(table: str, keep_versions: int = 1) -> list[str]:
+    """VACUUM analog: delete data files referenced ONLY by manifests
+    older than the newest ``keep_versions`` commits, then drop those
+    manifests. The kept versions (and the live pointer) are untouched,
+    so readers of any retained snapshot are safe; time travel to a
+    vacuumed version afterwards raises FileNotFoundError — the same
+    contract as Delta's VACUUM breaking time travel past the retention
+    window. Returns the deleted file entries (observability)."""
+    v = current_version(table)
+    if v < 0:
+        return []
+    keep = range(max(0, v - keep_versions + 1), v + 1)
+    kept_files: set[str] = set()
+    for kv in keep:
+        for ps in _read_manifest(table, kv)["files"].values():
+            kept_files.update(ps)
+    deleted = []
+    for old in range(0, max(0, v - keep_versions + 1)):
+        mpath = os.path.join(_manifest_dir(table), f"v{old}.json")
+        if not os.path.exists(mpath):
+            continue  # already vacuumed
+        for ps in _read_manifest(table, old)["files"].values():
+            for p in ps:
+                if p not in kept_files and os.path.exists(
+                    os.path.join(table, p)
+                ):
+                    shutil.rmtree(os.path.join(table, p))
+                    deleted.append(p)
+        os.remove(mpath)
+    return deleted
