@@ -990,12 +990,18 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
     "(first-writer-wins, the paper's keep-one policy made "
     "deterministic). The published O(N^2/k) trick verbatim: the "
     "pair join is keyed on cluster id, so candidate volume is "
-    "sum(cluster_size^2), never corpus^2 — at 100 TB you raise k "
-    "so clusters stay bounded and the same plan holds; assignment "
-    "is one broadcast-centroids scan (k vectors broadcast, corpus "
-    "never shuffles). Null-safe cosine throughout: a zero-norm "
-    "vector matches nothing and lands in NO cluster deterministically "
-    "(NULLS LAST on both engines).",
+    "sum(cluster_size^2), never corpus^2 — at 100 TB you raise k so "
+    "clusters stay bounded. HONEST COST NOTE (measured r5, ad-hoc "
+    "scale curve 1.2/2.0/3.2/8.6 s over 1x-8x): the broadcast "
+    "assignment is O(n*k) expression folds, and with k = n/50 that "
+    "term is quadratic — it dominates from ~16k vectors here. The "
+    "published remedy is hierarchical assignment (a coarse quantizer "
+    "over the centroids, FAISS-style two-level IVF); the matmul lane "
+    "(sim_cosine_topk_pandas's pattern) buys ~100x in constants but "
+    "risks last-ulp assignment flips near centroid ties, so the "
+    "oracle-exact fold lane is kept at test scale. Null-safe cosine "
+    "throughout: a zero-norm vector matches nothing and is assigned "
+    "deterministically (NULLS LAST tie-break on both engines).",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
