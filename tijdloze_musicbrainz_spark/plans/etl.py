@@ -753,3 +753,88 @@ def s7_cdc_merge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "seq"
     )
+
+
+_LOG_PATH = "/tmp/spark_graft_fixtures/access.log"
+_LOG_N = 5000
+_LOG_RE = r'^(\S+) \S+ \S+ \[([^\]]+)\] "(\w+) ([^ ]+) [^"]*" (\d+) (\d+)$'
+
+
+def write_access_log(path: str = _LOG_PATH) -> str:
+    """Deterministic Apache-combined-style access log (atomic,
+    idempotent): ip/method/path/status/bytes all closed-form in the
+    line number, including hostile-ish paths with query strings."""
+    import os  # noqa: PLC0415
+
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    methods = ("GET", "POST", "PUT", "DELETE")
+    statuses = (200, 200, 200, 301, 404, 500)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for i in range(_LOG_N):
+            ip = f"10.{i % 256}.{(i * 7) % 256}.{(i * 13) % 256}"
+            m = methods[i % 4]
+            p = f"/api/v{i % 3}/item/{i % 97}" + (
+                f"?q={i % 11}&page={i % 5}" if i % 3 == 0 else ""
+            )
+            st = statuses[i % 6]
+            nb = (i * 37) % 5000
+            f.write(
+                f'{ip} - - [01/Jan/2024:00:{i % 60:02d}:{i % 60:02d} +0000] '
+                f'"{m} {p} HTTP/1.1" {st} {nb}\n'
+            )
+    import os as _os  # noqa: PLC0415
+
+    _os.replace(tmp, path)
+    return path
+
+
+@register(
+    "s_textlog_parse",
+    survey_ids=("S2", "P2", "A1"),
+    oracle=f"""
+WITH raw AS (
+  SELECT line FROM read_csv('{_LOG_PATH}', columns={{'line': 'VARCHAR'}},
+                            delim='\x01', header=false, quote='')
+),
+parsed AS (
+  SELECT regexp_extract(line, '{_LOG_RE}', 3) AS method,
+         regexp_extract(line, '{_LOG_RE}', 5) AS status,
+         CAST(regexp_extract(line, '{_LOG_RE}', 6) AS BIGINT) AS n_bytes
+  FROM raw
+)
+SELECT method, CAST(status AS BIGINT) AS status,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM parsed
+WHERE method <> ''
+GROUP BY method, status
+""",
+    doc="Raw text-log ingestion — the third unstructured source tier "
+    "beside CSV and JSON lines: spark.read.text over an Apache-"
+    "combined-style access log, structured by one regexp_extract per "
+    "field (pure JVM narrow map, no UDF), rolled up per "
+    "(method, status). The oracle re-reads the SAME file with "
+    "DuckDB's reader (delimiter-free single-column CSV, quoting "
+    "disabled) and its own RE2 regexp_extract — two independent "
+    "parsers over identical bytes, exactly the golden-CSV playbook. "
+    "Unparseable lines drop on both sides (empty extract). At 100 TB "
+    "this is the classic logs->lake bronze pass: line-splittable "
+    "input, narrow parse, partitioned aggregate.",
+)
+def s_textlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_access_log()
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", _LOG_RE, 3).alias("method"),
+        F.regexp_extract("value", _LOG_RE, 5).alias("status"),
+        F.regexp_extract("value", _LOG_RE, 6).alias("nb"),
+    ).filter(F.col("method") != "")
+    return parsed.groupBy(
+        "method", F.col("status").cast("long").alias("status")
+    ).agg(
+        F.count("*").alias("n_requests"),
+        F.sum(F.col("nb").cast("long")).alias("total_bytes"),
+    )
