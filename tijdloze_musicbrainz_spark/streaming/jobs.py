@@ -731,3 +731,77 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= 0.8).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
+
+
+@register(
+    "streaming_cdc_apply",
+    survey_ids=("S7", "A10"),
+    oracle="""
+WITH changes AS (
+  SELECT user_id, event_type, event_id, round(value, 2) AS value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+),
+winners AS (
+  SELECT * FROM changes
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+)
+SELECT user_id, event_type, event_id, value
+FROM winners WHERE op <> 'D'
+""",
+    doc="STREAMING CDC apply — the reference's per-artist upsert re-run "
+    "as a continuous pipeline with real transactional semantics: the "
+    "event stream is interpreted as a change feed (error events are "
+    "DELETE tombstones for their key, everything else upserts), each "
+    "micro-batch applies through operators.manifest.merge_cdc_manifest "
+    "— so every batch commits ATOMICALLY across its touched buckets "
+    "(one pointer swap), tombstone-vs-late-update races resolve on "
+    "event_id priority (not arrival order), and a replayed batch "
+    "re-merges to identical winners. The read-back must equal batch "
+    "last-writer-wins minus deleted keys. 'error' keys whose LATEST "
+    "change is the tombstone are absent; keys whose tombstone was "
+    "outranked by a later event survive.",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from ..operators.manifest import (  # noqa: PLC0415
+        merge_cdc_manifest,
+        read_table,
+    )
+    from ..plans.etl import SINK_ROOT  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"{SINK_ROOT}/streaming_cdc_{tag}"
+    # fresh table per process run: the checkpoint-offset + manifest
+    # pair must stay consistent (same policy as the batch CDC query)
+    shutil.rmtree(table, ignore_errors=True)
+    shutil.rmtree(f"{table}__checkpoint", ignore_errors=True)
+    stream = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+
+    def apply_changes(batch_df: DataFrame, batch_id: int) -> None:
+        merge_cdc_manifest(
+            batch_df, table, ["user_id", "event_type"], "event_id"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_changes)
+        .option("checkpointLocation", f"{table}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = read_table(spark, table)
+    if out is None:
+        return spark.createDataFrame(
+            [], "user_id long, event_type string, event_id long, value double"
+        )
+    return out.select("user_id", "event_type", "event_id", "value")
