@@ -933,3 +933,80 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tok") - F.size(kept)).cast("long").alias("cut_tok"),
         F.md5(F.concat_ws(" ", kept)).alias("kept_digest"),
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    survey_ids=(),
+    oracle=f"""
+WITH RECURSIVE
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ws, 1, 5), ' ') AS blk,
+         {_SHINGLES_SQL} AS sgs
+  FROM w
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
+        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.9
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+clustered AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+)
+SELECT doc_id, cluster_id,
+       (row_number() OVER (
+          PARTITION BY cluster_id
+          ORDER BY n_chars DESC, doc_id) = 1) AS keep
+FROM clustered
+""",
+    doc="Duplicate-cluster resolution with a QUALITY policy: every "
+    "near-dup cluster (connected components over the blocked-Jaccard "
+    "pairs — the same large-star/small-star core) keeps its LONGEST "
+    "member (n_chars, doc_id tie-break) instead of the smallest id — "
+    "what a production corpus dedup actually ships (drop the "
+    "truncated copies, keep the fullest). Spark side: cluster labels "
+    "from connected_components, then one max_by-struct aggregate per "
+    "cluster (map-side combinable, no window on the big side) joined "
+    "back as the keep flag. Singleton documents are their own cluster "
+    "and always keep.",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard_blocked(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clustered = docs.join(labels, docs.doc_id == labels.id, "left").select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    best = clustered.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+        ).alias("best_doc")
+    )
+    return clustered.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("best_doc")).alias("keep"),
+    )
