@@ -561,3 +561,129 @@ def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width bigint, height bigint, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+@register(
+    "multimodal_bmp_resize_real",
+    survey_ids=(),
+    oracle=f"""
+WITH m AS (SELECT unnest(range(0, {N_BMP})) AS media_id),
+p AS (
+  SELECT media_id, 8 + media_id % 9 AS w, 5 + media_id % 7 AS h FROM m
+),
+dims AS (
+  SELECT media_id, w, h,
+         CAST(ceil(w / 2.0) AS BIGINT) AS nw,
+         CAST(ceil(h / 2.0) AS BIGINT) AS nh
+  FROM p
+),
+px AS (
+  SELECT media_id, w, h, nw, nh, unnest(range(0, nw)) AS xs FROM dims
+),
+sums AS (
+  SELECT media_id, nw, nh,
+         list_sum(list_transform(range(0, nh),
+           ys -> (3 * (2 * xs) + 5 * (2 * ys) + media_id) % 256)) AS col_b,
+         list_sum(list_transform(range(0, nh),
+           ys -> ((3 * (2 * xs) + 5 * (2 * ys) + media_id) % 256 + 1) % 256))
+           AS col_g,
+         list_sum(list_transform(range(0, nh),
+           ys -> ((3 * (2 * xs) + 5 * (2 * ys) + media_id) % 256 + 2) % 256))
+           AS col_r
+  FROM px
+)
+SELECT media_id,
+       CAST(any_value(nw) AS BIGINT) AS width,
+       CAST(any_value(nh) AS BIGINT) AS height,
+       CAST(54 + ((any_value(nw) * 3 + 3) // 4) * 4 * any_value(nh)
+            AS BIGINT) AS encoded_bytes,
+       CAST(sum(col_r) AS BIGINT) AS sum_r,
+       CAST(sum(col_g) AS BIGINT) AS sum_g,
+       CAST(sum(col_b) AS BIGINT) AS sum_b
+FROM sums
+GROUP BY media_id
+""",
+    doc="REAL image RESIZE, no external libs: each fixture BMP is "
+    "decoded (struct + numpy), nearest-neighbor downsampled 2x "
+    "(every even source pixel), RE-ENCODED as a well-formed BMP "
+    "(header, bottom-up rows, 4-byte padding) and RE-DECODED — the "
+    "emitted channel sums come from the second decode, so the "
+    "encoder's output is verified by its own parser, and the byte "
+    "length of the re-encoded file plus the sampled-coordinate sums "
+    "are pinned by the closed-form oracle. Completes the multimodal "
+    "tier: decode, feature-extract, frame-sample AND resize all run "
+    "for real on the stdlib-parseable formats.",
+)
+def multimodal_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_media_fixture()
+    media = (
+        spark.read.parquet(path)
+        .filter(F.col("kind") == "bmp")
+        .select("media_id", "payload")
+    )
+
+    def resize(batches: Iterator) -> Iterator:
+        import struct  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        def decode(raw: bytes):
+            assert raw[:2] == b"BM"
+            data_off = struct.unpack_from("<I", raw, 10)[0]
+            hdr_sz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", raw, 14)
+            assert hdr_sz == 40 and bpp == 24
+            row_bytes = (w * 3 + 3) & ~3
+            rows = np.frombuffer(
+                raw, dtype=np.uint8, count=row_bytes * h, offset=data_off
+            ).reshape(h, row_bytes)[:, : w * 3]
+            return rows.reshape(h, w, 3)[::-1]  # top-down, BGR
+
+        def encode(img) -> bytes:
+            import numpy as np  # noqa: PLC0415
+
+            h, w = img.shape[:2]
+            row_bytes = (w * 3 + 3) & ~3
+            body = np.zeros((h, row_bytes), dtype=np.uint8)
+            body[:, : w * 3] = img[::-1].reshape(h, w * 3)  # bottom-up
+            header = struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + row_bytes * h, 0, 0, 54
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h,
+                2835, 2835, 0, 0,
+            )
+            return header + body.tobytes()
+
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["payload"]):
+                img = decode(bytes(blob))
+                small = img[::2, ::2]  # nearest-neighbor 2x downsample
+                reencoded = encode(small)
+                back = decode(reencoded).astype(np.int64)
+                out.append(
+                    (
+                        media_id,
+                        back.shape[1],
+                        back.shape[0],
+                        len(reencoded),
+                        int(back[:, :, 2].sum()),
+                        int(back[:, :, 1].sum()),
+                        int(back[:, :, 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "encoded_bytes",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        resize,
+        "media_id bigint, width bigint, height bigint, encoded_bytes bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
