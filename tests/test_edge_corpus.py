@@ -26,6 +26,9 @@ EDGE_QUERIES = [
     # broader per-document tier on the same hostile rows
     "dedup_exact_first_wins",
     "dedup_ngram_jaccard_blocked",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_cluster_keep_best",
     "dedup_simhash",
     "text_token_stats",
     "text_quality_score",
@@ -58,6 +61,11 @@ DOCS = [
     # hamming-0 simhash twins
     (8, "the quick brown fox jumps over the lazy dog again today", "en", "srcC"),
     (9, "the quick brown fox jumps over the lazy dog again today", "en", "srcC"),
+    # NULL text: split/len/shingle folds must agree on NULL handling
+    # across engines (Spark size(NULL array) is NULL post-3.0, DuckDB
+    # len(NULL) is NULL — but any query materializing counts must not
+    # crash or diverge)
+    (10, None, "en", "srcC"),
 ]
 
 
@@ -65,7 +73,7 @@ DOCS = [
 def edge_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("edge_corpus")
     df = spark.createDataFrame(
-        [(i, t, lang, src, len(t)) for i, t, lang, src in DOCS],
+        [(i, t, lang, src, len(t) if t is not None else None) for i, t, lang, src in DOCS],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))

@@ -178,7 +178,15 @@ WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
     "the blocker — the cheap pre-LSH tier).",
 )
 def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    # NULL text matches nothing: Spark's NULL-array shingle fold would
+    # otherwise collapse to [''] (identical to the EMPTY document) and
+    # pair contentless docs, while the oracle's NULL block key joins
+    # nothing — filter keeps both engines on "no content, no pairs"
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words_col().alias("ws"))
+    )
     sh = docs.select(
         "doc_id",
         F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
@@ -220,7 +228,13 @@ WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
     "plan itself NEVER does the O(n^2) scan.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    # NULL text matches nothing (same policy + reason as the blocked
+    # Jaccard tier; pinned by the NULL-text edge-corpus row)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words_col().alias("ws"))
+    )
     sh = docs.select("doc_id", shingles_col(F.col("ws")).alias("sgs"))
 
     # (doc, shingle) rows -> 64 permutation-mins in ONE codegen'd hash

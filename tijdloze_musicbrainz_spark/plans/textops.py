@@ -191,13 +191,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("long"),
         lambda acc, x: (acc * x) % 1_000_000_007,
     )
+    # NULL text -> NULL keys: concat_ws would silently render a NULL
+    # slice as '' while the oracle's array_to_string(NULL) stays NULL
+    # (NULL-text edge-corpus row)
+    null_s = F.lit(None).cast("string")
     return docs.select(
         "doc_id",
         fp.alias("weak_shape_fp"),
-        F.concat_ws(" ", F.slice(F.col("ws"), 1, 3)).alias("head_key"),
-        F.expr("concat_ws(' ', slice(ws, greatest(size(ws)-2, 1), 3))").alias(
-            "tail_key"
-        ),
+        F.when(F.col("ws").isNull(), null_s)
+        .otherwise(F.concat_ws(" ", F.slice(F.col("ws"), 1, 3)))
+        .alias("head_key"),
+        F.when(F.col("ws").isNull(), null_s)
+        .otherwise(
+            F.expr("concat_ws(' ', slice(ws, greatest(size(ws)-2, 1), 3))")
+        )
+        .alias("tail_key"),
     )
 
 
@@ -1325,8 +1333,8 @@ def next_fit_bins(n, budget: int):
     oracle=f"""
 WITH RECURSIVE sized AS (
   SELECT doc_id, source,
-         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-              AS BIGINT) AS n_tok,
+         coalesce(CAST(len(list_filter(string_split(text, ' '),
+                                       w -> w <> '')) AS BIGINT), 0) AS n_tok,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -1362,8 +1370,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    # coalesce: a NULL document consumes zero budget (NULL n_tok would
+    # poison the pandas int cast here and the fill fold in the oracle)
     sized = docs.select(
-        "doc_id", "source", n_tok.cast("long").alias("n_tok")
+        "doc_id",
+        "source",
+        F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tok"),
     )
 
     budget = PACK_TOKEN_BUDGET
