@@ -47,6 +47,9 @@ def edge_embeddings_dir(tmp_path_factory):
     # and the exact duplicate (8), proving the >= 0.92 path is
     # exercised non-trivially, not just on cosine-1.0 copies
     vecs.append((31, [x + (0.002 if j % 3 == 0 else -0.002) for j, x in enumerate(base)]))
+    # NULL embedding: every tier must treat it as content-free (no
+    # matches, no cluster, NULL codes) without crashing a pandas UDF
+    vecs.append((32, None))
     con.execute(
         "CREATE TABLE emb (vec_id BIGINT, embedding FLOAT[], label INTEGER)"
     )

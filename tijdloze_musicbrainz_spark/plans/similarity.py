@@ -125,8 +125,14 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # NULL embeddings are content-free: they match nothing, join no
+    # cluster, and would crash the numpy lanes (np.array over None) —
+    # filtered here once; every oracle carries the same IS NOT NULL
+    # (NULL-embedding edge-embeddings row)
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
 
 
@@ -148,11 +154,13 @@ _COS_SQL = (
     "sim_cosine_topk_exact",
     survey_ids=(),
     oracle=f"""
-WITH q AS (SELECT * FROM embeddings WHERE {_Q_SQL}),
+WITH q AS (SELECT * FROM embeddings
+           WHERE embedding IS NOT NULL AND {_Q_SQL}),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS match_id,
          round({_COS_SQL}, 6) AS cosine
-  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM q a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+    ON a.vec_id <> b.vec_id
 )
 SELECT * FROM (
   SELECT query_id, match_id, cosine
@@ -325,7 +333,7 @@ v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 bits AS (
   SELECT v.vec_id,
@@ -422,7 +430,9 @@ def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_COS_SQL}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a
+JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+  ON a.vec_id < b.vec_id
 WHERE round({_COS_SQL}, 6) >= 0.45
 """,
     doc="Embedding-cosine near-dup pairs (threshold 0.45): the "
@@ -505,11 +515,13 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_cosine_topk_pandas",
     survey_ids=(),
     oracle=f"""
-WITH q AS (SELECT * FROM embeddings WHERE {_Q_SQL}),
+WITH q AS (SELECT * FROM embeddings
+           WHERE embedding IS NOT NULL AND {_Q_SQL}),
 scored AS (
   SELECT a.vec_id AS query_id, b.vec_id AS match_id,
          round({_COS_SQL}, 6) AS cosine
-  FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM q a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b
+    ON a.vec_id <> b.vec_id
 )
 SELECT query_id, match_id, cosine
 FROM scored
@@ -601,6 +613,7 @@ N_PROBE = 3  # centroids probed per query
 _IVF_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
@@ -702,6 +715,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 scaled AS (
   SELECT vec_id, v,
@@ -778,6 +792,7 @@ def sim_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
@@ -867,7 +882,7 @@ v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 bits AS (
   SELECT v.vec_id,
@@ -952,6 +967,7 @@ SEMDEDUP_TAU = NEAR_DUP_THRESHOLD  # within-cluster duplicate threshold
     oracle=f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ),
 cents AS (
   SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
@@ -1091,7 +1107,7 @@ v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
-  FROM embeddings
+  FROM embeddings WHERE embedding IS NOT NULL
 ),
 bits AS (
   SELECT v.vec_id,
