@@ -68,6 +68,15 @@ def edge_events_dir(tmp_path_factory):
         (409, "2024-02-01 13:09:00", 5, "view", 1.0, '{"k": 99999999999999999999}')
     )
     rows.append((410, "2024-02-01 13:10:00", 5, "view", 1.0, '{"k": -3}'))
+    # NULL value and NULL event_type: aggregations must agree on NULL
+    # arithmetic (sum skips, count(*) doesn't) and NULL group keys
+    rows.append((500, "2024-02-01 14:00:00", 6, "view", None, '{"k": 1}'))
+    rows.append((501, "2024-02-01 14:01:00", 6, None, 2.5, '{"k": 2}'))
+    # NULL event time: an event outside event-time cannot join windows,
+    # sessions, or frames — time-based queries must EXCLUDE it on both
+    # engines (Spark's window() silently drops it; DuckDB would keep a
+    # NULL bucket; ORDER BY ts defaults diverge NULLS FIRST vs LAST)
+    rows.append((502, None, 6, "view", 3.5, '{"k": 3}'))
     con.execute(
         "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"

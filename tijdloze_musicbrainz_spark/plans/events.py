@@ -58,7 +58,7 @@ SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
     doc="10-minute tumbling-window aggregation keyed by event_type — "
@@ -66,7 +66,10 @@ GROUP BY 1, 2
     "emitted as epoch seconds for the cross-engine hash).",
 )
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # ts IS NOT NULL on both engines: Spark's window() silently DROPS
+    # NULL event time while a SQL floor(epoch(ts)) group would keep a
+    # NULL bucket — exclusion is the explicit, shared policy
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
         .agg(
@@ -98,7 +101,7 @@ WITH d AS (
                 PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new_session,
          event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 s AS (
   SELECT *, sum(is_new_session) OVER (
@@ -121,7 +124,9 @@ GROUP BY user_id, session_seq
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
-    ev = t(spark, sf_dir, "events")
+    # NULL event time joins no session (and ORDER BY ts NULL defaults
+    # diverge between engines) — excluded explicitly on both sides
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # gap compared in MICROSECONDS on both engines: unix_timestamp
     # truncates to seconds while DuckDB's epoch() keeps the fraction,
@@ -396,7 +401,7 @@ SELECT user_id, event_id,
                   - coalesce(lag(CAST(value AS DECIMAL(25,6))) OVER
                       (PARTITION BY user_id ORDER BY ts, event_id),
                     CAST(0 AS DECIMAL(25,6))), 2) AS DOUBLE) AS delta_prev
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """,
@@ -420,7 +425,9 @@ def events_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = base.rowsBetween(-4, 0)
     v = F.col("value").cast("decimal(25,6)")
-    return t(spark, sf_dir, "events").select(
+    # NULL ts cannot order inside the frame (NULLS FIRST vs LAST
+    # divergence) — excluded on both engines
+    return t(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         F.round(F.sum(v).over(frame), 2).cast("double").alias("mov_sum_5"),
@@ -684,7 +691,7 @@ WITH d AS (
                 PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS is_new_session,
          event_id
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 s AS (
   SELECT *, sum(is_new_session) OVER (
@@ -709,7 +716,9 @@ GROUP BY user_id, session_seq
     "streaming-ready (works under watermark unchanged).",
 )
 def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # session_window drops NULL event time silently; the exclusion is
+    # explicit and mirrored in the oracle
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")

@@ -231,7 +231,7 @@ SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start_epoch,
        event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
     doc="The streaming path end-to-end: readStream(parquet, explicit "
