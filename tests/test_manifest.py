@@ -141,6 +141,96 @@ def test_cdc_merge_deletes_and_reinserts(spark, tmp_path_factory):
     assert (3, 4, 777) in _rows(spark, table)
 
 
+def test_cdc_tombstone_outlives_its_batch(spark, tmp_path_factory):
+    """r6 (ADVICE 1): the winning 'D' is PERSISTED as a tombstone row,
+    so a LATER batch carrying a lower-priority late update for the
+    deleted key must NOT resurrect it — cross-batch, not just within
+    one merge call."""
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        compact,
+        merge_cdc_manifest,
+    )
+
+    table = str(tmp_path_factory.mktemp("manifest_cdc_tomb") / "t")
+    base = spark.range(10).selectExpr(
+        "id as k", "1L as seq", "id as v", "'I' as op"
+    )
+    merge_cdc_manifest(base, table, ["k"], "seq")
+    # batch 2: delete key 3 at priority 5
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 5, 0, "D")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert all(r[0] != 3 for r in _rows(spark, table))
+    # batch 3 (SEPARATE commit): late update for key 3 at priority 2 —
+    # outranked by the persisted tombstone, the key stays deleted
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 2, 333, "U")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    now = _rows(spark, table)
+    assert all(r[0] != 3 for r in now) and len(now) == 9
+    # a HIGHER-priority re-insert still wins over the tombstone
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 9, 777, "I")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert (3, 9, 777) in _rows(spark, table)
+
+    # compaction is the tombstone retention boundary: delete again,
+    # compact (purges the tombstone), then the late low-priority update
+    # IS re-admitted — the documented Delta-retention contract
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 10, 0, "D")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    compact(table, spark)
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 2, 222, "U")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert (3, 2, 222) in _rows(spark, table)
+
+
+def test_time_travel_to_uncommitted_version_refused(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r6 (ADVICE 2): an orphaned manifest beyond _LATEST (crash
+    between manifest write and pointer swap) must not be readable as
+    if committed."""
+    import tijdloze_musicbrainz_spark.operators.manifest as m
+
+    table = str(tmp_path_factory.mktemp("manifest_orphan") / "t")
+    full = spark.range(10).selectExpr("id as k", "1L as seq", "id as v")
+    merge_upsert_manifest(full, table, ["k"], "seq")
+
+    real_replace = os.replace
+    monkeypatch.setattr(
+        m.os, "replace", lambda s, d: (_ for _ in ()).throw(RuntimeError("crash"))
+    )
+    inc = spark.createDataFrame([(7, 2, 999)], "k long, seq long, v long")
+    with pytest.raises(RuntimeError, match="crash"):
+        merge_upsert_manifest(inc, table, ["k"], "seq")
+    monkeypatch.setattr(m.os, "replace", real_replace)
+
+    # v1.json exists on disk but was never committed
+    assert os.path.exists(os.path.join(table, "_manifests", "v1.json"))
+    with pytest.raises(ValueError, match="not committed"):
+        read_table(spark, table, version=1)
+    # the committed snapshot is still served normally
+    assert len(_rows(spark, table)) == 10
+
+
 def test_compaction_preserves_snapshot_and_shrinks_files(
     spark, tmp_path_factory
 ):

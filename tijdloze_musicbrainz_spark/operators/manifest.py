@@ -42,6 +42,14 @@ from pyspark.sql import functions as F
 
 from .upsert import N_MERGE_BUCKETS, dedup_last_wins
 
+# Reserved column name under which CDC merges PERSIST each key's
+# winning op ('I'/'U'/'D') inside the committed data files. Tombstones
+# ('D') are real rows on disk — read_table filters them out, compact
+# purges them — so a later batch carrying a LOWER-priority late update
+# for a deleted key still loses to the persisted tombstone across
+# commits, not just within one merge call (r6, ADVICE item 1).
+OP_COL = "__op"
+
 
 class CommitConflict(RuntimeError):
     """Another writer committed the same version first — re-read the
@@ -75,15 +83,32 @@ def read_table(
 ) -> DataFrame | None:
     """The committed snapshot as a DataFrame (``version=None`` →
     latest; an explicit version time-travels). ``None`` when the table
-    has no commits yet."""
-    v = current_version(table) if version is None else version
+    has no commits yet.
+
+    An explicit ``version`` is validated against the committed
+    pointer: a manifest file beyond ``_LATEST`` is an ORPHAN left by a
+    crash between manifest write and pointer swap (uncommitted data)
+    and raises ValueError instead of being served as a snapshot
+    (r6, ADVICE item 2). CDC tombstone rows (``__op = 'D'``) are
+    filtered out here — they live in the files so that later merges
+    can see them, but they are not data."""
+    cur = current_version(table)
+    if version is not None and version > cur:
+        raise ValueError(
+            f"{table}: version {version} is not committed "
+            f"(latest committed version is {cur})"
+        )
+    v = cur if version is None else version
     if v < 0:
         return None
     m = _read_manifest(table, v)
     paths = [os.path.join(table, p) for ps in m["files"].values() for p in ps]
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if OP_COL in df.columns:
+        df = df.filter(F.col(OP_COL) != "D").drop(OP_COL)
+    return df
 
 
 def merge_upsert_manifest(
@@ -172,17 +197,23 @@ def merge_cdc_manifest(
     TOMBSTONE — if it is the key's winning (highest-priority) change,
     the key disappears from the snapshot. The tombstone participates
     in the same dedup as data rows, so D-then-late-U ordering is
-    decided by ``priority_col``, never arrival order (retry-safe).
+    decided by ``priority_col``, never arrival order (retry-safe) —
+    ACROSS commits, not just within one merge call: the winning 'D'
+    is PERSISTED as a tombstone row (``__op = 'D'``) in the committed
+    files, filtered out by read_table and purged at compact. A
+    lower-priority late update arriving in a LATER batch therefore
+    still loses to the delete; only compaction (the tombstone
+    retention boundary, same contract as Delta's delete-marker
+    retention) forgets tombstones and re-admits late writers.
 
-    Implementation: upsert batch ∪ existing with the op column kept,
-    then filter the winners' tombstones out BEFORE writing — one extra
-    narrow filter over the merge's existing plan. Commit protocol
-    identical to merge_upsert_manifest."""
+    Commit protocol identical to merge_upsert_manifest."""
     spark = changes.sparkSession
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
     ).cast("int")
-    batch = changes.withColumn("__bucket", bucket)
+    batch = changes.withColumnRenamed(op_col, OP_COL).withColumn(
+        "__bucket", bucket
+    )
     touched = sorted(
         r["__bucket"] for r in batch.select("__bucket").distinct().collect()
     )
@@ -198,17 +229,13 @@ def merge_cdc_manifest(
         for p in files.get(str(b), [])
     ]
     if old_paths:
-        existing = (
-            spark.read.parquet(*old_paths)
-            # committed rows are all live data (tombstones never land)
-            .withColumn(op_col, F.lit("I"))
-            .withColumn("__bucket", bucket)
-        )
+        # committed files carry __op (live rows AND tombstones)
+        existing = spark.read.parquet(*old_paths).withColumn("__bucket", bucket)
         merged = existing.unionByName(batch, allowMissingColumns=False)
     else:
         merged = batch
-    winners = dedup_last_wins(merged, list(keys), [F.desc(priority_col)])
-    out = winners.filter(F.col(op_col) != "D").drop(op_col)
+    # winners keep their op: a winning 'D' lands on disk as a tombstone
+    out = dedup_last_wins(merged, list(keys), [F.desc(priority_col)])
 
     tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
     out.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
@@ -238,7 +265,14 @@ def compact(table: str, spark: SparkSession) -> int:
     incremental merges keep pruning to their touched buckets — a
     whole-table rewrite into one entry would silently detach every
     other bucket from future merges. Returns the new version. At
-    100 TB this runs incrementally over the small-file buckets only."""
+    100 TB this runs incrementally over the small-file buckets only.
+
+    Compaction is also the CDC tombstone retention boundary: '__op'
+    = 'D' rows are purged here (they only exist to outrank late
+    lower-priority updates; once compacted away, a late writer for a
+    deleted key is re-admitted — Delta's delete-marker retention
+    contract). Older versions still time-travel with tombstones
+    intact (immutable files)."""
     v = current_version(table)
     if v < 0:
         raise ValueError(f"{table}: nothing to compact")
@@ -246,6 +280,8 @@ def compact(table: str, spark: SparkSession) -> int:
     new_files: dict[str, list[str]] = {}
     for bkey, ps in files.items():
         df = spark.read.parquet(*[os.path.join(table, p) for p in ps])
+        if OP_COL in df.columns:
+            df = df.filter(F.col(OP_COL) != "D")
         tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         entry = f"data/v{v + 1}_compact_b{bkey}_{uuid.uuid4().hex[:8]}"

@@ -760,6 +760,7 @@ WITH h AS (
   SELECT DISTINCT event_type,
          ((user_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS hv
   FROM events
+  WHERE user_id IS NOT NULL
 ),
 ranked AS (
   SELECT event_type, hv,
@@ -791,8 +792,9 @@ FROM exact e JOIN sk s USING (event_type)
     "re-truncate to k; estimate = (k-1)*P/kth_min). Unlike "
     "approx_count_distinct (implementation-specific HLL, only "
     "bound-checkable — events_approx_sketches), the KMV sketch is "
-    "built from an ENGINE-NEUTRAL universal hash ((u%P)*48271+11 mod "
-    "P, exact int64 arithmetic — the SimHash playbook), so the "
+    "built from an ENGINE-NEUTRAL universal hash ((u%P)*A+B mod P "
+    "with A=1,327,217,885, B=11, exact int64 arithmetic — the SimHash "
+    "playbook), so the "
     "DuckDB twin reproduces the sketch VALUE bit-for-bit and the "
     "driver hash-checks the estimator itself, not just its error "
     "bound. Groups with < k distinct hashes report the exact count. "
@@ -803,7 +805,11 @@ def events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     ev = t(spark, sf_dir, "events")
-    h = ev.select(
+    # NULL user_id carries no identity: exclude it before hashing on
+    # BOTH engines (count(DISTINCT) ignores NULL anyway, and a NULL hv
+    # would rank NULLS FIRST in Spark vs NULLS LAST in DuckDB — the
+    # row_number ranks would silently diverge).
+    h = ev.filter(F.col("user_id").isNotNull()).select(
         "event_type",
         (
             (F.col("user_id") % KMV_P) * KMV_A + KMV_B

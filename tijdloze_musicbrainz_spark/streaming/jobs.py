@@ -691,8 +691,16 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = sig.select(
             "doc_id",
             F.posexplode(F.array(*band_key_cols())).alias("band", "band_key"),
+        ).withColumn(
+            # priority = micro-batch id, NOT band_key: a replayed batch
+            # carries the same id (idempotent re-merge), while a genuine
+            # re-ingest of a changed document arrives in a LATER batch
+            # and must replace the old signature — max(band_key) would
+            # keep stale bands (r6, ADVICE item 4)
+            "ingest_seq",
+            F.lit(batch_id).cast("long"),
         )
-        merge_upsert_bucketed(bands, path, ["doc_id", "band"], "band_key")
+        merge_upsert_bucketed(bands, path, ["doc_id", "band"], "ingest_seq")
 
     q = (
         stream.writeStream.foreachBatch(build)

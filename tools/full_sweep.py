@@ -3,6 +3,7 @@ Spark result vs its DuckDB oracle on the same parquet (sorted column
 names, canonicalized values, sorted rows). Usage:
 
     python tools/full_sweep.py [sf_dir]      # default /root/testdata/sf0.01
+    python tools/full_sweep.py sf_dir q1 q2  # only the named queries
 
 Exits non-zero on any mismatch. ~10 min at sf0.01 on local[16].
 """
@@ -61,6 +62,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(oracles)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        oracles = {k: v for k, v in oracles.items() if k in only}
     bad, n_ok = [], 0
     for name in sorted(oracles):
         try:
