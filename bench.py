@@ -74,6 +74,9 @@ HEADLINERS = [
     # the composed dataset-generation DAG at data scale — the closest
     # analog to the reference's headline 8-hour job (BASELINE.md)
     "mb_pipeline_scale",
+    # r6: the reference's REAL 2,954-row golden benchmark, closed loop
+    # (sf-independent input, so the timing is pure read-path cost)
+    "benchmark_golden_real_e2e",
 ]
 
 # Committed per-query snapshot: the best of all prior driver rounds

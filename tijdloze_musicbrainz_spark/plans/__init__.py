@@ -17,6 +17,7 @@ from . import scaleops  # noqa: E402,F401
 from . import mb_pipeline  # noqa: E402,F401
 from . import replay  # noqa: E402,F401
 from . import golden_shape  # noqa: E402,F401
+from . import benchmark_real  # noqa: E402,F401
 from ..streaming import jobs as _streaming_jobs  # noqa: E402,F401
 
 # The driver's correctness check records only the first DRIVER_WINDOW_SIZE

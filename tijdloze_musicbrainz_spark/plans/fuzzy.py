@@ -293,8 +293,19 @@ def _search_over(songs: DataFrame, resolved: DataFrame) -> DataFrame:
     # resolved is |workload|-sized (queries x matched artists), tiny
     # next to the song catalog: broadcast it so the catalog — the
     # 100 TB side — is never shuffled for this join.
-    joined = songs.join(F.broadcast(resolved), "artist_id")
+    return rank_candidates(songs.join(F.broadcast(resolved), "artist_id"))
 
+
+def rank_candidates(joined: DataFrame) -> DataFrame:
+    """Phase gating + relevance + threshold + argmin over an already
+    joined (query x candidate-song) frame — the tail of the reference
+    read path (src/benchmark.py:96-142). Shared by _search_over and the
+    real-CSV closed-loop benchmark (benchmark_real.py), whose candidate
+    generation adds the second-artist duet condition before this stage.
+
+    ``joined`` needs: qid, title_key, alias_key, recording_score,
+    is_single_from, is_main_album, song_id, artist_id, title,
+    release_year."""
     # One pass over the join instead of three: keep rows matching
     # EITHER phase predicate, then realize the reference's "phase 2
     # only if phase 1 found nothing" (src/benchmark.py:121-126) with a

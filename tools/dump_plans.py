@@ -37,6 +37,14 @@ AUDITED = {
         "InferFiltersFromGenerate cannot re-expand the shingle "
         "transform inside a Filter (was 2.3x slower; lint-pinned)."
     ),
+    "benchmark_golden_real_e2e": (
+        "Audit (r6): every join is a BroadcastHashJoin (resolved query "
+        "sets, alias neighborhoods, the song_id->mb_id back-join); the "
+        "final pick is the min_by argmin aggregate; the only windows "
+        "are the per-qid phase gate and relevance threshold — same "
+        "shape as fuzzy_two_phase_search. Input is the real reference "
+        "CSV (sf-independent), read with column pruning per branch."
+    ),
     "events_sessionize": (
         "Audit: the session window partitions by user_id "
         "(high-cardinality) — no constant-key window; sums accumulate "
