@@ -45,6 +45,23 @@ def test_brute_force_size_guard(spark):
     _guard_brute_force(spark.range(10), "ok", "unused")  # under the bound: no raise
 
 
+def test_loose_lsh_size_guard(spark):
+    """r6 (VERDICT #2): the 0.45-threshold demo LSH — measured
+    superlinear (n^1.27 and rising, SCALE_CURVE.json) — refuses
+    corpora above MAX_LOOSE_LSH_N and names the plans that scale."""
+    import pytest
+
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        MAX_LOOSE_LSH_N,
+        _guard_loose_lsh,
+    )
+
+    big = spark.range(MAX_LOOSE_LSH_N + 1).withColumnRenamed("id", "vec_id")
+    with pytest.raises(ValueError, match="sim_near_dup_lsh_tight"):
+        _guard_loose_lsh(big)
+    _guard_loose_lsh(spark.range(10))  # under the bound: no raise
+
+
 def test_planes_fixture_matches_generator():
     """The committed parquet side table the DuckDB oracle reads must be
     byte-equal to the plane matrix Spark regenerates from the seed —

@@ -869,6 +869,30 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_THRESHOLD = 0.45
 
+# Guard for the 0.45-threshold demo LSH (r6, VERDICT item 2): the
+# scale-curve harness MEASURED this plan superlinear (n^1.27 over
+# 2k/4k/8k corpora, 38.8 s at 8k — SCALE_CURVE.json), and the fixed
+# 4-bit bands degrade toward n^2 as random collisions dominate
+# (rho = ln 0.65 / ln 0.5 = 0.62 at angle 63 degrees bounds ANY
+# fixed-recall parameterization at ~n^1.6). 20k ~= 2.5x the largest
+# measured corpus (~4 min extrapolated) is the last defensible size;
+# above it the builder refuses and names the plans that actually
+# scale, exactly like MAX_BRUTE_FORCE_N.
+MAX_LOOSE_LSH_N = 20_000
+
+
+def _guard_loose_lsh(vecs: DataFrame) -> None:
+    if vecs.limit(MAX_LOOSE_LSH_N + 1).count() > MAX_LOOSE_LSH_N:
+        raise ValueError(
+            f"sim_near_dup_lsh_bucketed: corpus exceeds MAX_LOOSE_LSH_N="
+            f"{MAX_LOOSE_LSH_N}; the 0.45-threshold regime has no "
+            "sub-quadratic LSH (measured n^1.27 and rising, "
+            "SCALE_CURVE.json) — use sim_near_dup_lsh_tight for "
+            "tight-threshold (>=0.92) near-dup at scale, or the blocked-"
+            "BLAS sim_embedding_near_dup (guarded at MAX_BRUTE_FORCE_N) "
+            "for low thresholds"
+        )
+
 # DuckDB twin of the LSH near-dup plan: identical bucket construction
 # to _LSH_ORACLE (shared planes fixture, exact int64 sign bits), but
 # ALL-PAIRS within buckets (a < b, no query-set restriction), verified
@@ -926,10 +950,14 @@ WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {NEAR_DUP_THRESHOLD}
     "plan hash-checkable (the shared planes-fixture playbook); at "
     "24x4 bands a cosine>=0.45 pair collides in >=1 band with "
     "probability ~0.97, and the miss set is a recall property, not "
-    "an engine skew — both engines see the identical pair set.",
+    "an engine skew — both engines see the identical pair set. r6: "
+    "size-guarded at MAX_LOOSE_LSH_N (measured n^1.27 superlinear, "
+    "SCALE_CURVE.json) — sim_near_dup_lsh_tight is the regime where "
+    "sign-LSH actually scales.",
 )
 def sim_near_dup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
+    _guard_loose_lsh(vecs)
     exploded = vecs.select(
         "vec_id", F.explode(_band_keys_udf()(F.col("v"))).alias("band_key")
     )
