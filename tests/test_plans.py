@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     "text_bigram_lm_score",  # |vocab| scalar (one row) x bigram stream
     "text_bm25_topk",  # (N, avgdl, df) one-row corpus stats x doc scan
     "text_bpe_train_merges",  # per-round 1-row winner x corpus rewrite
+    "text_bpe_apply_merges",  # same chain: 1-row winner x corpus rewrite
     "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
 }
 
