@@ -48,3 +48,67 @@ def test_feature_embed_oracle_parity_on_non_ascii(spark, sf_dir, tmp_path):
     cols = [d[0] for d in res.description]
     want = _canon([dict(zip(cols, r)) for r in res.fetchall()], cols)
     assert got == want
+
+
+def test_png_fixture_is_genuine_png_with_all_filters_and_multi_idat():
+    """r6: the PNG fixture must be real PNG bytes — signature, CRC'd
+    chunks, every scanline filter type, and a split IDAT stream for
+    every 3rd file (multi-IDAT reassembly coverage)."""
+    import struct
+    import zlib
+
+    from tijdloze_musicbrainz_spark.plans.multimodal import (
+        N_PNG,
+        write_png_fixture,
+    )
+
+    path = write_png_fixture()
+    t = pq.read_table(path)
+    assert t.num_rows == N_PNG
+    payloads = dict(zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist()))
+    for m in (0, 1, 3, 7):  # m=0,3 multi-IDAT; m=1,7 single
+        raw = payloads[m]
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, tags, idat = 8, [], bytearray()
+        while pos < len(raw):
+            (ln,) = struct.unpack_from(">I", raw, pos)
+            tag = raw[pos + 4 : pos + 8]
+            data = raw[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+            assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF
+            tags.append(tag)
+            if tag == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        assert tags[0] == b"IHDR" and tags[-1] == b"IEND"
+        assert tags.count(b"IDAT") == (2 if m % 3 == 0 else 1)
+        # every filter type 0..4 appears in the scanline stream
+        w, h = struct.unpack(">II", raw[16:24])
+        stream = zlib.decompress(bytes(idat))
+        stride = w * 3
+        filters = {stream[y * (stride + 1)] for y in range(h)}
+        assert filters == {0, 1, 2, 3, 4}
+
+
+def test_jpeg_is_the_single_remaining_stub():
+    """r6: PNG/BMP/WAV decode are real; the package-wide stub count is
+    exactly one (decode_jpeg_real — no stdlib path for huffman+IDCT)."""
+    import pathlib
+    import re
+
+    import pytest
+
+    import tijdloze_musicbrainz_spark as pkg
+    from tijdloze_musicbrainz_spark.plans.multimodal import decode_jpeg_real
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_real(b"\xff\xd8\xff")
+
+    root = pathlib.Path(pkg.__file__).parent
+    hits = [
+        (p, i)
+        for p in root.rglob("*.py")
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if re.search(r"raise NotImplementedError", line)
+    ]
+    assert len(hits) == 1, f"unexpected stubs: {hits}"

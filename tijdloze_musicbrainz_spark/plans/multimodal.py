@@ -7,13 +7,15 @@ JVM<->Python boundary once per batch, not once per row, and the
 pipeline repartitions BEFORE the expensive stage so decode
 parallelism is independent of upstream file layout.
 
-The container has no image/audio CODEC libs, so JPEG/PNG decode
-remains a STUB behind ``NotImplementedError`` (``decode_image_real``)
-— but since r5 the tier includes REAL decoders for the formats the
-stdlib can parse: actual RIFF/WAVE PCM16 audio (``wave`` module) and
+The container has no image/audio CODEC libs, so JPEG decode is the
+ONE remaining stub (``decode_jpeg_real`` — huffman + IDCT have no
+stdlib path, permanently out of scope). Everything the stdlib CAN
+parse is decoded for real: RIFF/WAVE PCM16 audio (``wave`` module),
 24-bit BMP images (``struct`` + numpy, bottom-up rows + 4-byte row
-padding), each checked against a closed-form integer oracle
-(``multimodal_wav_decode_real`` / ``multimodal_bmp_decode_real``).
+padding), and since r6 real PNG (``zlib`` inflate + chunk CRCs + all
+five scanline unfilters), each checked against a closed-form integer
+oracle (``multimodal_wav_decode_real`` / ``multimodal_bmp_decode_real``
+/ ``multimodal_png_decode_real``).
 The Spark-side plumbing — binary schema, batch iterator signature,
 explicit output schema, pre-stage repartition — is additionally
 exercised by the deterministic fake byte-feature decoder that a
@@ -34,16 +36,6 @@ from .util import t
 DECODE_OUT_SCHEMA = (
     "event_id bigint, n_bytes bigint, first_byte bigint, byte_sum_mod bigint"
 )
-
-
-def decode_image_real(blob: bytes) -> dict:
-    """Real decoder stub: would PIL-open the blob and emit
-    (width, height, channels). The imaging libraries are not in this
-    container — the plumbing around this function is what's tested."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; use the fake byte-feature decoder for plumbing tests"
-    )
 
 
 def fake_byte_features(spark: SparkSession, media: DataFrame) -> DataFrame:
@@ -94,8 +86,9 @@ FROM p
 """,
     doc="The multimodal decode pattern end-to-end with a fake decoder: "
     "binary column (props bytes) -> repartition -> mapInPandas Arrow "
-    "batches -> typed feature columns. Swap fake_byte_features for a "
-    "real decoder (decode_image_real) when the codec libs exist.",
+    "batches -> typed feature columns. The real decoders "
+    "(PNG/BMP/WAV, stdlib-parsed) use the identical plumbing; JPEG "
+    "(decode_jpeg_real) is the one stub left.",
 )
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
@@ -105,14 +98,6 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_BYTES = 4
 FRAME_STRIDE = 2  # keep every 2nd frame
-
-
-def resize_image_real(blob: bytes, width: int, height: int) -> bytes:
-    """Real resize stub: would decode, resample, re-encode. Imaging
-    libs are absent in this container — see module docstring."""
-    raise NotImplementedError(
-        "image resize requires an imaging library not present in this container"
-    )
 
 
 @register(
@@ -505,9 +490,8 @@ GROUP BY media_id
     "BITMAPINFOHEADER, per-channel pixel sums from the BGR payload "
     "with bottom-up row order and 4-byte row padding handled (the two "
     "classic BMP-parsing bugs; either would hash-mismatch the "
-    "closed-form oracle). The JPEG/PNG stubs remain NotImplementedError "
-    "(real codecs); this proves the full decode path on a real "
-    "container format.",
+    "closed-form oracle). PNG decode is also real since r6 "
+    "(multimodal_png_decode_real); JPEG is the one remaining stub.",
 )
 def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = write_media_fixture()
@@ -685,5 +669,290 @@ def multimodal_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mapInPandas(
         resize,
         "media_id bigint, width bigint, height bigint, encoded_bytes bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+# -- REAL PNG decode via stdlib zlib (r6, VERDICT item 5) -------------------
+#
+# PNG is a zlib container: signature + IHDR + IDAT(deflate of filtered
+# scanlines) + IEND, chunk CRCs from zlib.crc32 — ALL stdlib. The
+# fixture writer emits genuine 8-bit RGB PNGs whose scanlines cycle
+# through every filter type (y % 5: None/Sub/Up/Average/Paeth) and
+# splits the deflate stream across two IDAT chunks for every 3rd file,
+# so the decoder must implement chunk walking, multi-IDAT
+# concatenation, CRC verification, inflate, and all five unfilters.
+# The closed-form pixel rule makes the oracle exact-integer SQL, the
+# same playbook as the WAV/BMP decoders above. JPEG remains the single
+# documented stub (decode_jpeg_real): baseline JPEG needs huffman +
+# IDCT — no stdlib path exists, permanently out of scope here.
+
+PNG_FIXTURE = "/tmp/spark_graft_fixtures/png_fixture.parquet"
+N_PNG = 120
+
+
+def _png_params(m: int) -> tuple[int, int]:
+    return 8 + m % 9, 5 + m % 7  # (width, height); height >= 5 so every
+    # file exercises all five filter types
+
+
+def _png_pixels(m: int):
+    """The closed-form RGB image: channel r at (x, y) is
+    (3x + 5y + m) % 256, g/b are +1/+2 — mirrored in the oracle."""
+    import numpy as np  # noqa: PLC0415
+
+    w, h = _png_params(m)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = (3 * x + 5 * y + m) % 256
+    return np.stack([r, (r + 1) % 256, (r + 2) % 256], axis=2).astype(np.uint8)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def write_png_fixture(path: str = PNG_FIXTURE) -> str:
+    """Deterministic REAL PNG files (stdlib zlib/struct only), each
+    scanline filtered with type y % 5. Atomic + idempotent."""
+    import os  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if os.path.exists(path):
+        return path
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    rows = []
+    for m in range(N_PNG):
+        w, h = _png_params(m)
+        img = _png_pixels(m)
+        bpp = 3
+        raw = bytearray()
+        prev = bytes(w * bpp)
+        for y in range(h):
+            row = img[y].tobytes()
+            t = y % 5
+            raw.append(t)
+            if t == 0:
+                raw += row
+            elif t == 1:  # Sub
+                raw += bytes(
+                    (row[i] - (row[i - bpp] if i >= bpp else 0)) % 256
+                    for i in range(len(row))
+                )
+            elif t == 2:  # Up
+                raw += bytes((row[i] - prev[i]) % 256 for i in range(len(row)))
+            elif t == 3:  # Average
+                raw += bytes(
+                    (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                    % 256
+                    for i in range(len(row))
+                )
+            else:  # Paeth
+                raw += bytes(
+                    (
+                        row[i]
+                        - _paeth(
+                            row[i - bpp] if i >= bpp else 0,
+                            prev[i],
+                            prev[i - bpp] if i >= bpp else 0,
+                        )
+                    )
+                    % 256
+                    for i in range(len(row))
+                )
+            prev = row
+        idat = zlib.compress(bytes(raw))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if m % 3 == 0 and len(idat) > 2:  # multi-IDAT coverage
+            half = len(idat) // 2
+            png += chunk(b"IDAT", idat[:half]) + chunk(b"IDAT", idat[half:])
+        else:
+            png += chunk(b"IDAT", idat)
+        png += chunk(b"IEND", b"")
+        rows.append((m, png))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def decode_jpeg_real(blob: bytes) -> dict:
+    """The ONE remaining codec stub: baseline JPEG needs huffman
+    decoding + dequantization + inverse DCT — there is no stdlib path,
+    so it stays NotImplementedError by design (documented in
+    SURVEY/SCALE). PNG/BMP/WAV decode are real (see above)."""
+    raise NotImplementedError(
+        "JPEG decode requires a DCT codec library not present in this "
+        "container; PNG (zlib), BMP and WAV decode are implemented for real"
+    )
+
+
+@register(
+    "multimodal_png_decode_real",
+    survey_ids=(),
+    oracle=f"""
+WITH m AS (SELECT unnest(range(0, {N_PNG})) AS media_id),
+p AS (
+  SELECT media_id, 8 + media_id % 9 AS w, 5 + media_id % 7 AS h FROM m
+),
+px AS (
+  SELECT media_id, w, h, unnest(range(0, w)) AS x FROM p
+),
+sums AS (
+  SELECT media_id, w, h,
+         list_sum(list_transform(range(0, h),
+           y -> (3 * x + 5 * y + media_id) % 256)) AS col_r,
+         list_sum(list_transform(range(0, h),
+           y -> ((3 * x + 5 * y + media_id) % 256 + 1) % 256)) AS col_g,
+         list_sum(list_transform(range(0, h),
+           y -> ((3 * x + 5 * y + media_id) % 256 + 2) % 256)) AS col_b
+  FROM px
+)
+SELECT media_id,
+       CAST(any_value(w) AS BIGINT) AS width,
+       CAST(any_value(h) AS BIGINT) AS height,
+       CAST(5 AS BIGINT) AS filters_used,
+       CAST(sum(col_r) AS BIGINT) AS sum_r,
+       CAST(sum(col_g) AS BIGINT) AS sum_g,
+       CAST(sum(col_b) AS BIGINT) AS sum_b
+FROM sums
+GROUP BY media_id
+""",
+    doc="REAL PNG decode via stdlib zlib (r6 — closes the PNG stub): "
+    "genuine PNG files (signature, IHDR, CRC-checked chunks, deflate "
+    "IDAT — split across two IDATs for every 3rd file) parsed back "
+    "inside mapInPandas: chunk walk, multi-IDAT concatenation, "
+    "zlib.decompress, and ALL FIVE scanline unfilters (the fixture "
+    "cycles filter types y % 5, and filters_used pins that the "
+    "decoder really saw all five — heights are >= 5 by construction). "
+    "Width/height come from IHDR, per-channel sums from the decoded "
+    "pixels; the oracle recomputes them from the closed-form pixel "
+    "rule in exact integer SQL. A decoder with a wrong Paeth "
+    "predictor, bad Average rounding, or broken IDAT reassembly "
+    "hash-mismatches immediately. JPEG remains the single documented "
+    "stub (decode_jpeg_real).",
+)
+def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_png_fixture()
+    media = spark.read.parquet(path).select("media_id", "payload")
+
+    def decode(batches: Iterator) -> Iterator:
+        import struct  # noqa: PLC0415
+        import zlib  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb_ and pa_ <= pc_:
+                return a
+            return b if pb_ <= pc_ else c
+
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(blob)
+                assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+                pos, w = 8, None
+                idat = bytearray()
+                while pos < len(raw):
+                    (ln,) = struct.unpack_from(">I", raw, pos)
+                    tag = raw[pos + 4 : pos + 8]
+                    data = raw[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", raw, pos + 8 + ln)
+                    assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF
+                    if tag == b"IHDR":
+                        w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                            ">IIBBBBB", data
+                        )
+                        assert (depth, ctype, comp, filt, ilace) == (8, 2, 0, 0, 0)
+                    elif tag == b"IDAT":
+                        idat += data
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                stream = zlib.decompress(bytes(idat))
+                bpp, stride = 3, w * 3
+                img = np.zeros((h, stride), dtype=np.uint8)
+                filters_seen = set()
+                prev = np.zeros(stride, dtype=np.int64)
+                for y in range(h):
+                    t = stream[y * (stride + 1)]
+                    filters_seen.add(t)
+                    f = np.frombuffer(
+                        stream,
+                        dtype=np.uint8,
+                        count=stride,
+                        offset=y * (stride + 1) + 1,
+                    ).astype(np.int64)
+                    if t == 0:
+                        row = f
+                    elif t == 2:
+                        row = (f + prev) % 256
+                    else:  # sequential left-dependency: per-byte
+                        row = np.zeros(stride, dtype=np.int64)
+                        for i in range(stride):
+                            left = row[i - bpp] if i >= bpp else 0
+                            if t == 1:
+                                pred = left
+                            elif t == 3:
+                                pred = (left + prev[i]) // 2
+                            else:
+                                ul = prev[i - bpp] if i >= bpp else 0
+                                pred = paeth(left, prev[i], ul)
+                            row[i] = (f[i] + pred) % 256
+                    img[y] = row
+                    prev = row
+                pix = img.reshape(h, w, 3).astype(np.int64)
+                out.append(
+                    (
+                        media_id,
+                        w,
+                        h,
+                        len(filters_seen),
+                        int(pix[:, :, 0].sum()),
+                        int(pix[:, :, 1].sum()),
+                        int(pix[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "filters_used",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        decode,
+        "media_id bigint, width bigint, height bigint, filters_used bigint, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
