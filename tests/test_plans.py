@@ -35,6 +35,7 @@ ALLOWED_NESTED_LOOP = {
     "text_bm25_topk",  # (N, avgdl, df) one-row corpus stats x doc scan
     "text_bpe_train_merges",  # per-round 1-row winner x corpus rewrite
     "text_bpe_apply_merges",  # same chain: 1-row winner x corpus rewrite
+    "dedup_exact_substring_bpe_trained",  # BPE chain feeding the span pass
     "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
 }
 

@@ -689,11 +689,17 @@ def _bpe_tokens():
 
 
 def _spans_oracle(k: int, tokens_sql: str) -> str:
+    return (
+        f"WITH toks AS (SELECT doc_id, {tokens_sql} AS tk FROM documents),"
+        + _spans_oracle_body(k)
+    )
+
+
+def _spans_oracle_body(k: int) -> str:
+    """Everything after the ``toks`` CTE — reused by the trained-BPE
+    variant, whose toks come from the BPE rewrite chain instead of a
+    stateless tokenizer expression."""
     return f"""
-WITH toks AS (
-  SELECT doc_id, {tokens_sql} AS tk
-  FROM documents
-),
 sized AS (SELECT doc_id, tk, len(tk) AS n_tok FROM toks),
 grams AS (
   SELECT doc_id,
@@ -739,7 +745,14 @@ def _exact_substring_spans(
     """Shared ExactSubstr span reporter, parameterized by span length
     ``k`` and tokenizer expression (r5, VERDICT #5)."""
     docs = t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", tokens.alias("tk")).select(
+    return _exact_substring_over(docs.select("doc_id", tokens.alias("tk")), k)
+
+
+def _exact_substring_over(toks: DataFrame, k: int) -> DataFrame:
+    """The span core over an already tokenized (doc_id, tk) frame —
+    shared by the stateless-tokenizer variants and the trained-BPE
+    variant (r6), whose tokens come from the BPE rewrite chain."""
+    base = toks.select(
         "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
     )
     # per-position 128-bit gram fingerprints; empty when too short
@@ -844,6 +857,51 @@ def dedup_exact_substring_spans_k50(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _exact_substring_spans(spark, sf_dir, K_SPAN_BPE, _bpe_tokens())
+
+
+def _bpe_trained_spans_oracle() -> str:
+    from .textops import BPE_ROUNDS, _bpe_cte_parts  # noqa: PLC0415
+
+    return (
+        "WITH "
+        + ",".join(_bpe_cte_parts())
+        + f",\ntoks AS (SELECT doc_id, tk FROM t{BPE_ROUNDS} "
+        "WHERE tk IS NOT NULL),"
+        + _spans_oracle_body(K_SPAN_BPE)
+    )
+
+
+@register(
+    "dedup_exact_substring_bpe_trained",
+    survey_ids=(),
+    oracle=_bpe_trained_spans_oracle(),
+    doc="ExactSubstr K=50 over TRAINED BPE tokens (r6 — closes the "
+    "'BPE-ish regex' gap flagged in the r5 verdict): the corpus is "
+    "re-tokenized with the 3 learned merge rules (the "
+    "text_bpe_apply_merges chain), and the published Lee et al. "
+    "K=50-token span pass runs over those merged tokens — tokenizer "
+    "training and dedup now share one vocabulary, exactly like a "
+    "production pipeline. Merged tokens are space-free "
+    "concatenations of whitespace tokens, so the ' '-joined gram "
+    "string stays injective and the 128-bit gram keys carry over "
+    "unchanged. The oracle replays the full composition: the BPE "
+    "CTE chain INTO the span-merge SQL (NULL-text docs excluded on "
+    "both engines). Plan: the trainer's per-round pair-count "
+    "shuffles + the span pass's one 4-long row per token gram-index "
+    "shuffle — the merges themselves are narrow in-row folds.",
+)
+def dedup_exact_substring_bpe_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .textops import _bpe_train_chain  # noqa: PLC0415
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _ws_tokens().alias("tk"))
+    )
+    _, rewritten = _bpe_train_chain(docs)
+    return _exact_substring_over(rewritten, K_SPAN_BPE)
 
 
 @register(

@@ -205,13 +205,27 @@ AUDITED = {
         "sorted position list — no window, no per-row Python."
     ),
     "dedup_semantic_semdedup": (
-        "Audit (r5): assignment is one broadcast-centroids scan + "
-        "per-vector row_number window (corpus never shuffles for the "
-        "broadcast); clusters aggregate in-row (collect_list, bounded "
-        "occupancy) and ONE numpy matmul per cluster labels all "
-        "members inside mapInPandas — the only Exchange is the "
-        "cluster groupBy. Candidate volume is sum(cluster_size^2), "
-        "the published SemDeDup O(N^2/k) bound."
+        "Audit (r6): assignment is CHUNKED — per-centroid-chunk "
+        "broadcast joins each reduced by a map-side-combinable min_by, "
+        "then one running-min reduce (no k-sized broadcast, no k-wide "
+        "window; peak broadcast = SEMDEDUP_CENT_CHUNK centroids); "
+        "clusters aggregate in-row (collect_list, bounded occupancy) "
+        "and ONE numpy matmul per cluster labels all members inside "
+        "mapInPandas. Candidate volume is sum(cluster_size^2), the "
+        "published SemDeDup O(N^2/k) bound."
+    ),
+    "text_bpe_apply_merges": (
+        "Audit (r6): the trainer's lazy chain (one pair-count shuffle "
+        "per round, 1-row winner broadcast, zero-shuffle in-row "
+        "aggregate-fold rewrite) plus a single doc_id join against "
+        "the raw token counts; the md5 digest is computed in-row. "
+        "The only per-round Exchange is the pair count."
+    ),
+    "multimodal_png_decode_real": (
+        "Audit (r6): scan -> repartition(defaultParallelism) -> "
+        "mapInPandas — the decode (chunk walk, CRC, inflate, five "
+        "unfilters) is per-blob Python over Arrow batches, embarrass"
+        "ingly parallel; no shuffle after the repartition."
     ),
     "sim_near_dup_lsh_tight": (
         "Audit (r5): same id-only band-bucket self-join as the 0.45 "

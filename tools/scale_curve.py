@@ -36,6 +36,10 @@ Usage:
 
 Prints one BENCH-style JSON line and writes it to --out. Derived data
 lands under /tmp/spark_graft_scale/ (rebuilt only if missing).
+
+RUN SOLO: never time with anything else on the box — a concurrent
+sweep once inflated the 8x mb_pipeline_scale point 3x (44 s vs 15 s
+clean), which reads as a fake superlinearity (r6 measurement).
 """
 
 from __future__ import annotations
