@@ -602,3 +602,95 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP_K)
     )
+
+
+# -- Data-quality constraint audit (r6) --------------------------------------
+
+AUDIT_LANG_DOMAIN = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "corpus_constraint_audit",
+    survey_ids=("A1", "F4"),
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(count(text) AS DOUBLE) AS n_text,
+         CAST(count(doc_id) AS DOUBLE) AS n_id,
+         CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_uniq,
+         CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh')
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS n_lang,
+         CAST(sum(CASE WHEN n_chars = length(text)
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS n_len_ok,
+         CAST(sum(CASE WHEN n_chars >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           AS n_nonneg
+  FROM documents
+)
+SELECT ck.check_name, ck.observed, ck.threshold,
+       ck.observed >= ck.threshold AS passed
+FROM s, LATERAL (VALUES
+  ('completeness_text',   round(n_text / n, 6),   0.99),
+  ('completeness_doc_id', round(n_id / n, 6),     1.0),
+  ('uniqueness_doc_id',   round(n_uniq / n, 6),   1.0),
+  ('lang_in_domain',      round(n_lang / n, 6),   1.0),
+  ('n_chars_matches_text', round(n_len_ok / n, 6), 0.99),
+  ('n_chars_nonnegative', round(n_nonneg / n, 6), 1.0)
+) AS ck(check_name, observed, threshold)
+""",
+    doc="Declarative data-quality CONSTRAINT AUDIT over the corpus "
+    "(the Deequ/expectations pattern — the admission gate a 100 TB "
+    "ingest runs before data reaches training): completeness, key "
+    "uniqueness, categorical domain membership, and cross-column "
+    "consistency (n_chars == length(text)) computed in ONE pass of "
+    "conditional aggregates (a single scan + one 1-row aggregate — "
+    "no per-check scans), then unpivoted to (check, observed, "
+    "threshold, passed) rows. Thresholds are part of the contract: "
+    "the driver hash-checks observed values AND pass/fail verdicts, "
+    "so a silently drifting corpus (new lang, duplicate ids, "
+    "truncated text) flips a row to failed and the hash goes red.",
+)
+def corpus_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = F.count("*").cast("double")
+    share = lambda c: F.round(c.cast("double") / n, 6)  # noqa: E731
+    s = docs.agg(
+        share(F.count("text")).alias("completeness_text"),
+        share(F.count("doc_id")).alias("completeness_doc_id"),
+        share(F.countDistinct("doc_id")).alias("uniqueness_doc_id"),
+        share(
+            F.sum(
+                F.when(F.col("lang").isin(*AUDIT_LANG_DOMAIN), 1).otherwise(0)
+            )
+        ).alias("lang_in_domain"),
+        share(
+            F.sum(
+                F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+            )
+        ).alias("n_chars_matches_text"),
+        share(F.sum(F.when(F.col("n_chars") >= 0, 1).otherwise(0))).alias(
+            "n_chars_nonnegative"
+        ),
+    )
+    thresholds = {
+        "completeness_text": 0.99,
+        "completeness_doc_id": 1.0,
+        "uniqueness_doc_id": 1.0,
+        "lang_in_domain": 1.0,
+        "n_chars_matches_text": 0.99,
+        "n_chars_nonnegative": 1.0,
+    }
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(name).alias("observed"),
+                F.lit(thr).alias("threshold"),
+            )
+            for name, thr in thresholds.items()
+        ]
+    )
+    return (
+        s.select(F.explode(checks).alias("c"))
+        .select("c.check_name", "c.observed", "c.threshold")
+        .withColumn("passed", F.col("observed") >= F.col("threshold"))
+    )

@@ -839,3 +839,196 @@ def events_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kmv_estimate"),
     )
+
+
+# -- Count-Min heavy-hitters sketch (r6) ------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # buckets per row
+# independently-seeded universal hashes h_i(u) = ((u%P)*A_i + B_i) % P % W;
+# (u%P)*A_i <= 2.2e9 * 1.33e9 < 2^62 — exact int64 on both engines.
+CMS_A = (1_327_217_885, 1_229_331_947, 1_073_741_827, 1_000_000_007)
+CMS_B = (11, 101, 1_009, 10_007)
+
+
+@register(
+    "events_heavy_hitters_cms",
+    survey_ids=("A1",),
+    oracle=f"""
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+hashes AS (
+  SELECT user_id, i,
+         ((user_id % {KMV_P})
+          * (CASE i WHEN 0 THEN {CMS_A[0]} WHEN 1 THEN {CMS_A[1]}
+                    WHEN 2 THEN {CMS_A[2]} ELSE {CMS_A[3]} END)
+          + (CASE i WHEN 0 THEN {CMS_B[0]} WHEN 1 THEN {CMS_B[1]}
+                    WHEN 2 THEN {CMS_B[2]} ELSE {CMS_B[3]} END))
+         % {KMV_P} % {CMS_W} AS bucket
+  FROM ev, unnest(range(0, {CMS_D})) AS u(i)
+),
+counters AS (
+  SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM hashes GROUP BY i, bucket
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+  FROM ev GROUP BY user_id
+),
+est AS (
+  SELECT h.user_id, CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+  FROM (SELECT DISTINCT user_id, i, bucket FROM hashes) h
+  JOIN counters c ON c.i = h.i AND c.bucket = h.bucket
+  GROUP BY h.user_id
+)
+SELECT e.user_id, e.exact_count, s.cms_estimate,
+       CAST(s.cms_estimate - e.exact_count AS BIGINT) AS overestimate
+FROM exact e JOIN est s USING (user_id)
+""",
+    doc=f"Count-Min heavy-hitters sketch ({CMS_D} hash rows x {CMS_W} "
+    "buckets — Cormode & Muthukrishnan 2005): the MERGEABLE frequency "
+    "sketch a 100 TB rollup keeps beside its KMV distinct sketch "
+    "(merging two sketches = adding the counter grids cell-wise; the "
+    "grid is d*w integers regardless of corpus size). Engine-neutral "
+    "universal hashes (the KMV playbook: exact int64 arithmetic, "
+    "shared constants) make the sketch VALUE hash-checkable, not just "
+    "bound-checkable — and the output certifies the CMS guarantee "
+    "itself: overestimate = estimate - exact is >= 0 for EVERY key "
+    "(min over d counters can only overcount; a single negative would "
+    "hash-mismatch the oracle and flag a broken sketch). Spark plan: "
+    "one explode(d) + groupBy(i,bucket) partial-agg shuffle builds "
+    "the grid; per-key estimates probe the d cells via a bucket "
+    "equi-join + min aggregate. NULL user_id carries no identity "
+    "(KMV policy).",
+)
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    a_arr = F.array(*[F.lit(a).cast("long") for a in CMS_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in CMS_B])
+    bucket = (
+        (F.col("user_id") % KMV_P) * F.element_at(a_arr, F.col("i") + 1)
+        + F.element_at(b_arr, F.col("i") + 1)
+    ).__mod__(KMV_P).__mod__(CMS_W)
+    hashes = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("i")
+    ).select("user_id", "i", bucket.alias("bucket"))
+    counters = hashes.groupBy("i", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    probes = hashes.select("user_id", "i", "bucket").distinct()
+    est = (
+        probes.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+# -- Mergeable hash-rank quantile sketch (r6) --------------------------------
+
+QSK_K = 48  # sample size per group
+QSK_QS = (0.5, 0.9)  # estimated quantiles
+
+
+@register(
+    "events_quantile_sketch_hashsample",
+    survey_ids=("A1",),
+    oracle=f"""
+WITH ev AS (
+  SELECT event_type, event_id, round(value, 2) AS value
+  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ((event_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P},
+                    event_id) AS rn
+  FROM ev
+),
+sample AS (
+  SELECT event_type, list(value ORDER BY value, 1) AS sv
+  FROM ranked WHERE rn <= {QSK_K} GROUP BY event_type
+),
+full_vals AS (
+  SELECT event_type, list(value ORDER BY value, 1) AS fv
+  FROM ev GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(len(s.sv) AS BIGINT) AS sample_n,
+       s.sv[least(CAST(floor(0.5 * len(s.sv)) AS INT) + 1, len(s.sv))]
+         AS est_p50,
+       s.sv[least(CAST(floor(0.9 * len(s.sv)) AS INT) + 1, len(s.sv))]
+         AS est_p90,
+       f.fv[least(CAST(floor(0.5 * len(f.fv)) AS INT) + 1, len(f.fv))]
+         AS exact_p50,
+       f.fv[least(CAST(floor(0.9 * len(f.fv)) AS INT) + 1, len(f.fv))]
+         AS exact_p90
+FROM sample s JOIN full_vals f USING (event_type)
+""",
+    doc=f"Mergeable quantile sketch by HASH-RANK sampling (k={QSK_K} "
+    "per group): keep the k rows whose universal event_id hash is "
+    "smallest — a uniform sample that is deterministic AND mergeable "
+    "(union two sketches = union the rows, re-keep the k smallest "
+    "hashes; the same min-k algebra as KMV), so a 100 TB rollup can "
+    "maintain it incrementally per partition and merge upward. "
+    "Quantile estimates read the sample at the same DISCRETE index "
+    "formula both engines share (floor(q*n)+1 of the value-sorted "
+    "sample — no engine-specific interpolation), and the exact "
+    "quantiles over the full data ride along so the driver "
+    "hash-checks estimator AND ground truth. Estimator quality is "
+    "pinned separately (tests/test_sketches.py: the k-sample p50 "
+    "lands within the exact p25-p75 on every group). Spark plan: one "
+    "per-group hash row_number window over <= group-size rows, then "
+    "two in-row array reads — no UDFs, no collect.",
+)
+def events_quantile_sketch_hashsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id", F.round("value", 2).alias("value")
+        )
+    )
+    hv = ((F.col("event_id") % KMV_P) * KMV_A + KMV_B).__mod__(KMV_P)
+    w = Window.partitionBy("event_type").orderBy(hv.asc(), F.col("event_id"))
+    sample = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QSK_K)
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("sv"))
+    )
+    full_vals = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("fv")
+    )
+
+    def q_at(arr: str, q: float):
+        n = F.size(arr)
+        idx = F.least(F.floor(F.lit(q) * n).cast("int") + 1, n)
+        return F.element_at(F.col(arr), idx)
+
+    return sample.join(full_vals, "event_type").select(
+        "event_type",
+        F.size("sv").cast("long").alias("sample_n"),
+        q_at("sv", 0.5).alias("est_p50"),
+        q_at("sv", 0.9).alias("est_p90"),
+        q_at("fv", 0.5).alias("exact_p50"),
+        q_at("fv", 0.9).alias("exact_p90"),
+    )
