@@ -37,6 +37,7 @@ ALLOWED_NESTED_LOOP = {
     "text_bpe_apply_merges",  # same chain: 1-row winner x corpus rewrite
     "dedup_exact_substring_bpe_trained",  # BPE chain feeding the span pass
     "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
+    "events_kmv_sketch_merge",  # three 1-row sketch aggregates crossed
 }
 
 

@@ -838,3 +838,70 @@ def s_textlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_requests"),
         F.sum(F.col("nb").cast("long")).alias("total_bytes"),
     )
+
+
+# -- SCD Type-2 dimension build (r6) -----------------------------------------
+
+
+@register(
+    "etl_scd2_dimension_build",
+    survey_ids=("A10", "O3"),
+    oracle="""
+WITH feed AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS attr
+  FROM orders
+),
+changes AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, attr,
+           lag(attr) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_attr
+    FROM feed
+  ) WHERE prev_attr IS NULL OR prev_attr <> attr
+)
+SELECT o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       attr,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="Slowly-changing-dimension TYPE 2 history build — the "
+    "warehouse operator that turns a change feed into validity "
+    "ranges: per key, order the feed by (event date, sequence), "
+    "COLLAPSE consecutive repeats of the same attribute (SCD2 records "
+    "CHANGES, not observations — the lag-filter), then assign "
+    "version numbers and [valid_from, valid_to) ranges via lead(), "
+    "with the open-ended current row flagged. Orders plays the "
+    "change feed (customer's order priority as the tracked "
+    "attribute). Spark plan: one per-key window pass for the "
+    "change-collapse, one for versioning — both partitioned by the "
+    "high-cardinality key, so no constant-key window; at 100 TB this "
+    "is one shuffle on the dimension key, and the result joins "
+    "point-in-time facts via the events_asof_join pattern.",
+)
+def etl_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    feed = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.col("o_orderpriority").alias("attr"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        feed.withColumn("prev_attr", F.lag("attr").over(w))
+        .filter(F.col("prev_attr").isNull() | (F.col("prev_attr") != F.col("attr")))
+        .drop("prev_attr")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        F.row_number().over(w2).cast("long").alias("version"),
+        "attr",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )

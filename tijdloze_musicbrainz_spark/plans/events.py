@@ -1032,3 +1032,122 @@ def events_quantile_sketch_hashsample(
         q_at("fv", 0.5).alias("exact_p50"),
         q_at("fv", 0.9).alias("exact_p90"),
     )
+
+
+@register(
+    "events_kmv_sketch_merge",
+    survey_ids=("A1", "SET1"),
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ((user_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+group_sketches AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+),
+merged AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT hv FROM group_sketches)
+  ) WHERE rn <= {KMV_K}
+),
+direct AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT DISTINCT hv FROM h)
+  ) WHERE rn <= {KMV_K}
+),
+stats AS (
+  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+          WHERE user_id IS NOT NULL) AS n_exact,
+         (SELECT CAST(count(*) AS BIGINT) FROM merged) AS merged_n,
+         (SELECT CAST(max(hv) AS BIGINT) FROM merged) AS merged_kth,
+         (SELECT CAST(count(*) AS BIGINT) FROM direct) AS direct_n,
+         (SELECT CAST(max(hv) AS BIGINT) FROM direct) AS direct_kth
+)
+SELECT n_exact,
+       CASE WHEN merged_n < {KMV_K} THEN CAST(merged_n AS DOUBLE)
+            ELSE round(CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} * 1.0
+                       / merged_kth, 4) END AS kmv_estimate_merged,
+       (merged_n = direct_n AND merged_kth = direct_kth)
+         AS merge_equals_direct
+FROM stats
+""",
+    doc="KMV sketch MERGE — the mergeability that makes the sketch a "
+    "100 TB rollup primitive, pinned INSIDE the hash contract: "
+    "per-event-type KMV sketches (k smallest distinct hashes each) "
+    "are merged by union + re-truncate-to-k, and the merged sketch "
+    "must be IDENTICAL to the sketch built directly over the whole "
+    "corpus (any global top-k hash is top-k within its own group, so "
+    "the union always contains it — merge_equals_direct is a "
+    "mathematical invariant and the oracle pins it true). The merged "
+    "estimate rides along vs the exact distinct count. This is the "
+    "algebra a partitioned rollup table exploits: maintain sketches "
+    "per partition, merge upward without touching raw data.",
+)
+def events_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type",
+        ((F.col("user_id") % KMV_P) * KMV_A + KMV_B)
+        .cast("long")
+        .__mod__(KMV_P)
+        .alias("hv"),
+    ).distinct()
+    wg = Window.partitionBy("event_type").orderBy("hv")
+    group_sketches = (
+        h.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+    )
+    def topk(df):
+        # global k-smallest via orderBy+limit, NOT a constant-key
+        # window: this compiles to TakeOrderedAndProject (map-side
+        # partial top-k per partition, then a k*partitions merge) —
+        # the plan that survives 1e9 distinct hashes, where a
+        # partitionBy(lit(1)) row_number would serialize on one task
+        return (
+            df.select("hv")
+            .distinct()
+            .orderBy("hv")
+            .limit(KMV_K)
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.max("hv").cast("long").alias("kth"),
+            )
+        )
+
+    merged = topk(group_sketches).select(
+        F.col("n").alias("merged_n"), F.col("kth").alias("merged_kth")
+    )
+    direct = topk(h).select(
+        F.col("n").alias("direct_n"), F.col("kth").alias("direct_kth")
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    return (
+        exact.crossJoin(merged)
+        .crossJoin(direct)
+        .select(
+            "n_exact",
+            F.when(
+                F.col("merged_n") < KMV_K, F.col("merged_n").cast("double")
+            )
+            .otherwise(
+                F.round(
+                    (KMV_K - 1) * KMV_P * F.lit(1.0) / F.col("merged_kth"), 4
+                )
+            )
+            .alias("kmv_estimate_merged"),
+            (
+                (F.col("merged_n") == F.col("direct_n"))
+                & (F.col("merged_kth") == F.col("direct_kth"))
+            ).alias("merge_equals_direct"),
+        )
+    )
