@@ -23,6 +23,11 @@ EDGE_QUERIES = [
     "text_repetition_filter",
     "text_bm25_topk",
     "text_bpe_train_merges",
+    # r6: merge application + the trained-token span pass + the audit
+    # must survive empty docs, NULL text, and double spaces identically
+    "text_bpe_apply_merges",
+    "dedup_exact_substring_bpe_trained",
+    "corpus_constraint_audit",
     # broader per-document tier on the same hostile rows
     "dedup_exact_first_wins",
     "dedup_ngram_jaccard_blocked",

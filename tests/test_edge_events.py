@@ -19,6 +19,12 @@ EDGE_EVENT_QUERIES = [
     "events_session_window_native",
     "events_json_extract",
     "events_kmv_distinct_sketch",
+    # r6 sketches + watermark proof: NULL user_id / NULL event_id rows
+    # must be excluded identically (no identity -> no sketch entry)
+    "events_heavy_hitters_cms",
+    "events_quantile_sketch_hashsample",
+    "events_kmv_sketch_merge",
+    "streaming_watermark_late_drop",
     "events_hypertable_rollup",
     "events_moving_frame",
     "events_funnel_conversion",
@@ -77,6 +83,14 @@ def edge_events_dir(tmp_path_factory):
     # engines (Spark's window() silently drops it; DuckDB would keep a
     # NULL bucket; ORDER BY ts defaults diverge NULLS FIRST vs LAST)
     rows.append((502, None, 6, "view", 3.5, '{"k": 3}'))
+    # NULL user_id: no identity — distinct/frequency sketches must
+    # exclude it on BOTH engines (a NULL hash would also rank NULLS
+    # FIRST in Spark vs NULLS LAST in DuckDB inside the sketch window)
+    rows.append((600, "2024-02-01 15:00:00", None, "view", 1.5, '{"k": 1}'))
+    # NULL event_id: no sample identity for the hash-rank quantile
+    # sketch, and no deterministic tie-break — excluded there; other
+    # queries must tolerate it consistently
+    rows.append((None, "2024-02-01 15:01:00", 7, "view", 2.5, '{"k": 2}'))
     con.execute(
         "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"

@@ -626,7 +626,8 @@ WITH s AS (
            AS n_nonneg
   FROM documents
 )
-SELECT ck.check_name, ck.observed, ck.threshold,
+SELECT ck.check_name, ck.observed,
+       CAST(ck.threshold AS DOUBLE) AS threshold,
        ck.observed >= ck.threshold AS passed
 FROM s, LATERAL (VALUES
   ('completeness_text',   round(n_text / n, 6),   0.99),

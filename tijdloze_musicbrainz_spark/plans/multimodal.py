@@ -157,7 +157,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not blobs:
                 yield empty
                 continue
-            ids = pdf["event_id"].to_numpy(dtype=np.int64)
+            # nullable Int64, NOT to_numpy(int64): a NULL event_id is
+            # NaN in the Arrow->pandas column, and a raw int64 cast
+            # turns NaN into Long.MIN_VALUE silently (found by the
+            # edge harness r6) — Int64 keeps it NULL end to end
+            ids = pdf["event_id"].astype("Int64")
             lens = np.fromiter(
                 (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
             )
@@ -181,7 +185,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame(
                 {
-                    "event_id": np.repeat(ids, n_frames),
+                    "event_id": ids.repeat(n_frames).reset_index(drop=True),
                     "frame_no": frame_no,
                     "frame": frames,
                 }
