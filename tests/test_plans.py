@@ -38,6 +38,7 @@ ALLOWED_NESTED_LOOP = {
     "dedup_exact_substring_bpe_trained",  # BPE chain feeding the span pass
     "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
     "events_kmv_sketch_merge",  # three 1-row sketch aggregates crossed
+    "j_bloom_prefilter_join",  # 1-row counter aggregates crossed for stats
 }
 
 

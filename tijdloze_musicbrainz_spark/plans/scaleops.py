@@ -245,3 +245,170 @@ def graph_pagerank_exact_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("u div 2").cast("long").alias("node_key"),
         F.col("r").cast("long").alias("rank_nano"),
     )
+
+
+# -- Bloom-filter runtime prefilter join (r6) --------------------------------
+
+BLOOM_M = 65_536  # bits (1024 int64 words)
+BLOOM_WORDS = BLOOM_M // 64
+BLOOM_P = 2_147_483_647
+BLOOM_A = (1_327_217_885, 1_229_331_947, 1_073_741_827)
+BLOOM_B = (11, 101, 1_009)
+
+_BLOOM_BUILD_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def _bloom_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"(({expr} % {BLOOM_P}) * {BLOOM_A[i]} + {BLOOM_B[i]})"
+        f" % {BLOOM_P} % {BLOOM_M}"
+    )
+
+
+@register(
+    "j_bloom_prefilter_join",
+    survey_ids=("J9", "P2"),
+    oracle=f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE {_BLOOM_BUILD_PRED}
+),
+bloom_bits AS (
+  SELECT DISTINCT pos // 64 AS word, pos % 64 AS bit
+  FROM build, unnest(range(0, 3)) AS u(i),
+       LATERAL (SELECT CASE i
+           WHEN 0 THEN {_bloom_pos_sql('o_orderkey', 0)}
+           WHEN 1 THEN {_bloom_pos_sql('o_orderkey', 1)}
+           ELSE {_bloom_pos_sql('o_orderkey', 2)} END AS pos) p
+),
+bloom AS (
+  -- HUGEINT: DuckDB refuses the signed 1<<63 overflow; bit extraction
+  -- below is representation-independent (Spark's long wraps negative,
+  -- DuckDB's hugeint stays positive — (bits >> bit) & 1 agrees)
+  SELECT word, bit_or(CAST(1 AS HUGEINT) << CAST(bit AS INT)) AS bits
+  FROM bloom_bits GROUP BY word
+),
+probe AS (SELECT l_orderkey, l_quantity FROM lineitem),
+passed AS (
+  SELECT p.l_orderkey, p.l_quantity FROM probe p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM unnest(range(0, 3)) AS u(i),
+         LATERAL (SELECT CASE i
+             WHEN 0 THEN {_bloom_pos_sql('p.l_orderkey', 0)}
+             WHEN 1 THEN {_bloom_pos_sql('p.l_orderkey', 1)}
+             ELSE {_bloom_pos_sql('p.l_orderkey', 2)} END AS pos) x
+    LEFT JOIN bloom b ON b.word = x.pos // 64
+    WHERE b.word IS NULL OR ((b.bits >> CAST(x.pos % 64 AS INT)) & 1) = 0
+  )
+),
+joined AS (
+  SELECT pa.l_quantity
+  FROM passed pa JOIN build b ON pa.l_orderkey = b.o_orderkey
+),
+plain AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM probe p JOIN build b ON p.l_orderkey = b.o_orderkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_pass_bloom,
+       (SELECT CAST(count(*) AS BIGINT) FROM joined) AS n_joined,
+       (SELECT {money_sum_sql("l_quantity")} FROM joined l) AS sum_qty,
+       (SELECT count(*) FROM joined) = (SELECT n FROM plain)
+         AS no_false_negatives
+""",
+    doc="Runtime BLOOM-FILTER prefilter join — the semi-join reduction "
+    "every warehouse ships (and Spark itself injects via "
+    "spark.sql.optimizer.runtime.bloomFilter, see tests/test_bloom_"
+    "runtime.py): the selective build side's keys populate a "
+    f"{BLOOM_M}-bit Bloom filter (3 engine-neutral universal hashes, "
+    "the KMV constant playbook), the big probe side tests membership "
+    "BEFORE the join shuffle, and only surviving rows shuffle. The "
+    "filter itself is exact-integer and hash-identical across "
+    "engines, so the oracle checks the REAL contract: "
+    "no_false_negatives pins that the bloom-prefiltered join equals "
+    "the plain join (a Bloom filter may pass extra rows, never drop "
+    "a match), and n_pass_bloom vs n_joined exposes the measured "
+    "false-positive overhead. Spark plan: the 1024-word filter "
+    "aggregates distributed (bit_or per word), collects 8 KB of "
+    "metadata (bounded by BLOOM_M, the documented metadata-collect "
+    "class), and membership tests run as pure JVM bit expressions "
+    "inside the probe scan — the filter is pushed to the data, the "
+    "data never moves to the filter.",
+)
+def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+
+    def pos(col, i):
+        return (
+            ((F.col(col) % BLOOM_P) * BLOOM_A[i] + BLOOM_B[i])
+            .cast("long")
+            .__mod__(BLOOM_P)
+            .__mod__(BLOOM_M)
+        )
+
+    bits = build.select(
+        F.explode(F.array(*[pos("o_orderkey", i) for i in range(3)])).alias(
+            "pos"
+        )
+    ).select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        (F.col("pos") % 64).cast("int").alias("bit"),
+    )
+    words = bits.groupBy("word").agg(
+        # SQL shiftleft accepts a column shift amount (the Python
+        # F.shiftleft wrapper takes only int literals)
+        F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")
+    )
+    # the filter is metadata (BLOOM_WORDS longs = 8 KB) — the bounded
+    # collect class; at scale this is the broadcast variable Spark's
+    # own runtime filter ships
+    word_map = {r["word"]: r["bits"] for r in words.collect()}
+    bloom = F.array(
+        *[F.lit(word_map.get(w, 0)).cast("long") for w in range(BLOOM_WORDS)]
+    )
+
+    probe = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    # membership = all 3 bits set, as one pure-SQL row predicate over
+    # the literal filter array (the same arithmetic the oracle uses)
+    conds = []
+    for i in range(3):
+        ps = _bloom_pos_sql("l_orderkey", i)
+        conds.append(
+            f"((shiftright(element_at(__bloom, int(({ps}) div 64) + 1),"
+            f" int(({ps}) % 64))) & 1) = 1"
+        )
+    passed = (
+        probe.withColumn("__bloom", bloom)
+        .filter(F.expr(" AND ".join(conds)))
+        .drop("__bloom")
+    )
+    joined = passed.join(
+        build, passed.l_orderkey == build.o_orderkey
+    ).select("l_quantity")
+    plain_n = (
+        probe.join(build, probe.l_orderkey == build.o_orderkey)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    stats = (
+        probe.agg(F.count("*").cast("long").alias("n_probe_total"))
+        .crossJoin(passed.agg(F.count("*").cast("long").alias("n_pass_bloom")))
+        .crossJoin(
+            joined.agg(
+                F.count("*").cast("long").alias("n_joined"),
+                money_sum(F.col("l_quantity")).alias("sum_qty"),
+            )
+        )
+        .crossJoin(plain_n)
+    )
+    return stats.select(
+        "n_probe_total",
+        "n_pass_bloom",
+        "n_joined",
+        "sum_qty",
+        (F.col("n_joined") == F.col("n")).alias("no_false_negatives"),
+    )
