@@ -24,6 +24,7 @@ EDGE_EVENT_QUERIES = [
     "events_heavy_hitters_cms",
     "events_quantile_sketch_hashsample",
     "events_kmv_sketch_merge",
+    "events_ols_trend_by_type",  # singleton group -> NULL slope guard
     "streaming_watermark_late_drop",
     "events_hypertable_rollup",
     "events_moving_frame",

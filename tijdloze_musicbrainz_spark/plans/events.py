@@ -1151,3 +1151,80 @@ def events_kmv_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_equals_direct"),
         )
     )
+
+
+@register(
+    "events_ols_trend_by_type",
+    survey_ids=("A1", "F15"),
+    oracle="""
+WITH ev AS (
+  SELECT event_type,
+         epoch(ts) - 1700000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(cents) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * cents) AS HUGEINT) AS sxy
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                       / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                       / 100.0, 9)
+       END AS slope_cents_per_sec,
+       round(CAST(sy AS DOUBLE) / n / 100.0, 6) AS mean_value
+FROM s
+""",
+    doc="Per-group OLS TREND (least-squares slope of value over event "
+    "time) — the analytics primitive behind drift monitors and "
+    "forecast baselines, computed the only way that hash-checks "
+    "across engines: all five sufficient statistics (n, Sx, Sy, Sxx, "
+    "Sxy) accumulate in EXACT integer arithmetic (epoch seconds "
+    "re-based to keep x*x inside int64-safe range on the Spark side "
+    "via DECIMAL(38,0); cents for values), so the closed-form slope "
+    "is ONE IEEE division of two exactly-agreed operands — identical "
+    "bits on both engines, no float accumulation order to diverge. "
+    "Zero-variance time (all events of a type in the same second) "
+    "yields a NULL slope via the determinant guard, not a "
+    "divide-by-zero (the ANSI-mode crash class). Map-side combinable "
+    "sums — one shuffle, mergeable partials, the rollup-table shape.",
+)
+def events_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - 1_700_000_000).alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("cents").cast("long").alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("cents"))).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("decimal(38,0)"), d38(F.col("sx")), d38(F.col("sy"))
+    det = n * F.col("sxx") - sx * sx
+    num = n * F.col("sxy") - sx * sy
+    return s.select(
+        "event_type",
+        "n",
+        F.when(det == 0, None)
+        .otherwise(
+            F.round(num.cast("double") / det.cast("double") / 100.0, 9)
+        )
+        .alias("slope_cents_per_sec"),
+        F.round(sy.cast("double") / n.cast("double") / 100.0, 6).alias(
+            "mean_value"
+        ),
+    )
