@@ -163,3 +163,87 @@ def s_zstd_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("l_extendedprice")).alias("total"),
         )
     )
+
+
+# -- Z-order layout locality (r6) --------------------------------------------
+
+Z_BITS = 8  # quantized bits per dimension (256 x 256 grid)
+Z_FILE_SHIFT = 10  # a "file" covers 2^10 consecutive z (or linear) codes
+# the 2-D probe box: selective in BOTH dimensions (16/256 each)
+ZBOX = (32, 48, 64, 80)  # x_lo, x_hi, y_lo, y_hi
+
+
+def _interleave_terms(x: str, y: str, spark_syntax: bool) -> str:
+    """The Morton/Z code: bit i of x lands at position 2i, bit i of y
+    at 2i+1 — unrolled to Z_BITS pure-integer terms. Spark SQL spells
+    shifts as functions, DuckDB as operators; the FORMULA is one."""
+    terms = []
+    for i in range(Z_BITS):
+        if spark_syntax:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _zorder_sql(spark_syntax: bool) -> str:
+    x = f"(l_partkey % {1 << Z_BITS})"
+    y = f"(l_suppkey % {1 << Z_BITS})"
+    z = _interleave_terms(x, y, spark_syntax)
+    lin = f"({x} * {1 << Z_BITS} + {y})"
+    xl, xh, yl, yh = ZBOX
+    in_box = f"{x} >= {xl} AND {x} < {xh} AND {y} >= {yl} AND {y} < {yh}"
+    if spark_syntax:
+        zfile = f"shiftright({z}, {Z_FILE_SHIFT})"
+        lfile = f"shiftright({lin}, {Z_FILE_SHIFT})"
+    else:
+        zfile = f"(({z}) >> {Z_FILE_SHIFT})"
+        lfile = f"(({lin}) >> {Z_FILE_SHIFT})"
+    return f"""
+WITH coded AS (
+  SELECT {zfile} AS zfile, {lfile} AS lfile,
+         CASE WHEN {in_box} THEN 1 ELSE 0 END AS in_box
+  FROM lineitem
+)
+SELECT CAST(sum(in_box) AS BIGINT) AS n_box_rows,
+       CAST(count(DISTINCT CASE WHEN in_box = 1 THEN zfile END) AS BIGINT)
+         AS zorder_files_touched,
+       CAST(count(DISTINCT CASE WHEN in_box = 1 THEN lfile END) AS BIGINT)
+         AS linear_files_touched,
+       CAST(count(DISTINCT zfile) AS BIGINT) AS zorder_files_total,
+       CAST(count(DISTINCT lfile) AS BIGINT) AS linear_files_total,
+       count(DISTINCT CASE WHEN in_box = 1 THEN zfile END)
+         <= count(DISTINCT CASE WHEN in_box = 1 THEN lfile END)
+         AS zorder_wins
+FROM coded
+"""
+
+
+@register(
+    "s_zorder_layout_locality",
+    survey_ids=("S1", "F15"),
+    oracle=_zorder_sql(spark_syntax=False),
+    doc="Z-ORDER layout locality (the Delta/Iceberg OPTIMIZE ZORDER "
+    "feature, measured rather than asserted): rows are coded with an "
+    f"interleaved {Z_BITS}+{Z_BITS}-bit Morton curve over "
+    "(partkey, suppkey) and assigned to z-range 'files' (top code "
+    "bits — exactly how a z-sorted write lays consecutive codes into "
+    "the same file); a 2-D box predicate selective in BOTH dimensions "
+    "then touches count(DISTINCT file) files. The query emits that "
+    "locality metric for the z-order layout AND the naive "
+    "lexicographic (x,y) layout side by side, plus the pinned "
+    "zorder_wins verdict — a 16x16/256x256 box clusters under z "
+    "(one curve region) but shreds across every x-slice under "
+    "lexicographic sort. The Morton code itself is one unrolled "
+    "integer formula shared by both engines (shiftleft/shiftright vs "
+    "<</>> spelling only), so the whole demonstration hash-checks. "
+    "At 100 TB: repartitionByRange(z) + sortWithinPartitions(z) "
+    "before the write gives parquet min/max footers this exact "
+    "skipping power; the query is the layout's measurable contract.",
+)
+def s_zorder_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_zorder_sql(spark_syntax=True))
