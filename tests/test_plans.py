@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP = {
     "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
     "events_kmv_sketch_merge",  # three 1-row sketch aggregates crossed
     "j_bloom_prefilter_join",  # 1-row counter aggregates crossed for stats
+    "graph_triangle_count",  # four 1-row stat aggregates crossed
 }
 
 

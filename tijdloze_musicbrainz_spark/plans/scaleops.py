@@ -412,3 +412,121 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_qty",
         (F.col("n_joined") == F.col("n")).alias("no_false_negatives"),
     )
+
+
+# -- Triangle counting (r6) --------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    survey_ids=("J1",),
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (
+  SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_nodes FROM (
+    SELECT u AS s FROM pairs UNION SELECT v FROM pairs
+  )
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS s FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY s
+),
+wedges AS (
+  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n.n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       t.n_triangles,
+       w.n_wedges,
+       round(CASE WHEN w.n_wedges = 0 THEN NULL
+                  ELSE 3.0 * t.n_triangles / w.n_wedges END, 9)
+         AS clustering_coeff
+FROM nodes n, tri t, wedges w
+""",
+    doc="TRIANGLE COUNTING + global clustering coefficient over the "
+    "part co-purchase graph (parts sharing an order; the "
+    "projection is bounded — TPC-H orders carry <= 7 lineitems, so "
+    "per-order fan-out is <= 21 pairs at any SF). The count uses the "
+    "ORIENTED node-iterator join: edges stored once as u < v, "
+    "triangle = e1(a,b) + e2(b,c) + e3(a,c) — each triangle counted "
+    "exactly once, two equi-joins, no explosion beyond wedge volume. "
+    "Wedge count sum(d*(d-1)/2) is exact integer, so the clustering "
+    "coefficient is one IEEE division of agreed operands. At 100 TB "
+    "the skew lever is DEGREE orientation (point edges from the "
+    "lower-degree endpoint, which bounds per-node join fan-out by "
+    "sqrt(E)) — the id orientation here is the didactic form and the "
+    "swap is a one-line key change documented for the day a hub "
+    "part appears.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("s"))
+        .union(pairs.select("v"))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col("u").alias("s"))
+        .unionAll(pairs.select("v"))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_wedges")
+    )
+    n_edges = pairs.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") == 0, None).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                9,
+            ).alias("clustering_coeff"),
+        )
+    )
