@@ -77,6 +77,9 @@ HEADLINERS = [
     # r6: the reference's REAL 2,954-row golden benchmark, closed loop
     # (sf-independent input, so the timing is pure read-path cost)
     "benchmark_golden_real_e2e",
+    # r6: tokenizer training + trained-token ExactSubstr composed —
+    # the heaviest text-tier DAG (3 pair-count shuffles + gram index)
+    "dedup_exact_substring_bpe_trained",
 ]
 
 # Committed per-query snapshot: the best of all prior driver rounds
