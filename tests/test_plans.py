@@ -40,6 +40,7 @@ ALLOWED_NESTED_LOOP = {
     "events_kmv_sketch_merge",  # three 1-row sketch aggregates crossed
     "j_bloom_prefilter_join",  # 1-row counter aggregates crossed for stats
     "graph_triangle_count",  # four 1-row stat aggregates crossed
+    "graph_copurchase_lift",  # 1-row n_orders scalar x pair stats
 }
 
 

@@ -530,3 +530,94 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "graph_copurchase_lift",
+    survey_ids=("A1", "F15"),
+    oracle="""
+WITH orders_n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+),
+item_orders AS (
+  SELECT DISTINCT l_partkey AS item, l_orderkey AS o
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+item_cnt AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n FROM item_orders GROUP BY item
+),
+pair_cnt AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM item_orders a JOIN item_orders b
+    ON a.o = b.o AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) * o.n_orders
+             / (ca.n * cb.n), 6) AS lift
+FROM pair_cnt p
+JOIN item_cnt ca ON ca.item = p.item_a
+JOIN item_cnt cb ON cb.item = p.item_b
+CROSS JOIN orders_n o
+WHERE p.n_both >= 3
+ORDER BY lift DESC, item_a, item_b
+LIMIT 50
+""",
+    doc="Market-basket LIFT (co-purchase association scoring): for "
+    "every part pair sharing >= 3 orders, lift = P(a,b)/(P(a)P(b)) = "
+    "n_both * n_orders / (n_a * n_b) — the classic recommendation "
+    "primitive over the same bounded co-purchase projection as "
+    "graph_triangle_count (per-order fan-out <= 21 pairs at any SF). "
+    "All counts are exact integers, so the lift is one IEEE division "
+    "of agreed operands (hash-identical across engines); the n_both "
+    ">= 3 support floor is the standard Apriori-style pruning that "
+    "keeps the pair table support-bounded at 100 TB. Top-50 by lift "
+    "via TakeOrderedAndProject (distributed partial top-k), never a "
+    "global sort.",
+)
+def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select(F.col("l_partkey").alias("item"), F.col("l_orderkey").alias("o"))
+        .distinct()
+    )
+    n_orders = li.agg(
+        F.countDistinct("o").cast("long").alias("n_orders")
+    )
+    item_cnt = li.groupBy("item").agg(F.count("*").cast("long").alias("n"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pair_cnt = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ca = item_cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    cb = item_cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    return (
+        pair_cnt.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(50)
+    )

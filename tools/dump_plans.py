@@ -215,11 +215,12 @@ AUDITED = {
         "published SemDeDup O(N^2/k) bound."
     ),
     "text_bpe_apply_merges": (
-        "Audit (r6): the trainer's lazy chain (one pair-count shuffle "
-        "per round, 1-row winner broadcast, zero-shuffle in-row "
-        "aggregate-fold rewrite) plus a single doc_id join against "
-        "the raw token counts; the md5 digest is computed in-row. "
-        "The only per-round Exchange is the pair count."
+        "Audit (r6): the trainer's chain (one pair-count shuffle per "
+        "round, 1-row winner broadcast, zero-shuffle in-row aggregate-"
+        "fold rewrite, EAGER per-round checkpoint so consumers pay "
+        "O(R) not O(R^2) fold evaluations — measured 1.9x) plus a "
+        "single doc_id join against the raw token counts; the md5 "
+        "digest is computed in-row."
     ),
     "multimodal_png_decode_real": (
         "Audit (r6): scan -> repartition(defaultParallelism) -> "
