@@ -172,6 +172,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:
+        if name not in REGISTRY:
+            # conditionally-registered queries (benchmark_golden_real_e2e
+            # needs the reference CSV) simply drop out of the headline set
+            print(f"[bench] {name}: not registered, skipped", file=sys.stderr)
+            continue
         builder = REGISTRY[name].builder
         # Adaptive best-of-N (round-3 verdict #2): best-of-2 was too
         # few for sub-second queries — events_sessionize reported
@@ -216,6 +221,22 @@ def main() -> None:
         recall = {}
         print(f"[bench] recall measurement FAILED: {exc}", file=sys.stderr)
 
+    # golden-real Correct/Missing/Wrong percentages as a headline metric
+    # (r6 verdict item 5): accuracy regressions show up in the BENCH_r*
+    # trend, not only as a pytest failure
+    accuracy: dict[str, float] = {}
+    if "benchmark_golden_real_e2e" in REGISTRY:
+        try:
+            rows = (
+                REGISTRY["benchmark_golden_real_e2e"]
+                .builder(spark, sf_dir)
+                .collect()
+            )
+            accuracy = {r["status"]: r["pct"] for r in rows}
+            print(f"[bench] golden accuracy: {accuracy}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] accuracy measurement FAILED: {exc}", file=sys.stderr)
+
     # regression report vs the committed baseline snapshot (stderr only)
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), BASELINE_SNAPSHOT)
     if os.path.exists(base):
@@ -238,6 +259,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "ann_recall_at_5": recall,
+                "accuracy": accuracy,
                 "host_probe_sec": {"start": probe_start, "end": _host_probe_sec()},
                 "sf": sf,
             }

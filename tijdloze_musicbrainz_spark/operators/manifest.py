@@ -107,7 +107,8 @@ def read_table(
         return None
     df = spark.read.parquet(*paths)
     if OP_COL in df.columns:
-        df = df.filter(F.col(OP_COL) != "D").drop(OP_COL)
+        # null-safe: a NULL __op row is data, not a tombstone (r6 ADVICE)
+        df = df.filter(~F.col(OP_COL).eqNullSafe("D")).drop(OP_COL)
     return df
 
 
@@ -211,8 +212,19 @@ def merge_cdc_manifest(
     bucket = F.pmod(
         F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
     ).cast("int")
-    batch = changes.withColumnRenamed(op_col, OP_COL).withColumn(
-        "__bucket", bucket
+    batch = (
+        changes.withColumnRenamed(op_col, OP_COL)
+        # NULL/unknown op is treated as an upsert ('I'): keeps the
+        # tombstone filters honest downstream (r6 ADVICE — read_table
+        # would otherwise silently drop a NULL-__op row that still
+        # competes in merges)
+        .withColumn(
+            OP_COL,
+            F.when(F.col(OP_COL).isin("I", "U", "D"), F.col(OP_COL)).otherwise(
+                F.lit("I")
+            ),
+        )
+        .withColumn("__bucket", bucket)
     )
     touched = sorted(
         r["__bucket"] for r in batch.select("__bucket").distinct().collect()
@@ -229,9 +241,15 @@ def merge_cdc_manifest(
         for p in files.get(str(b), [])
     ]
     if old_paths:
-        # committed files carry __op (live rows AND tombstones)
+        # committed files carry __op (live rows AND tombstones); files
+        # written by merge_upsert_manifest or pre-r6 CDC code lack the
+        # column — backfill 'I' so mixed tables keep merging (r6 ADVICE:
+        # allowMissingColumns=False had no migration path)
         existing = spark.read.parquet(*old_paths).withColumn("__bucket", bucket)
-        merged = existing.unionByName(batch, allowMissingColumns=False)
+        merged = existing.unionByName(batch, allowMissingColumns=True)
+        merged = merged.withColumn(
+            OP_COL, F.coalesce(F.col(OP_COL), F.lit("I"))
+        )
     else:
         merged = batch
     # winners keep their op: a winning 'D' lands on disk as a tombstone
@@ -281,7 +299,7 @@ def compact(table: str, spark: SparkSession) -> int:
     for bkey, ps in files.items():
         df = spark.read.parquet(*[os.path.join(table, p) for p in ps])
         if OP_COL in df.columns:
-            df = df.filter(F.col(OP_COL) != "D")
+            df = df.filter(~F.col(OP_COL).eqNullSafe("D"))
         tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         entry = f"data/v{v + 1}_compact_b{bkey}_{uuid.uuid4().hex[:8]}"

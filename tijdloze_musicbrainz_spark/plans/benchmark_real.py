@@ -41,6 +41,8 @@ designed-Missing row IS Missing).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,7 +52,15 @@ from .fuzzy import fuzzy_key_join, rank_candidates
 from .golden_shape import GOLDEN_SHAPE_SCHEMA
 from .registry import register
 
-REAL_CSV = "/root/reference/benchmark/default.csv"
+# resolvable from the environment so a machine without the reference
+# checkout can point at its own copy (r6 ADVICE); when the file is
+# absent the query is simply NOT registered — full sweep, bench and
+# the driver window all degrade gracefully instead of failing at
+# runtime on a hardcoded absolute path
+REAL_CSV = os.environ.get(
+    "SPARK_GRAFT_GOLDEN_CSV", "/root/reference/benchmark/default.csv"
+)
+REAL_CSV_PRESENT = os.path.exists(REAL_CSV)
 N_GOLDEN = 2954
 WRONG_MOD = 31  # impostor catalog entry -> must score Wrong
 MISSING_MOD = 23  # garbled query title -> must score Missing
@@ -399,7 +409,16 @@ best AS (
 )"""
 
 
-@register(
+def _register_if_csv_present(*args, **kwargs):
+    """Register only when the golden CSV exists: a checkout without the
+    reference repo keeps a fully working registry minus this one entry
+    (r6 ADVICE item 4)."""
+    if REAL_CSV_PRESENT:
+        return register(*args, **kwargs)
+    return lambda fn: fn
+
+
+@_register_if_csv_present(
     "benchmark_golden_real_e2e",
     survey_ids=("A11", "S2", "P6", "P8", "F5", "F9", "A9", "F10", "F11", "O4"),
     oracle=f"""

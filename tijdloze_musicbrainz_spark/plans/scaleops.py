@@ -443,7 +443,7 @@ deg AS (
   ) GROUP BY s
 ),
 wedges AS (
-  SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
 )
 SELECT n.n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
@@ -507,10 +507,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").cast("long").alias("d"))
     )
+    # d*(d-1) is always even, so integer division is exact; staying in
+    # int64 on BOTH engines keeps the hash contract independent of the
+    # 2^53 float-precision cliff (r6 ADVICE)
     wedges = deg.agg(
-        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
-        .cast("long")
-        .alias("n_wedges")
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
     )
     n_edges = pairs.agg(F.count("*").cast("long").alias("n_edges"))
     return (

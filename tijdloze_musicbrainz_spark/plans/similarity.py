@@ -1017,7 +1017,14 @@ def _assign_centroids_chunked(
     inf = float("inf")
     chunk_bests = []
     for i in range(n_chunks):
-        sub = cents.filter(F.pmod(F.col("cent_id"), F.lit(n_chunks)) == i)
+        # chunk by a hash, NOT by cent_id % n_chunks: cent_ids stride by
+        # 50 (vec_id % 50 == 0), so modulo chunking degenerates whenever
+        # gcd(50, n_chunks) > 1 — e.g. n_chunks=5 puts ALL centroids in
+        # chunk 0, silently restoring the single k-sized broadcast this
+        # function exists to avoid (r6 ADVICE)
+        sub = cents.filter(
+            F.pmod(F.xxhash64(F.col("cent_id")), F.lit(n_chunks)) == i
+        )
         scored = vecs.join(F.broadcast(sub)).select(
             "vec_id",
             "cent_id",
