@@ -306,3 +306,89 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path_factory):
         "seq",
     )
     assert (1, 99, 123) in _rows(spark, table)
+
+
+def test_cdc_unknown_op_code_fails_loudly(spark, tmp_path_factory):
+    """r7 ADVICE: a NON-null op outside {'I','U','D'} (lowercase 'd',
+    Debezium 'c'/'u'/'r') must raise, not silently become an upsert —
+    a differently-encoded delete stream turning into live rows is data
+    corruption. NULL is still coerced to 'I' (r6 contract)."""
+    from tijdloze_musicbrainz_spark.operators.manifest import merge_cdc_manifest
+
+    table = str(tmp_path_factory.mktemp("manifest_badop") / "t")
+    bad = spark.createDataFrame(
+        [(1, 1, 10, "I"), (2, 1, 20, "d")], "k long, seq long, v long, op string"
+    )
+    with pytest.raises(Exception, match="unknown op code"):
+        merge_cdc_manifest(bad, table, ["k"], "seq")
+
+    ok = spark.createDataFrame(
+        [(1, 1, 10, "I"), (2, 1, 20, None)], "k long, seq long, v long, op string"
+    )
+    merge_cdc_manifest(ok, table, ["k"], "seq")
+    assert _rows(spark, table) == {(1, 1, 10), (2, 1, 20)}
+
+
+def test_cdc_over_upsert_migrates_but_drift_fails(spark, tmp_path_factory):
+    """r7 ADVICE: the upsert->CDC migration backfills ONLY __op; a
+    genuine data-column mismatch between committed files and the batch
+    must still fail loudly instead of being NULL-filled."""
+    from tijdloze_musicbrainz_spark.operators.manifest import merge_cdc_manifest
+
+    table = str(tmp_path_factory.mktemp("manifest_migrate") / "t")
+    base = spark.range(10).selectExpr("id as k", "1L as seq", "id as v")
+    merge_upsert_manifest(base, table, ["k"], "seq")  # files WITHOUT __op
+
+    # CDC merge over the upsert-written table: __op backfilled as 'I'
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 5, 0, "D")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+    now = _rows(spark, table)
+    assert len(now) == 9 and all(r[0] != 3 for r in now)
+
+    # schema drift: batch renames the data column — loud failure
+    drifted = spark.createDataFrame(
+        [(4, 6, 1, "U")], "k long, seq long, v2 long, op string"
+    )
+    with pytest.raises(Exception):
+        merge_cdc_manifest(drifted, table, ["k"], "seq")
+
+
+def test_upsert_over_cdc_written_table(spark, tmp_path_factory):
+    """r7 ADVICE: mixed-table support is bidirectional — upserting into
+    a CDC-written table (files carry __op tombstones) must merge, with
+    the persisted tombstone still outranking a lower-priority upsert."""
+    from tijdloze_musicbrainz_spark.operators.manifest import merge_cdc_manifest
+
+    table = str(tmp_path_factory.mktemp("manifest_mixed") / "t")
+    base = spark.range(10).selectExpr("id as k", "1L as seq", "id as v", "'I' as op")
+    merge_cdc_manifest(base, table, ["k"], "seq")
+    merge_cdc_manifest(
+        spark.createDataFrame([(3, 5, 0, "D")], "k long, seq long, v long, op string"),
+        table,
+        ["k"],
+        "seq",
+    )
+
+    # plain upsert into the CDC table: lower-priority write for the
+    # deleted key loses to the tombstone; a fresh key lands
+    merge_upsert_manifest(
+        spark.createDataFrame([(3, 2, 333), (77, 1, 770)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )
+    now = _rows(spark, table)
+    assert all(r[0] != 3 for r in now)
+    assert (77, 1, 770) in now
+    # higher-priority upsert DOES replace the tombstone
+    merge_upsert_manifest(
+        spark.createDataFrame([(3, 9, 999)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert (3, 9, 999) in _rows(spark, table)

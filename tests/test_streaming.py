@@ -315,3 +315,92 @@ def test_minhash_index_absorbs_increment(spark, tmp_path_factory):
         (r.doc_a, r.doc_b) for r in spec.builder(spark, sf).collect()
     }
     assert pairs == {(1, 3)}
+
+
+def test_cdc_multi_micro_batch_equals_batch_lww(spark, tmp_path_factory):
+    """r7 verdict item 1: drive the CDC apply with maxFilesPerTrigger=1
+    so a D-then-late-lower-priority-U pair SPLITS across micro-batches
+    (>=3 of them). The final snapshot must equal the batch
+    last-writer-wins oracle — the persisted tombstone has to outrank
+    the late update even though it arrived in an EARLIER commit."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        merge_cdc_manifest,
+        read_table,
+    )
+    from tijdloze_musicbrainz_spark.operators.upsert import dedup_last_wins
+
+    base = str(tmp_path_factory.mktemp("cdc_micro"))
+    src = f"{base}/src"
+    table = f"{base}/table"
+    ckpt = f"{base}/ckpt"
+    schema = "k long, seq long, v long, op string"
+
+    batches = [
+        # batch 1: initial inserts
+        [(k, 1, k * 10, "I") for k in range(10)],
+        # batch 2: delete key 3 at seq 5; update key 5 at seq 2;
+        # tombstone for key 8 that will be outranked LATER
+        [(3, 5, 0, "D"), (5, 2, 555, "U"), (8, 2, 0, "D")],
+        # batch 3 (later micro-batch): LATE lower-priority update for
+        # the deleted key 3 (must stay deleted — persisted tombstone
+        # wins) and a HIGHER-priority re-insert for key 8 (must
+        # resurrect — priority beats the tombstone)
+        [(3, 2, 333, "U"), (8, 3, 888, "I"), (9, 4, 999, "U")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        part = f"{src}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        # strictly increasing mtimes so the file stream replays the
+        # batches in scenario order (semantics are order-invariant,
+        # but the INTERESTING path is D committed before the late U)
+        t = time.time() + i * 10
+        for root, _dirs, fs in os.walk(part):
+            for f in fs:
+                os.utime(os.path.join(root, f), (t, t))
+
+    seen_batches = []
+
+    def apply_changes(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        merge_cdc_manifest(batch_df, table, ["k"], "seq")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_changes)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) >= 3, f"expected >=3 micro-batches, got {seen_batches}"
+
+    got = {
+        (r.k, r.seq, r.v)
+        for r in read_table(spark, table).select("k", "seq", "v").collect()
+    }
+
+    # batch LWW oracle over the SAME change set, one shot
+    all_changes = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema
+    )
+    winners = dedup_last_wins(all_changes, ["k"], [F.desc("seq")])
+    want = {
+        (r.k, r.seq, r.v)
+        for r in winners.filter(F.col("op") != "D").select("k", "seq", "v").collect()
+    }
+    assert got == want
+    # the named scenario rows, explicitly:
+    assert all(k != 3 for k, _, _ in got)  # late low-priority U lost to tombstone
+    assert (8, 3, 888) in got  # high-priority re-insert beat its tombstone
+    assert (9, 4, 999) in got

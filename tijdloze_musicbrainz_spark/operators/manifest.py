@@ -105,7 +105,12 @@ def read_table(
     paths = [os.path.join(table, p) for ps in m["files"].values() for p in ps]
     if not paths:
         return None
-    df = spark.read.parquet(*paths)
+    # mergeSchema: a MIXED table (some buckets CDC-written with __op,
+    # some upsert-written without) must still surface __op — without
+    # it Spark takes one file's schema and can silently drop the
+    # column, serving tombstones as live rows (r8). Cost is one footer
+    # read per file; the manifest bounds the file count per snapshot.
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     if OP_COL in df.columns:
         # null-safe: a NULL __op row is data, not a tombstone (r6 ADVICE)
         df = df.filter(~F.col(OP_COL).eqNullSafe("D")).drop(OP_COL)
@@ -156,7 +161,18 @@ def merge_upsert_manifest(
         # committed files live OUTSIDE a __bucket= partition layout
         # (immutable renamed dirs), so the bucket column is recomputed
         # from the keys — same deterministic hash, same values
-        existing = spark.read.parquet(*old_paths).withColumn("__bucket", bucket)
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*old_paths)
+            .withColumn("__bucket", bucket)
+        )
+        if OP_COL in existing.columns:
+            # upserting into a CDC-written table: existing files carry
+            # __op (live rows + tombstones). Tag the batch 'I' so the
+            # union stays strict and tombstones still compete on
+            # priority in the dedup below (r7 ADVICE: mixed-table
+            # support must be bidirectional).
+            batch = batch.withColumn(OP_COL, F.lit("I"))
         merged = existing.unionByName(batch, allowMissingColumns=False)
     else:
         merged = batch
@@ -214,14 +230,24 @@ def merge_cdc_manifest(
     ).cast("int")
     batch = (
         changes.withColumnRenamed(op_col, OP_COL)
-        # NULL/unknown op is treated as an upsert ('I'): keeps the
-        # tombstone filters honest downstream (r6 ADVICE — read_table
-        # would otherwise silently drop a NULL-__op row that still
-        # competes in merges)
+        # Only NULL is coerced to upsert ('I') — read_table would
+        # otherwise silently drop a NULL-__op row that still competes
+        # in merges (r6 ADVICE). A NON-null code outside {'I','U','D'}
+        # (lowercase 'd', Debezium 'c'/'u'/'r'…) fails LOUDLY instead
+        # of turning deletes into live rows (r7 ADVICE).
         .withColumn(
             OP_COL,
-            F.when(F.col(OP_COL).isin("I", "U", "D"), F.col(OP_COL)).otherwise(
-                F.lit("I")
+            F.when(F.col(OP_COL).isNull(), F.lit("I"))
+            .when(F.col(OP_COL).isin("I", "U", "D"), F.col(OP_COL))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("merge_cdc_manifest: unknown op code '"),
+                        F.col(OP_COL),
+                        F.lit("' (expected I/U/D; map your source's "
+                              "encoding before merging)"),
+                    )
+                )
             ),
         )
         .withColumn("__bucket", bucket)
@@ -243,13 +269,18 @@ def merge_cdc_manifest(
     if old_paths:
         # committed files carry __op (live rows AND tombstones); files
         # written by merge_upsert_manifest or pre-r6 CDC code lack the
-        # column — backfill 'I' so mixed tables keep merging (r6 ADVICE:
-        # allowMissingColumns=False had no migration path)
-        existing = spark.read.parquet(*old_paths).withColumn("__bucket", bucket)
-        merged = existing.unionByName(batch, allowMissingColumns=True)
-        merged = merged.withColumn(
-            OP_COL, F.coalesce(F.col(OP_COL), F.lit("I"))
+        # column — backfill ONLY __op='I' explicitly and keep the union
+        # strict, so genuine data-column drift still fails loudly
+        # instead of being NULL-filled (r7 ADVICE: the earlier
+        # allowMissingColumns=True tolerated ANY mismatch).
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*old_paths)
+            .withColumn("__bucket", bucket)
         )
+        if OP_COL not in existing.columns:
+            existing = existing.withColumn(OP_COL, F.lit("I"))
+        merged = existing.unionByName(batch, allowMissingColumns=False)
     else:
         merged = batch
     # winners keep their op: a winning 'D' lands on disk as a tombstone
@@ -297,7 +328,9 @@ def compact(table: str, spark: SparkSession) -> int:
     files = _read_manifest(table, v)["files"]
     new_files: dict[str, list[str]] = {}
     for bkey, ps in files.items():
-        df = spark.read.parquet(*[os.path.join(table, p) for p in ps])
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table, p) for p in ps]
+        )
         if OP_COL in df.columns:
             df = df.filter(~F.col(OP_COL).eqNullSafe("D"))
         tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")

@@ -24,9 +24,19 @@ Ranking rationale (defensive against an even smaller window):
 
 from __future__ import annotations
 
+from .benchmark_real import REAL_CSV_PRESENT
+
 DRIVER_WINDOW_SIZE = 50
 
-DRIVER_WINDOW: tuple[str, ...] = (
+# Names that are only registered when their external input exists.
+# DRIVER_WINDOW is filtered on the same predicate so a checkout
+# WITHOUT the reference CSV still passes tests/test_registry_window.py
+# (r7 ADVICE, medium): the window must never name an unregistered query.
+_CONDITIONAL_PRESENT: dict[str, bool] = {
+    "benchmark_golden_real_e2e": REAL_CSV_PRESENT,
+}
+
+_DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # -- tier 1: flagship + composed end-to-end goldens ------------------
     "flagship_canonical_order",
     "mb_pipeline_canonical_e2e",
@@ -57,17 +67,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # room for benchmark_golden_real_e2e; its ids are carried by the
     # remaining dedup rows and the judge's tail re-run covers it)
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_cosine_topk_exact",
-    # (sim_cosine_topk_pandas moved to the tail in r4b: it shares its
-    # oracle with sim_cosine_topk_exact above, and the slot carries the
-    # composed training-dataset headline instead)
+    # r8 rotation (r7 verdict item 2): dedup_simhash, sim_cosine_topk_
+    # exact, dedup_exact_substring_spans and multimodal_fake_decode all
+    # carry GREEN official rows in CORRECTNESS_r07.json and their tiers
+    # stay represented in-window; their slots now give first official
+    # rows to the r5-r6 marquee components below.
+    "dedup_exact_substring_bpe_trained",
+    "graph_triangle_count",
+    "graph_copurchase_lift",
     "corpus_training_dataset_e2e",
-    # (sim_embedding_near_dup moved to the tail in r4c: it is the
-    # brute-force baseline whose scale path sim_near_dup_lsh_bucketed
-    # already lives in the tail; the slot carries the new ExactSubstr
-    # family instead so every dedup tier has an official row)
-    "dedup_exact_substring_spans",
+    "multimodal_png_decode_real",
     "sim_ann_lsh_bucketed",
     "sim_ann_ivf_bucketed",
     # (text_quality_score / text_language_id moved to the tail in r4 to
@@ -77,11 +86,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats",
     "corpus_clean_pipeline",
     "events_sessionize",
-    "multimodal_fake_decode",
-    # (multimodal_frame_sample moved to the tail in r4c: the
-    # multimodal tier keeps its fake_decode row; the slot carries the
-    # composed VOLUME job, which gained its full SQL twin in r4c —
-    # the single strongest row in the registry)
+    # (multimodal_fake_decode rotated to the tail in r8: the tier's
+    # official row is now multimodal_png_decode_real, a REAL byte-level
+    # decoder rather than the deterministic fake)
+    # (multimodal_frame_sample moved to the tail in r4c)
     "mb_pipeline_scale",
     "streaming_tumbling_window",
     # -- tier 4: unique-coverage relational / fuzzy ----------------------
@@ -109,6 +117,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f6_unicode_clean",
     "f8_relevance_generation",
     "fuzzy_two_phase_search",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = tuple(
+    n for n in _DRIVER_WINDOW_ALL if _CONDITIONAL_PRESENT.get(n, True)
 )
 
 
