@@ -1,0 +1,100 @@
+"""Degree-oriented triangle counting (r7 verdict item 3).
+
+On a hub graph — one node on 30% of all edges, the shape a hot part
+appearing in 30% of orders projects to — id orientation keeps the
+hub's full degree as join fan-out, while degree orientation bounds
+every node's out-degree by O(sqrt(E)). The triangle COUNT is
+orientation-invariant, so correctness stays pinned by the unchanged
+DuckDB oracle; these tests pin the fan-out contrast and the
+invariance itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tijdloze_musicbrainz_spark.plans.scaleops import orient_by_degree
+
+
+def _hub_pairs(spark, n_leaves=100):
+    """Hub node 0 joined to leaves 1..n, plus a leaf ring (1-2, 2-3,
+    ...) so triangles exist: {0, i, i+1} for each ring edge."""
+    edges = [(0, i) for i in range(1, n_leaves + 1)]
+    edges += [(i, i + 1) for i in range(1, n_leaves)]
+    return spark.createDataFrame(edges, "u long, v long")
+
+
+def _count_triangles(edges, src="src", dst="dst"):
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col(f"e2.{src}") == F.col(f"e1.{dst}"))
+        .join(
+            e3,
+            (F.col(f"e3.{src}") == F.col(f"e1.{src}"))
+            & (F.col(f"e3.{dst}") == F.col(f"e2.{dst}")),
+        )
+        .count()
+    )
+
+
+def test_degree_orientation_bounds_hub_fanout(spark):
+    n_leaves = 100
+    pairs = _hub_pairs(spark, n_leaves)
+    n_edges = pairs.count()
+
+    # id orientation (u < v, already how pairs is built): the hub has
+    # the LOWEST id, so every hub edge fans out of it — max out-degree
+    # is the full hub degree. This is the explosion the r6 SCALE note
+    # warned about: the e1-e2 wedge join produces out_deg^2 rows at
+    # the hub.
+    id_max = (
+        pairs.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert id_max == n_leaves  # the hub's entire degree
+
+    # degree orientation: hub out-degree collapses to 0 (every
+    # neighbour has lower degree), and every out-degree respects the
+    # sqrt(2E) bound — the property that survives ANY hub at 100 TB.
+    oriented = orient_by_degree(pairs)
+    out_deg = oriented.groupBy("src").count()
+    deg_max = out_deg.agg(F.max("count")).collect()[0][0]
+    assert deg_max <= math.isqrt(2 * n_edges) + 1
+    hub_out = out_deg.filter(F.col("src") == 0).collect()
+    assert hub_out == [] or hub_out[0]["count"] == 0
+
+    # wedge work (the e1-e2 join's row count) = sum of out_deg^2:
+    # degree orientation does ~n_leaves work where id orientation
+    # does ~n_leaves^2 — the measured explosion, not just the bound.
+    id_wedges = (
+        pairs.groupBy("u").count().agg(F.sum(F.expr("count * count"))).collect()[0][0]
+    )
+    deg_wedges = out_deg.agg(F.sum(F.expr("count * count"))).collect()[0][0]
+    assert id_wedges >= n_leaves * n_leaves
+    assert deg_wedges <= 10 * n_leaves
+
+
+def test_triangle_count_is_orientation_invariant(spark):
+    pairs = _hub_pairs(spark, 50)
+    # id-oriented count (pairs already satisfy u < v)
+    id_edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    got_id = _count_triangles(id_edges)
+    got_deg = _count_triangles(orient_by_degree(pairs))
+    # ring edge (i, i+1) closes a triangle with the hub: 49 of them
+    assert got_id == got_deg == 49
+
+
+def test_orientation_is_a_permutation_of_edges(spark):
+    """Every undirected edge appears exactly once after orientation,
+    pointed from its lower-(degree, id) endpoint."""
+    pairs = _hub_pairs(spark, 30)
+    oriented = orient_by_degree(pairs)
+    assert oriented.count() == pairs.count()
+    undirected = {
+        tuple(sorted((r.src, r.dst))) for r in oriented.collect()
+    }
+    want = {tuple(sorted((r.u, r.v))) for r in pairs.collect()}
+    assert undirected == want
+    # hub (degree 30) is never a source against degree-1/3 leaves
+    assert oriented.filter(F.col("src") == 0).count() == 0

@@ -414,7 +414,40 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- Triangle counting (r6) --------------------------------------------------
+# -- Triangle counting (r6; degree orientation r8) ---------------------------
+
+
+def orient_by_degree(pairs: DataFrame) -> DataFrame:
+    """Re-orient an undirected edge list (one row per edge, any
+    endpoint order, columns ``u``/``v``) so every edge points from its
+    lower-(degree, id) endpoint: ``(src, dst)`` with
+    ``(deg(src), src) < (deg(dst), dst)``.
+
+    This is the standard skew lever for wedge-based triangle counting
+    (node-iterator++): out-degree under this orientation is at most
+    O(sqrt(E)) for ANY degree distribution — a node with out-degree d
+    has d successors each of total degree >= its own, so
+    d * d <= sum of degrees = 2E — while id orientation leaves a
+    low-id hub with its full degree as join fan-out. Costs two
+    edge-by-degree equi-joins (degree table is |V| rows, typically
+    broadcastable even when edges are not).
+    """
+    deg = (
+        pairs.select(F.col("u").alias("s"))
+        .unionAll(pairs.select(F.col("v").alias("s")))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
+    with_deg = pairs.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
 
 
 @register(
@@ -458,16 +491,21 @@ FROM nodes n, tri t, wedges w
     "part co-purchase graph (parts sharing an order; the "
     "projection is bounded — TPC-H orders carry <= 7 lineitems, so "
     "per-order fan-out is <= 21 pairs at any SF). The count uses the "
-    "ORIENTED node-iterator join: edges stored once as u < v, "
-    "triangle = e1(a,b) + e2(b,c) + e3(a,c) — each triangle counted "
-    "exactly once, two equi-joins, no explosion beyond wedge volume. "
+    "ORIENTED node-iterator join over DEGREE-oriented edges (r8, "
+    "closing the r6/r7 verdict item): every undirected edge points "
+    "from its LOWER-(degree, id) endpoint, so a node's out-degree — "
+    "the only quantity the e1-e2 join fans out on — is bounded by "
+    "O(sqrt(E)) regardless of hubs (a node with out-degree d has d "
+    "successors of degree >= d, so d^2 <= 2E). Under id orientation "
+    "a hub appearing in 30%% of orders keeps its full degree as "
+    "fan-out and the wedge join explodes; see "
+    "tests/test_graph_orientation.py for the measured contrast. "
+    "Triangle = e1(a,b) + e2(b,c) + e3(a,c) with a<b<c in the "
+    "(degree, id) total order — each triangle counted exactly once, "
+    "two equi-joins, no explosion beyond oriented-wedge volume. The "
+    "count is orientation-invariant, so the oracle is unchanged. "
     "Wedge count sum(d*(d-1)/2) is exact integer, so the clustering "
-    "coefficient is one IEEE division of agreed operands. At 100 TB "
-    "the skew lever is DEGREE orientation (point edges from the "
-    "lower-degree endpoint, which bounds per-node join fan-out by "
-    "sqrt(E)) — the id orientation here is the didactic form and the "
-    "swap is a one-line key change documented for the day a hub "
-    "part appears.",
+    "coefficient is one IEEE division of agreed operands.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -490,14 +528,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .agg(F.count("*").cast("long").alias("n_nodes"))
     )
-    e1 = pairs.alias("e1")
-    e2 = pairs.alias("e2")
-    e3 = pairs.alias("e3")
+    oriented = orient_by_degree(pairs)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
     tri = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
