@@ -90,9 +90,9 @@ def test_png_fixture_is_genuine_png_with_all_filters_and_multi_idat():
         assert filters == {0, 1, 2, 3, 4}
 
 
-def test_jpeg_is_the_single_remaining_stub():
-    """r6: PNG/BMP/WAV decode are real; the package-wide stub count is
-    exactly one (decode_jpeg_real — no stdlib path for huffman+IDCT)."""
+def test_no_stubs_left_in_package():
+    """r8: baseline JPEG decode is real (the r6/r7 verdict item), so
+    the package-wide NotImplementedError stub count is now ZERO."""
     import pathlib
     import re
 
@@ -101,8 +101,8 @@ def test_jpeg_is_the_single_remaining_stub():
     import tijdloze_musicbrainz_spark as pkg
     from tijdloze_musicbrainz_spark.plans.multimodal import decode_jpeg_real
 
-    with pytest.raises(NotImplementedError):
-        decode_jpeg_real(b"\xff\xd8\xff")
+    with pytest.raises(ValueError):
+        decode_jpeg_real(b"\x00\x01not a jpeg")
 
     root = pathlib.Path(pkg.__file__).parent
     hits = [
@@ -111,4 +111,88 @@ def test_jpeg_is_the_single_remaining_stub():
         for i, line in enumerate(p.read_text().splitlines(), 1)
         if re.search(r"raise NotImplementedError", line)
     ]
-    assert len(hits) == 1, f"unexpected stubs: {hits}"
+    assert len(hits) == 0, f"unexpected stubs: {hits}"
+
+
+def test_jpeg_fixture_is_real_baseline_jfif(tmp_path):
+    """Byte-level structure of the synthesized JPEGs: SOI/EOI framing,
+    restart markers + DRI on every 2nd file, split DHT segments on
+    every 3rd, byte-stuffed entropy data."""
+    import struct
+
+    from tijdloze_musicbrainz_spark.plans.multimodal import (
+        N_JPEG,
+        write_jpeg_fixture,
+    )
+
+    path = write_jpeg_fixture(str(tmp_path / "jpeg.parquet"))
+    t = pq.read_table(path)
+    assert t.num_rows == N_JPEG
+    payloads = dict(
+        zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist())
+    )
+    for m in (0, 1, 3, 5, 6):
+        raw = payloads[m]
+        assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+        # marker walk up to SOS
+        pos, markers = 2, []
+        while True:
+            assert raw[pos] == 0xFF
+            markers.append(raw[pos + 1])
+            (ln,) = struct.unpack_from(">H", raw, pos + 2)
+            if raw[pos + 1] == 0xDA:
+                break
+            pos += 2 + ln
+        assert 0xDB in markers and 0xC0 in markers and 0xC4 in markers
+        assert markers.count(0xC4) == (2 if m % 3 == 0 else 1)
+        assert (0xDD in markers) == (m % 2 == 1)
+        scan = raw[pos:-2]
+        rst = [b for i, b in enumerate(scan[:-1]) if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7]
+        if m % 2 == 1:
+            from tijdloze_musicbrainz_spark.plans.multimodal import _jpeg_params
+
+            wb, hb = _jpeg_params(m)
+            assert len(rst) == (wb * hb - 1) // 3
+
+
+def test_jpeg_decode_matches_generation_closed_form(tmp_path):
+    """Full-fixture roundtrip: every decoded stat equals the closed
+    form the oracle computes (exercises restart handling, split DHT,
+    DC DPCM across all magnitude categories, and the AC path)."""
+    from tijdloze_musicbrainz_spark.plans.multimodal import (
+        N_JPEG,
+        _jpeg_block_ac,
+        _jpeg_block_v,
+        _jpeg_params,
+        decode_jpeg_real,
+        write_jpeg_fixture,
+    )
+
+    path = write_jpeg_fixture(str(tmp_path / "jpeg.parquet"))
+    t = pq.read_table(path)
+    payloads = dict(
+        zip(t.column("media_id").to_pylist(), t.column("payload").to_pylist())
+    )
+    for m in range(N_JPEG):
+        d = decode_jpeg_real(payloads[m])
+        wb, hb = _jpeg_params(m)
+        n_ac = sum_dc = sum_ac = sum_pix = 0
+        for by in range(hb):
+            for bx in range(wb):
+                v = _jpeg_block_v(m, bx, by)
+                a = _jpeg_block_ac(m, bx, by)
+                sum_dc += 8 * (v - 128)
+                sum_ac += a
+                if a:
+                    n_ac += 1
+                else:
+                    sum_pix += 64 * v
+        assert d == {
+            "width": wb * 8,
+            "height": hb * 8,
+            "n_blocks": wb * hb,
+            "n_ac_blocks": n_ac,
+            "sum_dc_coef": sum_dc,
+            "sum_ac_coef": sum_ac,
+            "sum_pix_dc_blocks": sum_pix,
+        }

@@ -41,6 +41,7 @@ ALLOWED_NESTED_LOOP = {
     "j_bloom_prefilter_join",  # 1-row counter aggregates crossed for stats
     "graph_triangle_count",  # four 1-row stat aggregates crossed
     "graph_copurchase_lift",  # 1-row n_orders scalar x pair stats
+    "s_zorder_write_prune",  # three 1-row file-count aggregates crossed
 }
 
 
@@ -196,6 +197,22 @@ def test_partitioned_read_prunes(plans):
     pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
     assert pf, "no PartitionFilters in s_partitioned_prune read plan"
     assert any("l_returnflag" in line for line in pf), pf
+
+
+def test_zorder_write_read_prunes_partitions(plans):
+    """s_zorder_write_prune reads the materialized Morton layout with
+    an isin(candidate z-files) filter on the partition column: the
+    pruned scan must carry a zfile PartitionFilter (directory-level
+    skipping of every z-range outside the box's curve regions)."""
+    plan = plans["s_zorder_write_prune"]
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "zfile" in line
+    ]
+    # a 1-element candidate set may compile to an equality instead of
+    # an IN list — either way the filter must sit in PartitionFilters
+    assert pf, "no zfile PartitionFilters in the pruned scan"
 
 
 def test_repetition_filter_is_shuffle_free(plans):

@@ -247,3 +247,133 @@ def s_zorder_layout_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_zorder_sql(spark_syntax=True))
+
+
+def _z_code_py(x: int, y: int) -> int:
+    z = 0
+    for i in range(Z_BITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _zbox_candidate_files() -> list[int]:
+    """Every z-file the probe box can intersect — enumerated from the
+    box's quantized coordinates (bounded: |box| cells, metadata-sized;
+    a production implementation walks the z-range decomposition
+    instead, same output)."""
+    xl, xh, yl, yh = ZBOX
+    return sorted(
+        {
+            _z_code_py(x, y) >> Z_FILE_SHIFT
+            for x in range(xl, xh)
+            for y in range(yl, yh)
+        }
+    )
+
+
+@register(
+    "s_zorder_write_prune",
+    survey_ids=("S4", "P2", "F15"),
+    oracle=f"""
+WITH coded AS (
+  SELECT ({_interleave_terms(f'(l_partkey % {1 << Z_BITS})',
+                             f'(l_suppkey % {1 << Z_BITS})', False)}
+         ) >> {Z_FILE_SHIFT} AS zfile,
+         (l_partkey % {1 << Z_BITS}) AS x,
+         (l_suppkey % {1 << Z_BITS}) AS y
+  FROM lineitem
+),
+bx AS (SELECT unnest(range({ZBOX[0]}, {ZBOX[1]})) AS x),
+by_ AS (SELECT unnest(range({ZBOX[2]}, {ZBOX[3]})) AS y),
+cand AS (
+  SELECT DISTINCT ({_interleave_terms('bx.x', 'by_.y', False)})
+           >> {Z_FILE_SHIFT} AS zfile
+  FROM bx, by_
+)
+SELECT
+  CAST((SELECT count(*) FROM coded
+        WHERE x >= {ZBOX[0]} AND x < {ZBOX[1]}
+          AND y >= {ZBOX[2]} AND y < {ZBOX[3]}) AS BIGINT) AS n_box_rows,
+  CAST((SELECT count(DISTINCT zfile) FROM coded
+        WHERE zfile IN (SELECT zfile FROM cand)) AS BIGINT) AS files_read,
+  CAST((SELECT count(DISTINCT zfile) FROM coded) AS BIGINT) AS files_total,
+  (SELECT count(DISTINCT zfile) FROM coded
+   WHERE zfile IN (SELECT zfile FROM cand))
+    < (SELECT count(DISTINCT zfile) FROM coded) AS zorder_prunes
+""",
+    doc="MATERIALIZED z-order write + REAL file pruning (r8 — closes "
+    "the r6/r7 verdict item: s_zorder_layout_locality proves locality "
+    "on computed file assignments; this query writes the layout and "
+    "measures files actually read). lineitem is written to parquet "
+    "partitioned by its Morton file id (repartition(zfile) first, so "
+    "each z-range directory holds exactly ONE file — the OPTIMIZE "
+    "ZORDER layout on disk). The 2-D probe box is answered by (1) "
+    "enumerating the z-files the box can intersect (bounded driver "
+    "metadata — the z-range decomposition), (2) reading with an "
+    "isin(candidates) filter on the PARTITION column, so Spark's "
+    "partition pruning skips every other directory, and (3) applying "
+    "the residual box predicate. files_read counts DISTINCT "
+    "_metadata.file_path on the pruned scan — files the executors "
+    "actually opened, not a computed assignment — and the oracle "
+    "recomputes it as the candidate z-files that hold >= 1 row "
+    "(1 file per directory by construction). zorder_prunes pins "
+    "files_read < files_total. tests/test_plans.py pins "
+    "PartitionFilters on the read plan.",
+)
+def s_zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{SINK_ROOT}/s_zorder_files"
+    side = 1 << Z_BITS
+    x = (F.col("l_partkey") % side).cast("long")
+    y = (F.col("l_suppkey") % side).cast("long")
+    z = F.expr(
+        _interleave_terms(
+            f"(l_partkey % {side})", f"(l_suppkey % {side})", True
+        )
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            x.alias("x"),
+            y.alias("y"),
+            F.shiftright(z, Z_FILE_SHIFT).alias("zfile"),
+        )
+    )
+    # one file per z-range directory: hash-repartition on the
+    # partition column so each directory is written by one task
+    li.repartition("zfile").write.mode("overwrite").partitionBy(
+        "zfile"
+    ).parquet(path)
+
+    cand = _zbox_candidate_files()  # bounded metadata (<= 4 files here)
+    pruned = spark.read.parquet(path).filter(F.col("zfile").isin(cand))
+    xl, xh, yl, yh = ZBOX
+    box = pruned.filter(
+        (F.col("x") >= xl) & (F.col("x") < xh)
+        & (F.col("y") >= yl) & (F.col("y") < yh)
+    )
+    full = spark.read.parquet(path)
+    return (
+        box.agg(F.count("*").cast("long").alias("n_box_rows"))
+        .crossJoin(
+            pruned.agg(
+                F.countDistinct(F.col("_metadata.file_path"))
+                .cast("long")
+                .alias("files_read")
+            )
+        )
+        .crossJoin(
+            full.agg(
+                F.countDistinct(F.col("_metadata.file_path"))
+                .cast("long")
+                .alias("files_total")
+            )
+        )
+        .select(
+            "n_box_rows",
+            "files_read",
+            "files_total",
+            (F.col("files_read") < F.col("files_total")).alias("zorder_prunes"),
+        )
+    )

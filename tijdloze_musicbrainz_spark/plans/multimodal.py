@@ -687,9 +687,11 @@ def multimodal_bmp_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the decoder must implement chunk walking, multi-IDAT
 # concatenation, CRC verification, inflate, and all five unfilters.
 # The closed-form pixel rule makes the oracle exact-integer SQL, the
-# same playbook as the WAV/BMP decoders above. JPEG remains the single
-# documented stub (decode_jpeg_real): baseline JPEG needs huffman +
-# IDCT — no stdlib path exists, permanently out of scope here.
+# same playbook as the WAV/BMP decoders above. Since r8 baseline JPEG
+# decode is real too (decode_jpeg_real: marker parse, canonical
+# Huffman entropy decode with byte-stuffing + restart markers,
+# dequantization, matrix IDCT) — no codec library, stdlib + numpy
+# only, closing the last decode stub.
 
 PNG_FIXTURE = "/tmp/spark_graft_fixtures/png_fixture.parquet"
 N_PNG = 120
@@ -804,14 +806,504 @@ def write_png_fixture(path: str = PNG_FIXTURE) -> str:
     return path
 
 
+# -- Baseline JPEG (r8 — closes the last decode stub) ------------------------
+#
+# Restricted-but-REAL baseline JFIF: 8-bit greyscale (one component,
+# no subsampling), sequential DCT, one Huffman pair, optional restart
+# markers. The encoder below synthesizes genuine JPEG byte streams;
+# the decoder is a from-scratch baseline decoder (T.81 semantics):
+# marker walk, DQT/DHT/SOF0/DRI/SOS parsing, canonical Huffman decode
+# over the stuffed entropy stream, DC DPCM + AC run/size with
+# EOB/ZRL, zig-zag dequantization, separable matrix IDCT. No codec
+# library — stdlib struct + numpy only.
+#
+# Oracle strategy (what makes a LOSSY codec hash-checkable): the
+# fixture images are built from 8x8-aligned blocks, each a CONSTANT
+# value v with at most ONE AC coefficient injected at the coded
+# level. Entropy coding + dequantization is exactly lossless on the
+# quantized levels, and with q_dc = 8 a constant block's DC level is
+# exactly v - 128 (F(0,0) = 8*(v-128), IDCT of a DC-only block is
+# constant v again) — so block-level integer stats (dequantized
+# DC/AC sums, pixel sums over the AC-free blocks, where AC basis
+# terms are absent rather than merely cancelling) are closed-form
+# for DuckDB in exact integer arithmetic.
+
+JPEG_FIXTURE = "/tmp/spark_graft_fixtures/jpeg_fixture.parquet"
+N_JPEG = 96
+
+
+def _jpeg_params(m: int) -> tuple[int, int]:
+    return 2 + m % 3, 1 + m % 4  # (blocks wide, blocks high)
+
+
+def _jpeg_block_v(m: int, bx: int, by: int) -> int:
+    """Constant pixel value of block (bx, by) — mirrored in the oracle."""
+    return (7 * bx + 13 * by + m) % 256
+
+
+def _jpeg_block_ac(m: int, bx: int, by: int) -> int:
+    """Quantized AC level injected into the block (0 = none)."""
+    if (bx + by + m) % 4 == 0:
+        return (m + bx) % 7 - 3
+    return 0
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """(row, col) pairs in JPEG zig-zag scan order."""
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+        ),
+    )
+
+
+def _canonical_codes(bits: list[int], huffval: list[bytes | int]) -> dict:
+    """symbol -> (code, length) per T.81's canonical construction
+    (code 0 at the shortest length, +1 per symbol, <<1 per length)."""
+    codes = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_table(symbols: set[int]) -> tuple[list[int], list[int], dict]:
+    """Minimal valid DHT: all symbols at one length with slack (the
+    all-ones code stays unused). Returns (bits, huffval, codes)."""
+    syms = sorted(symbols)
+    length = 2
+    while (1 << length) <= len(syms):
+        length += 1
+    bits = [0] * 17
+    bits[length] = len(syms)
+    return bits, syms, _canonical_codes(bits, syms)
+
+
+def _magnitude(x: int) -> tuple[int, int]:
+    """JPEG magnitude category + appended bits for a signed level."""
+    size = abs(x).bit_length()
+    return size, (x if x >= 0 else x + (1 << size) - 1)
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per the standard
+
+
+def write_jpeg_fixture(path: str = JPEG_FIXTURE) -> str:
+    """Deterministic REAL baseline JPEGs (stdlib struct only). Every
+    2nd image carries DRI + restart markers (predictor reset); every
+    3rd splits the DC/AC Huffman tables across two DHT segments.
+    Atomic + idempotent."""
+    import os  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    if os.path.exists(path):
+        return path
+    zz = _zigzag()
+
+    rows = []
+    for m in range(N_JPEG):
+        wb, hb = _jpeg_params(m)
+        z_ac = 1 + m % 5  # zig-zag index of the injected AC coeff
+        qtab = [1] * 64
+        qtab[0] = 8  # DC step 8 => constant-block levels are exact
+
+        # first pass: per-block (dc_level, ac_level), restart layout
+        blocks = [
+            (_jpeg_block_v(m, bx, by) - 128, _jpeg_block_ac(m, bx, by))
+            for by in range(hb)
+            for bx in range(wb)
+        ]
+        restart = 3 if m % 2 == 1 else 0  # MCUs per restart interval
+
+        # collect the symbols each table must carry
+        dc_syms, ac_syms = set(), set()
+        pred = 0
+        for i, (dc, ac) in enumerate(blocks):
+            if restart and i and i % restart == 0:
+                pred = 0
+            size, _ = _magnitude(dc - pred)
+            dc_syms.add(size)
+            pred = dc
+            if ac:
+                ac_syms.add(((z_ac - 1) << 4) | abs(ac).bit_length())
+            ac_syms.add(0x00)  # EOB closes every block here
+        dc_bits, dc_vals, dc_codes = _build_table(dc_syms)
+        ac_bits, ac_vals, ac_codes = _build_table(ac_syms)
+
+        # entropy-coded segment
+        w = _JpegBitWriter()
+        pred = 0
+        rst = 0
+        for i, (dc, ac) in enumerate(blocks):
+            if restart and i and i % restart == 0:
+                w.align()
+                w.buf += bytes((0xFF, 0xD0 + rst % 8))
+                rst += 1
+                pred = 0
+            size, bits_v = _magnitude(dc - pred)
+            pred = dc
+            code, ln = dc_codes[size]
+            w.write(code, ln)
+            if size:
+                w.write(bits_v, size)
+            if ac:
+                a_size, a_bits = _magnitude(ac)
+                code, ln = ac_codes[((z_ac - 1) << 4) | a_size]
+                w.write(code, ln)
+                w.write(a_bits, a_size)
+            code, ln = ac_codes[0x00]  # EOB
+            w.write(code, ln)
+        w.align()
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+        def dht(cls: int, bits: list[int], vals: list[int]) -> bytes:
+            return bytes([cls << 4]) + bytes(bits[1:]) + bytes(vals)
+
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += seg(
+            0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        )  # APP0
+        q_zz = bytes(qtab[r * 8 + c] for r, c in zz)
+        out += seg(0xDB, b"\x00" + q_zz)  # DQT, Pq=0/Tq=0, zig-zag order
+        out += seg(
+            0xC0,
+            struct.pack(">BHHB", 8, hb * 8, wb * 8, 1)
+            + bytes((1, 0x11, 0)),  # id 1, 1x1 sampling, qtable 0
+        )  # SOF0
+        if m % 3 == 0:  # split DHT coverage
+            out += seg(0xC4, dht(0, dc_bits, dc_vals))
+            out += seg(0xC4, dht(1, ac_bits, ac_vals))
+        else:  # combined DHT segment
+            out += seg(
+                0xC4, dht(0, dc_bits, dc_vals) + dht(1, ac_bits, ac_vals)
+            )
+        if restart:
+            out += seg(0xDD, struct.pack(">H", restart))  # DRI
+        out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))  # SOS
+        out += w.buf
+        out += b"\xff\xd9"  # EOI
+        rows.append((m, bytes(out)))
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "payload": pa.array([r[1] for r in rows], type=pa.binary()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy segment; un-stuffs FF00 and
+    surfaces restart markers via expect_rst()."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _next_byte(self) -> int:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte
+                self.pos += 2
+                return 0xFF
+            raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+        self.pos += 1
+        return b
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            self.acc = (self.acc << 8) | self._next_byte()
+            self.n += 8
+        self.n -= nbits
+        out = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def decode(self, codes: dict) -> int:
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = codes.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    def expect_rst(self, k: int) -> None:
+        self.acc, self.n = 0, 0  # discard pad bits (byte align)
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + k % 8
+        ):
+            raise ValueError("missing restart marker")
+        self.pos += 2
+
+
+def _idct_matrix():
+    import numpy as np  # noqa: PLC0415
+
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0, :] *= 1 / np.sqrt(2)
+    return a  # f = A.T @ F @ A
+
+
 def decode_jpeg_real(blob: bytes) -> dict:
-    """The ONE remaining codec stub: baseline JPEG needs huffman
-    decoding + dequantization + inverse DCT — there is no stdlib path,
-    so it stays NotImplementedError by design (documented in
-    SURVEY/SCALE). PNG/BMP/WAV decode are real (see above)."""
-    raise NotImplementedError(
-        "JPEG decode requires a DCT codec library not present in this "
-        "container; PNG (zlib), BMP and WAV decode are implemented for real"
+    """REAL baseline JPEG decode (greyscale, 1x1 sampling): marker
+    walk, general BITS/HUFFVAL canonical Huffman tables, DC DPCM +
+    AC run/size with EOB and ZRL, byte-unstuffing, restart handling,
+    zig-zag dequantization, matrix IDCT. Returns block-level integer
+    stats (the oracle-checkable surface of a lossy codec — see the
+    section comment)."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    zz = _zigzag()
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, dest) -> {(code,len): sym}
+    width = height = None
+    restart = 0
+    pos = 2
+    while True:
+        if blob[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI (only reached if no SOS)
+            raise ValueError("no scan data before EOI")
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        body = blob[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq_tq = body[o]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                q_zz = list(body[o + 1 : o + 65])
+                q = [0] * 64
+                for i, (r, c) in enumerate(zz):
+                    q[r * 8 + c] = q_zz[i]
+                qtabs[pq_tq & 15] = q
+                o += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, n_comp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or n_comp != 1:
+                raise ValueError("only 8-bit greyscale baseline supported")
+            # component spec: id @6, H/V sampling @7, quant dest @8
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            q_dest = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc_th = body[o]
+                bits = [0] + list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                huff[(tc_th >> 4, tc_th & 15)] = {
+                    (c, ln): s for s, (c, ln) in codes.items()
+                }
+                o += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if body[0] != 1:
+                raise ValueError("one-component scan expected")
+            td, ta = body[2] >> 4, body[2] & 15
+            break
+        # APPn / COM / anything else: skipped via its length
+
+    if width is None:
+        raise ValueError("missing SOF0")
+    dc_codes, ac_codes = huff[(0, td)], huff[(1, ta)]
+    q = qtabs[q_dest]
+    wb, hb = (width + 7) // 8, (height + 7) // 8
+    a_mat = _idct_matrix()
+
+    def extend(v: int, size: int) -> int:
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    rdr = _JpegBitReader(blob, pos)
+    pred, rst = 0, 0
+    n_ac_blocks = 0
+    sum_dc = sum_ac = sum_pix_dc_blocks = 0
+    for i in range(wb * hb):
+        if restart and i and i % restart == 0:
+            rdr.expect_rst(rst)
+            rst += 1
+            pred = 0
+        coef = np.zeros(64, dtype=np.int64)  # zig-zag order
+        size = rdr.decode(dc_codes)
+        diff = extend(rdr.read(size), size) if size else 0
+        pred += diff
+        coef[0] = pred * q[0]
+        k = 1
+        while k <= 63:
+            sym = rdr.decode(ac_codes)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            k += sym >> 4
+            s = sym & 15
+            coef[k] = extend(rdr.read(s), s) * q[zz[k][0] * 8 + zz[k][1]]
+            k += 1
+        f_blk = np.zeros((8, 8), dtype=np.float64)
+        for idx, (r, c) in enumerate(zz):
+            f_blk[r, c] = coef[idx]
+        pix = np.clip(
+            np.round(a_mat.T @ f_blk @ a_mat) + 128, 0, 255
+        ).astype(np.int64)
+        has_ac = bool((coef[1:] != 0).any())
+        n_ac_blocks += int(has_ac)
+        sum_dc += int(coef[0])
+        sum_ac += int(coef[1:].sum())
+        if not has_ac:
+            sum_pix_dc_blocks += int(pix.sum())
+    return {
+        "width": width,
+        "height": height,
+        "n_blocks": wb * hb,
+        "n_ac_blocks": n_ac_blocks,
+        "sum_dc_coef": sum_dc,
+        "sum_ac_coef": sum_ac,
+        "sum_pix_dc_blocks": sum_pix_dc_blocks,
+    }
+
+
+@register(
+    "multimodal_jpeg_decode_real",
+    survey_ids=(),
+    oracle=f"""
+WITH m AS (SELECT unnest(range(0, {N_JPEG})) AS media_id),
+p AS (
+  SELECT media_id, 2 + media_id % 3 AS wb, 1 + media_id % 4 AS hb FROM m
+),
+bxs AS (
+  SELECT media_id, wb, hb, unnest(range(0, wb)) AS bx FROM p
+),
+blocks AS (
+  SELECT media_id, wb, hb, bx, unnest(range(0, hb)) AS by FROM bxs
+),
+lv AS (
+  SELECT media_id, wb, hb,
+         (7 * bx + 13 * by + media_id) % 256 AS v,
+         CASE WHEN (bx + by + media_id) % 4 = 0
+              THEN (media_id + bx) % 7 - 3 ELSE 0 END AS a
+  FROM blocks
+)
+SELECT media_id,
+       CAST(any_value(wb) * 8 AS BIGINT) AS width,
+       CAST(any_value(hb) * 8 AS BIGINT) AS height,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN a <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ac_blocks,
+       CAST(sum(8 * (v - 128)) AS BIGINT) AS sum_dc_coef,
+       CAST(sum(a) AS BIGINT) AS sum_ac_coef,
+       CAST(sum(CASE WHEN a = 0 THEN 64 * v ELSE 0 END) AS BIGINT)
+         AS sum_pix_dc_blocks
+FROM lv
+GROUP BY media_id
+""",
+    doc="REAL baseline JPEG decode (r8 — closes the LAST codec stub, "
+    "r6/r7 verdict item): genuine JFIF byte streams (SOI/APP0/DQT/"
+    "SOF0/DHT/DRI/SOS, canonical Huffman tables, byte-stuffed entropy "
+    "segment, restart markers on every 2nd file, split DHT segments "
+    "on every 3rd) decoded from scratch inside mapInPandas — marker "
+    "walk, BITS/HUFFVAL canonical Huffman decode, DC DPCM + AC "
+    "run/size with EOB, zig-zag dequantization, separable matrix "
+    "IDCT. The fixture makes lossy JPEG hash-checkable: blocks are "
+    "constant-valued with at most one injected AC level, q_dc=8 makes "
+    "constant-block DC levels exact integers, so dequantized "
+    "coefficient sums and AC-free-block pixel sums are closed-form "
+    "for DuckDB in exact integer arithmetic. A decoder with a wrong "
+    "predictor reset, bad magnitude extend, off-by-one zig-zag, or "
+    "broken un-stuffing hash-mismatches immediately.",
+)
+def multimodal_jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_jpeg_fixture()
+    media = spark.read.parquet(path).select("media_id", "payload")
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg_real(bytes(blob))
+                out.append(
+                    (
+                        media_id,
+                        d["width"],
+                        d["height"],
+                        d["n_blocks"],
+                        d["n_ac_blocks"],
+                        d["sum_dc_coef"],
+                        d["sum_ac_coef"],
+                        d["sum_pix_dc_blocks"],
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_blocks",
+                    "n_ac_blocks", "sum_dc_coef", "sum_ac_coef",
+                    "sum_pix_dc_blocks",
+                ],
+            )
+
+    return media.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        decode,
+        "media_id bigint, width bigint, height bigint, n_blocks bigint, "
+        "n_ac_blocks bigint, sum_dc_coef bigint, sum_ac_coef bigint, "
+        "sum_pix_dc_blocks bigint",
     )
 
 

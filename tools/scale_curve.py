@@ -96,6 +96,26 @@ QUERIES = (
         "broadcast + min_by canonical selection; replica key strides "
         "keep recording ids collision-free (suppkey < 10M invariant)",
     ),
+    # r8 (VERDICT r7 #5): the two shapes whose exponents were asserted
+    # in prose but never measured.
+    (
+        "dedup_exact_substring_bpe_trained",
+        None,
+        True,
+        "BPE train (fixed R merge rounds, each a pair-count shuffle "
+        "linear in token volume) + trained-token ExactSubstr (gram-"
+        "index equi-join): replica-salted tokens keep cross-replica "
+        "grams distinct, so index fan-out stays m-linear",
+    ),
+    (
+        "graph_triangle_count",
+        None,
+        True,
+        "degree-oriented wedge join over the co-purchase projection: "
+        "replica key strides keep the m-times graph m disjoint copies "
+        "(edges, wedges, triangles all exactly m-linear); per-order "
+        "fan-out bounded at <=21 pairs regardless of m",
+    ),
     (
         "sim_near_dup_lsh_bucketed",
         4,
