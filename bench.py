@@ -80,6 +80,12 @@ HEADLINERS = [
     # r6: tokenizer training + trained-token ExactSubstr composed —
     # the heaviest text-tier DAG (3 pair-count shuffles + gram index)
     "dedup_exact_substring_bpe_trained",
+    # r8: the degree-oriented wedge join (heaviest graph shape), the
+    # real JPEG decode (Arrow/Python codec tier), and the materialized
+    # z-order write+prune roundtrip
+    "graph_triangle_count",
+    "multimodal_jpeg_decode_real",
+    "s_zorder_write_prune",
 ]
 
 # Committed per-query snapshot: the best of all prior driver rounds
