@@ -522,12 +522,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = (
-        pairs.select(F.col("u").alias("s"))
-        .union(pairs.select("v"))
-        .distinct()
-        .agg(F.count("*").cast("long").alias("n_nodes"))
-    )
     oriented = orient_by_degree(pairs)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -547,17 +541,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").cast("long").alias("d"))
     )
+    # nodes/edges/wedges ALL come from one pass over the degree table
+    # (r8: the earlier plan re-derived `pairs` in four sibling
+    # sub-trees — union-distinct for nodes, a count for edges, the
+    # degree agg, and the wedge fold; n_nodes = |deg|, n_edges =
+    # sum(d)/2 exactly, so one aggregate replaces three pair scans).
     # d*(d-1) is always even, so integer division is exact; staying in
     # int64 on BOTH engines keeps the hash contract independent of the
     # 2^53 float-precision cliff (r6 ADVICE)
-    wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    stats = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
     )
-    n_edges = pairs.agg(F.count("*").cast("long").alias("n_edges"))
     return (
-        nodes.crossJoin(n_edges)
-        .crossJoin(tri)
-        .crossJoin(wedges)
+        stats.crossJoin(tri)
         .select(
             "n_nodes",
             "n_edges",
