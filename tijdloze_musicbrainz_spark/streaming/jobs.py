@@ -370,11 +370,11 @@ SELECT DISTINCT user_id, event_type FROM events
     "(user_id, event_type) and suppresses the rest across "
     "micro-batches. Only the key columns are emitted because "
     "first-arrival is a partition race for the non-key columns; the "
-    "key SET is deterministic and equals batch DISTINCT. At scale "
-    "the unbounded dedup state is swapped for "
-    "dropDuplicatesWithinWatermark, which evicts keys once the "
-    "watermark passes them (exactly how a dedup-at-ingest job is "
-    "bounded in production).",
+    "key SET is deterministic and equals batch DISTINCT. NOTE: with "
+    "the event-time column absent from the dedup keys this state is "
+    "UNBOUNDED (the watermark never evicts it) — the exact-global "
+    "semantics. The bounded scale path is "
+    "streaming_dedup_within_watermark below.",
 )
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
@@ -383,6 +383,36 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_memory(deduped, output_mode="append")
     return out.select("user_id", "event_type")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    survey_ids=("S8",),
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc="BOUNDED-STATE streaming dedup (r8 — the scale path the "
+    "streaming_dedup_keys doc promised): dropDuplicatesWithinWatermark "
+    "holds a key's state only until the watermark passes its first "
+    "arrival + delay, so dedup-at-ingest state is O(keys per "
+    "watermark window), not O(all keys ever) — the difference between "
+    "a bounded state store and an OOM at 100 TB/day. Contract: exact "
+    "dedup for duplicates arriving within the delay; a duplicate "
+    "arriving after its key's state was evicted is re-emitted "
+    "(tests/test_streaming.py proves the eviction with a 4-micro-"
+    "batch replay). On this single-drain source the watermark never "
+    "overtakes any key mid-run, so the emitted key set equals batch "
+    "DISTINCT and the oracle is exact.",
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stream = stream_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_stream_to_memory(deduped, output_mode="append")
+    return out.select("user_id", "event_type").distinct()
 
 
 @register(
