@@ -137,3 +137,29 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         | (F.col("q_l1") > 127 * 64)  # 64-dim, |q_i| <= 127
     ).count()
     assert bad == 0
+
+
+def test_bpe_rounds_use_reliable_checkpoint_when_configured(spark, sf_dir):
+    """r8: with a reliable checkpoint dir configured, the BPE merge
+    chain checkpoints rounds to shared storage (loss-proof on a real
+    cluster); without one it falls back to localCheckpoint. Results
+    must be identical either way."""
+    import os
+    import tempfile
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    build = REGISTRY["text_bpe_train_merges"].builder
+    local = {tuple(r) for r in build(spark, sf_dir).collect()}
+
+    ckpt = tempfile.mkdtemp(prefix="bpe_ckpt_")
+    sc = spark.sparkContext
+    try:
+        sc.setCheckpointDir(ckpt)
+        reliable = {tuple(r) for r in build(spark, sf_dir).collect()}
+        # the reliable dir was actually used
+        written = any(os.scandir(ckpt))
+        assert written, "no checkpoint data written to the reliable dir"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # restore local-checkpoint mode
+    assert reliable == local

@@ -1640,18 +1640,32 @@ aggregate(tk,
                 F.col("wcnt").alias("pair_count"),
             )
         )
-        docs = (
+        docs = _round_checkpoint(
             docs.crossJoin(F.broadcast(winner))
             .select("doc_id", merge_fold.alias("tk"))
-            # EAGER checkpoint per round (r6, measured 6.6 -> 4.7 s at
-            # sf0.1 for the composed spans query): the lazy chain made
-            # every downstream action re-evaluate ALL prior rounds'
-            # interpreted merge folds (O(R^2) fold evaluations); the
-            # checkpoint caps it at O(R). eager=True per the r5 lesson
-            # — a lazy localCheckpoint still recomputes on first use.
-            .localCheckpoint(eager=True)
         )
     return winners, docs
+
+
+def _round_checkpoint(df: DataFrame) -> DataFrame:
+    """EAGER checkpoint per BPE round (r6, measured 6.6 -> 4.7 s at
+    sf0.1 for the composed spans query): the lazy chain made every
+    downstream action re-evaluate ALL prior rounds' interpreted merge
+    folds (O(R^2) fold evaluations); the checkpoint caps it at O(R).
+    eager=True per the r5 lesson — a lazy localCheckpoint still
+    recomputes on first use.
+
+    Executor-loss semantics (r8, SCALE.md): localCheckpoint blocks
+    live on executor-local storage — on a real cluster an executor
+    loss triggers recompute of prior rounds, never failure. When a
+    RELIABLE checkpoint dir is configured
+    (``sc.setCheckpointDir(...)``), rounds checkpoint to shared
+    storage instead: loss-proof blocks at the cost of one distributed
+    write per round."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 @register(
