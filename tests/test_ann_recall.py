@@ -90,3 +90,26 @@ def test_tight_planes_fixture_matches_generator():
     t = pq.read_table(TIGHT_PLANES_FIXTURE)
     assert t.column("p").to_pylist() == list(range(192))
     assert t.column("w").to_pylist() == _planes_tight()
+
+
+def test_kmeans_iteration_conserves_and_reassigns(spark, sf_dir):
+    """The iterated Lloyd query's invariants: both rounds partition
+    the full corpus (totals conserved), n_stayed <= min(n_r1, n_r2)
+    per cluster, and the second round actually reassigns against the
+    UPDATED centroids (cluster sizes change somewhere — on real data
+    the seed partition is never already a fixed point)."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.plans.similarity import _vecs
+
+    out = REGISTRY["ml_kmeans_lloyd_iterated"].builder(spark, sf_dir)
+    rows = out.collect()
+    n = _vecs(spark, sf_dir).count()
+    assert sum(r.n_r1 for r in rows) == n
+    assert sum(r.n_r2 for r in rows) == n
+    assert all(r.n_stayed <= min(r.n_r1, r.n_r2) for r in rows)
+    assert any(r.n_r1 != r.n_r2 for r in rows)
+    # most vectors keep their cluster after one refinement round —
+    # Lloyd moves boundaries, it does not reshuffle the space
+    assert sum(r.n_stayed for r in rows) > n // 2

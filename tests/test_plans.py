@@ -22,6 +22,7 @@ ALLOWED_NESTED_LOOP = {
     "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
+    "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF
     # Scalar-threshold joins: a ONE-ROW aggregate broadcast against the
     # fact side with an inequality filter (TPC-H q11/q22 shape). The

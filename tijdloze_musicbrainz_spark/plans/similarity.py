@@ -867,6 +867,141 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos_null_safe_sql(a: str, b: str) -> str:
+    """Null-safe cosine between two DOUBLE[] expressions (zero norm ->
+    NULL, matching Spark's nullif guard — NOT list_cosine_similarity,
+    whose NaN would sort GREATER than every real similarity)."""
+    return (
+        f"(list_dot_product({a}, {b}) / nullif("
+        f"sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
+        f", 0))"
+    )
+
+
+_KMEANS_ITER_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+c1 AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0),
+a1 AS (
+  SELECT v.vec_id, v.v, c1.cent_id
+  FROM v CROSS JOIN c1
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY round({_cos_null_safe_sql('v.v', 'c1.cv')}, 6) DESC,
+             c1.cent_id) = 1
+),
+comp AS (
+  SELECT cent_id, generate_subscripts(v, 1) AS pos,
+         CAST(unnest(v) AS DECIMAL(25,12)) AS x
+  FROM a1
+),
+upd AS (
+  SELECT cent_id, pos, round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS c
+  FROM comp GROUP BY cent_id, pos
+),
+c2 AS (SELECT cent_id, list(c ORDER BY pos) AS cv FROM upd GROUP BY cent_id),
+a2 AS (
+  SELECT v.vec_id, c2.cent_id
+  FROM v CROSS JOIN c2
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY round({_cos_null_safe_sql('v.v', 'c2.cv')}, 6) DESC,
+             c2.cent_id) = 1
+),
+j AS (
+  SELECT a1.vec_id, a1.cent_id AS ca, a2.cent_id AS cb
+  FROM a1 JOIN a2 USING (vec_id)
+),
+g1 AS (
+  SELECT ca AS cent_id, CAST(count(*) AS BIGINT) AS n_r1,
+         CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed
+  FROM j GROUP BY ca
+),
+g2 AS (SELECT cb AS cent_id, CAST(count(*) AS BIGINT) AS n_r2 FROM j GROUP BY cb)
+SELECT cent_id,
+       coalesce(n_r1, 0) AS n_r1,
+       coalesce(n_r2, 0) AS n_r2,
+       coalesce(n_stayed, 0) AS n_stayed
+FROM g1 FULL JOIN g2 USING (cent_id)
+"""
+
+
+@register(
+    "ml_kmeans_lloyd_iterated",
+    survey_ids=(),
+    oracle=_KMEANS_ITER_ORACLE,
+    doc="TWO chained Lloyd iterations (r8 — the 'iterate by feeding "
+    "the output back' loop the single-step query documents, actually "
+    "closed): assign against the deterministic seeds, rebuild the "
+    "centroids with DECIMAL-exact per-dimension means (rounded to 6 "
+    "dp so both engines hold IDENTICAL centroid arrays), re-assign "
+    "against the updated centroids, and report per-cluster membership "
+    "of both rounds plus how many vectors stayed — the reassignment "
+    "dynamics that make the trained IVF coarse quantizer balanced. "
+    "Each round is one broadcast of the k x 64 centroid matrix + one "
+    "corpus pass + one combinable (cent_id, dim) aggregate; lineage "
+    "stays flat, so R rounds are R jobs at any scale. Cosines use the "
+    "null-safe form in BOTH engines (a zero-norm side joins no "
+    "cluster deterministically, never a NaN sort poison).",
+)
+def ml_kmeans_lloyd_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vecs.join(F.broadcast(cents)).select(
+            "vec_id",
+            "v",
+            "cent_id",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("__sim"), F.asc("cent_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 1)
+            .select("vec_id", "v", "cent_id")
+        )
+
+    a1 = assign(seeds)
+    comp = a1.select("cent_id", F.posexplode("v").alias("pos", "x")).select(
+        "cent_id", "pos", F.col("x").cast("decimal(25,12)").alias("x")
+    )
+    upd = comp.groupBy("cent_id", "pos").agg(
+        F.round(F.sum("x").cast("double") / F.count("*"), 6).alias("c")
+    )
+    cents2 = upd.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    a2 = assign(cents2)
+    both = a1.select("vec_id", F.col("cent_id").alias("ca")).join(
+        a2.select("vec_id", F.col("cent_id").alias("cb")), "vec_id"
+    )
+    g1 = both.groupBy(F.col("ca").alias("cent_id")).agg(
+        F.count("*").cast("long").alias("n_r1"),
+        F.sum((F.col("ca") == F.col("cb")).cast("long"))
+        .cast("long")
+        .alias("n_stayed"),
+    )
+    g2 = both.groupBy(F.col("cb").alias("cent_id")).agg(
+        F.count("*").cast("long").alias("n_r2")
+    )
+    return g1.join(g2, "cent_id", "full").select(
+        "cent_id",
+        F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r1"),
+        F.coalesce("n_r2", F.lit(0)).cast("long").alias("n_r2"),
+        F.coalesce("n_stayed", F.lit(0)).cast("long").alias("n_stayed"),
+    )
+
+
 NEAR_DUP_THRESHOLD = 0.45
 
 # Guard for the 0.45-threshold demo LSH (r6, VERDICT item 2): the
