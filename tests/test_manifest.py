@@ -392,3 +392,100 @@ def test_upsert_over_cdc_written_table(spark, tmp_path_factory):
         "seq",
     )
     assert (3, 9, 999) in _rows(spark, table)
+
+
+def test_merge_with_retry_survives_a_lost_race(spark, tmp_path_factory, monkeypatch):
+    """r8: the optimistic-concurrency retry loop. A merge that read a
+    STALE snapshot loses the commit race (CommitConflict); the retry
+    re-reads the winner's snapshot and merges over it — the final
+    table holds BOTH writers' effects, no lost updates."""
+    import tijdloze_musicbrainz_spark.operators.manifest as m
+
+    table = str(tmp_path_factory.mktemp("manifest_retry") / "t")
+    base = spark.range(20).selectExpr("id as k", "1L as seq", "id as v")
+    merge_upsert_manifest(base, table, ["k"], "seq")  # v0
+    # the "winner": a second writer commits v1 first
+    merge_upsert_manifest(
+        spark.createDataFrame([(5, 2, 555)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert current_version(table) == 1
+
+    # make the NEXT merge read a stale snapshot (as if it had started
+    # before the winner committed), then see reality on retry
+    real_cv = m.current_version
+    calls = {"n": 0}
+
+    def stale_once(t):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_cv(t)
+
+    monkeypatch.setattr(m, "current_version", stale_once)
+    touched = m.merge_with_retry(
+        m.merge_upsert_manifest,
+        spark.createDataFrame([(3, 3, 333)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )
+    assert touched  # the retry committed
+    now = _rows(spark, table)
+    assert (3, 3, 333) in now  # loser's batch landed
+    assert (5, 2, 555) in now  # winner's update NOT clobbered
+    assert len(now) == 20
+
+
+def test_merge_with_retry_gives_up_after_max(spark, tmp_path_factory, monkeypatch):
+    import tijdloze_musicbrainz_spark.operators.manifest as m
+
+    table = str(tmp_path_factory.mktemp("manifest_retry2") / "t")
+    merge_upsert_manifest(
+        spark.range(5).selectExpr("id as k", "1L as seq", "id as v"),
+        table,
+        ["k"],
+        "seq",
+    )
+    monkeypatch.setattr(m, "current_version", lambda t: 0)
+    # real version is 0, but every commit of v1 collides with itself
+    # after the first orphaned attempt? force it simpler: always raise
+    def always_conflict(*a, **k):
+        raise m.CommitConflict("forced")
+
+    with pytest.raises(m.CommitConflict):
+        m.merge_with_retry(
+            always_conflict,
+            spark.range(1).selectExpr("id as k", "1L as seq", "id as v"),
+            table,
+            ["k"],
+            "seq",
+            max_retries=2,
+        )
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path_factory):
+    """r8: the change-data-feed reader over retained manifests —
+    insert/update/delete between two committed versions, unchanged
+    keys absent."""
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        merge_cdc_manifest,
+        snapshot_diff,
+    )
+
+    table = str(tmp_path_factory.mktemp("manifest_cdf") / "t")
+    base = spark.range(10).selectExpr("id as k", "1L as seq", "id as v", "'I' as op")
+    merge_cdc_manifest(base, table, ["k"], "seq")  # v0
+    changes = spark.createDataFrame(
+        [(3, 5, 0, "D"), (5, 2, 555, "U"), (100, 2, 42, "I")],
+        "k long, seq long, v long, op string",
+    )
+    merge_cdc_manifest(changes, table, ["k"], "seq")  # v1
+
+    diff = snapshot_diff(spark, table, 0, 1, ["k"])
+    got = {(r.k, r.change_type) for r in diff.collect()}
+    assert got == {(3, "delete"), (5, "update"), (100, "insert")}
+    upd = {r.k: (r.seq, r.v) for r in diff.collect() if r.change_type == "update"}
+    assert upd[5] == (2, 555)  # row as of v_to
+    # self-diff is empty
+    assert snapshot_diff(spark, table, 1, 1, ["k"]).count() == 0

@@ -305,6 +305,93 @@ def merge_cdc_manifest(
     return touched
 
 
+def merge_with_retry(
+    merge_fn,
+    batch_df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    priority_col: str,
+    max_retries: int = 5,
+    **kwargs,
+) -> list[int]:
+    """Optimistic-concurrency retry loop — the workflow CommitConflict
+    documents ('re-read the new snapshot and retry'), packaged (r8).
+
+    ``merge_fn`` is merge_upsert_manifest or merge_cdc_manifest. On a
+    conflict the loser simply re-runs the merge: it re-reads
+    current_version (now the winner's commit), merges its batch over
+    the WINNER's files, and attempts the next version. Last-writer-
+    wins dedup makes the retried merge semantically identical to
+    having arrived second — no lost updates, no double-applies
+    (immutable inputs, deterministic dedup). Raises the final
+    CommitConflict after ``max_retries`` losses (persistent
+    contention is a scheduling problem, not a retry-harder problem).
+    """
+    last: CommitConflict | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return merge_fn(batch_df, table, keys, priority_col, **kwargs)
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    v_from: int,
+    v_to: int,
+    keys: Sequence[str],
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed snapshots (r8): the
+    Delta `table_changes` analog the manifest's retained versions make
+    free. Returns one row per key whose presence/content changed, with
+    ``change_type`` in {'insert', 'delete', 'update'}, the full row as it
+    exists in ``v_to`` (NULLs for deletes) and nothing for unchanged
+    keys. Comparison is a full outer join on the keys with a
+    null-safe struct equality over the non-key columns — one shuffle
+    per side, linear in snapshot size; at 100 TB you diff the touched
+    buckets only (same pruning as the merge path) but the semantics
+    are these."""
+    old = read_table(spark, table, version=v_from)
+    new = read_table(spark, table, version=v_to)
+    if old is None and new is None:
+        raise ValueError(f"{table}: neither version has commits")
+    empty_like = lambda d: d.limit(0)  # noqa: E731
+    if old is None:
+        old = empty_like(new)
+    if new is None:
+        new = empty_like(old)
+    key_list = list(keys)
+    val_cols = [c for c in new.columns if c not in key_list]
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_list],
+        F.struct(*val_cols).alias("__oval"),
+    )
+    n = new.select(
+        *key_list, F.struct(*val_cols).alias("__nval"), F.lit(1).alias("__np")
+    )
+    cond = [o[f"__ok_{k}"].eqNullSafe(n[k]) for k in key_list]
+    j = o.join(n, cond, "full")
+    change = (
+        F.when(F.col("__oval").isNull(), F.lit("insert"))
+        .when(F.col("__np").isNull(), F.lit("delete"))
+        .when(~F.col("__oval").eqNullSafe(F.col("__nval")), F.lit("update"))
+    )
+    out_keys = [
+        F.coalesce(n[k], o[f"__ok_{k}"]).alias(k) for k in key_list
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *out_keys,
+            *[F.col("__nval")[c].alias(c) for c in val_cols],
+            "change_type",
+        )
+    )
+
+
 def compact(table: str, spark: SparkSession) -> int:
     """OPTIMIZE analog: rewrite each bucket's file list into ONE
     coalesced file set and commit — readers of older versions are
