@@ -905,3 +905,98 @@ def etl_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_orderdate").over(w2).alias("valid_to"),
         F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
     )
+
+
+@register(
+    "s7_snapshot_diff_cdf",
+    survey_ids=("S7", "A10"),
+    oracle="""
+WITH deletes AS (
+  SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice,
+         CAST(NULL AS BIGINT) AS seq, 'delete' AS change_type
+  FROM orders WHERE o_orderkey % 8 = 0
+),
+updates AS (
+  SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice,
+         CAST(2 AS BIGINT) AS seq, 'update' AS change_type
+  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 8 <> 0
+),
+inserts AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+         CAST(2 AS BIGINT) AS seq, 'insert' AS change_type
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 = 0
+)
+SELECT * FROM deletes
+UNION ALL SELECT * FROM updates
+UNION ALL SELECT * FROM inserts
+""",
+    doc="CHANGE DATA FEED between committed snapshots (r8): version 0 "
+    "inserts the even orderkeys, version 1 applies a CDC batch "
+    "(delete every 8th key, double every other 4th key's price, "
+    "insert the odd multiples of 5), and operators.manifest."
+    "snapshot_diff reads the per-key change set between the two "
+    "retained versions — insert/update/delete classification with "
+    "the row as of v_to (NULLs for deletes), unchanged keys absent. "
+    "The oracle derives the expected change set directly from the "
+    "change-generation rules, so the diff reader is checked against "
+    "first principles, not against itself. This is the Delta "
+    "table_changes / CDF surface on the manifest tier: downstream "
+    "incremental consumers read only what changed, never rescan the "
+    "snapshot.",
+)
+def s7_snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    from ..operators.manifest import (  # noqa: PLC0415
+        merge_cdc_manifest,
+        snapshot_diff,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = f"{SINK_ROOT}/s7_cdf_{tag}"
+    shutil.rmtree(table, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    merge_cdc_manifest(base, table, ["o_orderkey"], "seq")  # v0
+    changes = (
+        orders.filter(F.col("o_orderkey") % 8 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(0.0).alias("o_totalprice"),
+            F.lit(2).cast("long").alias("seq"),
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 4 == 0) & (F.col("o_orderkey") % 8 != 0)
+            ).select(
+                "o_orderkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 5 == 0)
+            ).select(
+                "o_orderkey",
+                "o_totalprice",
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    merge_cdc_manifest(changes, table, ["o_orderkey"], "seq")  # v1
+    diff = snapshot_diff(spark, table, 0, 1, ["o_orderkey"])
+    return diff.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "seq",
+        "change_type",
+    )
