@@ -297,10 +297,16 @@ SELECT
           AND y >= {ZBOX[2]} AND y < {ZBOX[3]}) AS BIGINT) AS n_box_rows,
   CAST((SELECT count(DISTINCT zfile) FROM coded
         WHERE zfile IN (SELECT zfile FROM cand)) AS BIGINT) AS files_read,
-  CAST((SELECT count(DISTINCT zfile) FROM coded) AS BIGINT) AS files_total,
+  -- rows with a NULL coordinate land in the hive DEFAULT partition:
+  -- one more REAL file on disk, outside every candidate set
+  CAST((SELECT count(DISTINCT zfile)
+               + max(CASE WHEN zfile IS NULL THEN 1 ELSE 0 END)
+        FROM coded) AS BIGINT) AS files_total,
   (SELECT count(DISTINCT zfile) FROM coded
    WHERE zfile IN (SELECT zfile FROM cand))
-    < (SELECT count(DISTINCT zfile) FROM coded) AS zorder_prunes
+    < (SELECT count(DISTINCT zfile)
+              + max(CASE WHEN zfile IS NULL THEN 1 ELSE 0 END)
+       FROM coded) AS zorder_prunes
 """,
     doc="MATERIALIZED z-order write + REAL file pruning (r8 — closes "
     "the r6/r7 verdict item: s_zorder_layout_locality proves locality "
