@@ -494,8 +494,9 @@ GROUP BY media_id
     "BITMAPINFOHEADER, per-channel pixel sums from the BGR payload "
     "with bottom-up row order and 4-byte row padding handled (the two "
     "classic BMP-parsing bugs; either would hash-mismatch the "
-    "closed-form oracle). PNG decode is also real since r6 "
-    "(multimodal_png_decode_real); JPEG is the one remaining stub.",
+    "closed-form oracle). PNG decode is real since r6 "
+    "(multimodal_png_decode_real) and baseline JPEG since r8 "
+    "(multimodal_jpeg_decode_real) — no codec stubs remain.",
 )
 def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = write_media_fixture()
@@ -1452,3 +1453,83 @@ def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width bigint, height bigint, filters_used bigint, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+# -- Composed media scorecard (r8) -------------------------------------------
+
+def _media_scorecard_oracle() -> str:
+    """The scorecard oracle REUSES the four decoders' own closed-form
+    oracles as CTEs (single source of truth for the generation rules)
+    and aggregates them per media kind."""
+    from .registry import REGISTRY  # noqa: PLC0415
+
+    o = {k: REGISTRY[f"multimodal_{k}_decode_real"].oracle for k in
+         ("wav", "bmp", "png", "jpeg")}
+    return f"""
+WITH wav AS ({o['wav']}),
+bmp AS ({o['bmp']}),
+png AS ({o['png']}),
+jpeg AS ({o['jpeg']})
+SELECT 'bmp' AS kind, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(width * height) AS BIGINT) AS total_units,
+       CAST(sum(sum_r + sum_g + sum_b) AS BIGINT) AS signal_sum
+FROM bmp
+UNION ALL
+SELECT 'jpeg', CAST(count(*) AS BIGINT),
+       CAST(sum(width * height) AS BIGINT),
+       CAST(sum(sum_pix_dc_blocks) AS BIGINT)
+FROM jpeg
+UNION ALL
+SELECT 'png', CAST(count(*) AS BIGINT),
+       CAST(sum(width * height) AS BIGINT),
+       CAST(sum(sum_r + sum_g + sum_b) AS BIGINT)
+FROM png
+UNION ALL
+SELECT 'wav', CAST(count(*) AS BIGINT),
+       CAST(sum(n_samples) AS BIGINT),
+       CAST(sum(sample_sum) AS BIGINT)
+FROM wav
+"""
+
+
+@register(
+    "multimodal_media_scorecard",
+    survey_ids=(),
+    oracle=_media_scorecard_oracle(),
+    doc="COMPOSED media-curation scorecard (r8): all four REAL "
+    "decoders — RIFF/WAVE PCM16, 24-bit BMP, PNG (zlib inflate + "
+    "unfilter), baseline JPEG (Huffman + IDCT) — run in one job and "
+    "roll up to per-kind corpus stats (file count, decoded units, "
+    "signal sum). This is the shape of a media-ingest quality gate at "
+    "100 TB: each tier is an independent Arrow-batched decode lane "
+    "over its binary column, the rollups are single-row aggregates, "
+    "and the union is free. The oracle REUSES each decoder's "
+    "closed-form generation oracle as a CTE, so the composition is "
+    "checked by the same first-principles rules as the tiers.",
+)
+def multimodal_media_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wav = multimodal_wav_decode_real(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_samples").cast("long").alias("total_units"),
+        F.sum("sample_sum").cast("long").alias("signal_sum"),
+    ).select(F.lit("wav").alias("kind"), "n_files", "total_units", "signal_sum")
+    bmp = multimodal_bmp_decode_real(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.col("width") * F.col("height")).cast("long").alias("total_units"),
+        F.sum(F.col("sum_r") + F.col("sum_g") + F.col("sum_b"))
+        .cast("long")
+        .alias("signal_sum"),
+    ).select(F.lit("bmp").alias("kind"), "n_files", "total_units", "signal_sum")
+    png = multimodal_png_decode_real(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.col("width") * F.col("height")).cast("long").alias("total_units"),
+        F.sum(F.col("sum_r") + F.col("sum_g") + F.col("sum_b"))
+        .cast("long")
+        .alias("signal_sum"),
+    ).select(F.lit("png").alias("kind"), "n_files", "total_units", "signal_sum")
+    jpeg = multimodal_jpeg_decode_real(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.col("width") * F.col("height")).cast("long").alias("total_units"),
+        F.sum("sum_pix_dc_blocks").cast("long").alias("signal_sum"),
+    ).select(F.lit("jpeg").alias("kind"), "n_files", "total_units", "signal_sum")
+    return wav.unionByName(bmp).unionByName(png).unionByName(jpeg)
