@@ -45,6 +45,14 @@ AUDITED = {
         "shape as fuzzy_two_phase_search. Input is the real reference "
         "CSV (sf-independent), read with column pruning per branch."
     ),
+    "graph_triangle_count": (
+        "Audit (r8): degree-oriented wedge join — every edge points "
+        "from its lower-(degree, id) endpoint, bounding per-node join "
+        "fan-out by sqrt(2E) under ANY hub; node/edge/wedge counts "
+        "come from ONE degree-table aggregate (n_nodes = |deg|, "
+        "n_edges = sum(d)/2, wedges = sum d(d-1)/2) instead of three "
+        "extra pair-list derivations."
+    ),
     "events_sessionize": (
         "Audit: the session window partitions by user_id "
         "(high-cardinality) — no constant-key window; sums accumulate "
