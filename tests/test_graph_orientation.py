@@ -98,3 +98,48 @@ def test_orientation_is_a_permutation_of_edges(spark):
     assert undirected == want
     # hub (degree 30) is never a source against degree-1/3 leaves
     assert oriented.filter(F.col("src") == 0).count() == 0
+
+
+def test_bfs_hops_invariants(spark, sf_dir):
+    """graph_bfs_hops is a min-hop BFS: seeds at 0, every level-h node
+    adjacent to a level-(h-1) node, no node past BFS_MAX_HOPS, and no
+    node closer to a seed than its reported hop (triangle inequality
+    over one expansion step)."""
+    from tijdloze_musicbrainz_spark.plans.scaleops import (
+        BFS_MAX_HOPS,
+        BFS_SEED_CAP,
+        BFS_SEED_MOD,
+        graph_bfs_hops,
+    )
+
+    rows = graph_bfs_hops(spark, sf_dir).collect()
+    hops = {r.node: r.hops for r in rows}
+    assert hops, "graph should reach at least the seeds"
+    assert len(rows) == len(hops), "one row per node"
+    assert all(0 <= h <= BFS_MAX_HOPS for h in hops.values())
+    seeds = {n for n, h in hops.items() if h == 0}
+    assert seeds == {
+        n for n in hops if n % BFS_SEED_MOD == 0 and n < BFS_SEED_CAP
+    }
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    for n, h in hops.items():
+        if h > 0:
+            assert any(hops.get(m) == h - 1 for m in adj[n]), (n, h)
+        # minimality: no neighbor is more than 1 closer
+        assert all(hops.get(m, h) >= h - 1 for m in adj[n]), (n, h)

@@ -660,3 +660,99 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(50)
     )
+
+
+# BFS bounds: seeds are capped ABSOLUTELY (mod + id cap, the
+# MAX_QUERIES pattern from similarity.py) so the frontier's hop-0 size
+# is constant at any corpus scale; MAX_HOPS bounds the iteration count.
+BFS_MAX_HOPS = 3
+BFS_SEED_MOD = 500
+BFS_SEED_CAP = 50_000
+
+
+@register(
+    "graph_bfs_hops",
+    survey_ids=("J1",),
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+seeds AS (
+  SELECT DISTINCT u AS node FROM edges
+  WHERE u % {BFS_SEED_MOD} = 0 AND u < {BFS_SEED_CAP}
+),
+walk(node, hops) AS (
+  SELECT node, 0 AS hops FROM seeds
+  UNION
+  SELECT e.v AS node, w.hops + 1 AS hops
+  FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(hops) AS INT) AS hops
+FROM walk GROUP BY node
+""",
+    doc="Multi-source BFS (min-hop distance) over the part co-purchase "
+    "graph: frontier-expansion joins, one per hop, each frontier "
+    "anti-joined against the visited set so NO node is ever "
+    "re-expanded — the textbook distributed BFS (Pregel's "
+    "halt-on-visited rule) where per-hop work is O(|frontier "
+    "edges|), not O(paths): a naive path-enumerating traversal is "
+    "combinatorial on a dense graph, the frontier version is linear "
+    "in edges touched. Seeds are absolutely capped (mod + id cap), "
+    "hops bounded at BFS_MAX_HOPS, so the loop unrolls to exactly 3 "
+    "join+anti-join rounds at any scale; the visited set only grows "
+    "by DISTINCT new nodes. The DuckDB oracle is the same semantics "
+    "via WITH RECURSIVE with UNION (distinct) recursion — the "
+    "(node, hops) state space is bounded by 4N even though path "
+    "counts are not — then min(hops) per node. At 100 TB the edge "
+    "table is the co-purchase projection (per-order fan-out <= 21 "
+    "pairs); each round shuffles only the frontier against the "
+    "edge table's partitioning, and the visited set stays id-only.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    seeds = (
+        edges.select(F.col("u").alias("node"))
+        .filter(
+            (F.col("node") % BFS_SEED_MOD == 0)
+            & (F.col("node") < BFS_SEED_CAP)
+        )
+        .distinct()
+    )
+    visited = seeds.withColumn("hops", F.lit(0).cast("int"))
+    frontier = visited
+    for _ in range(BFS_MAX_HOPS):
+        nbrs = (
+            frontier.select(F.col("node").alias("u"), "hops")
+            .join(edges, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
+            )
+            .distinct()
+        )
+        # min-hop semantics: a node already visited keeps its earlier
+        # (smaller) hop count; only genuinely new nodes join the level
+        new = nbrs.join(visited.select("node"), "node", "left_anti")
+        visited = visited.unionByName(new)
+        frontier = new
+    return visited
