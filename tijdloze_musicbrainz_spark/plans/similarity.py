@@ -1418,3 +1418,274 @@ def sim_near_dup_lsh_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= TIGHT_TAU)
     )
+
+
+# ── IVF-PQ: product quantization over the IVF coarse layer ──────────
+#
+# The 100 TB ANN memory story: IVF alone still stores full vectors in
+# every inverted list; PQ compresses each vector to PQ_M one-byte-ish
+# codes (here PQ_M=4 codes over 16-dim subspaces), and queries score
+# candidates with an Asymmetric Distance Computation (ADC) table —
+# PQ_M lookups + adds per candidate instead of a 64-dim dot product —
+# re-ranking only a short ADC shortlist with exact vectors (Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", TPAMI'11;
+# the Faiss IVFPQ layout). Everything below is exact-integer or
+# rounded-then-tie-broken, so DuckDB reproduces codes, ADC distances
+# and the final top-k bit-for-bit.
+PQ_M = 4
+PQ_SUB = DIM // PQ_M  # 16 dims per subspace
+# codebook source rows: mod + absolute id cap (the MAX_QUERIES
+# pattern) — at most 16 entries per subspace at ANY corpus scale
+PQ_CB_MOD = 40
+PQ_CB_CAP = 40 * 16
+PQ_TOP_C = 32  # ADC shortlist re-ranked with exact cosine
+
+_PQ_SUBS_SQL = ", ".join(str(m) for m in range(PQ_M))
+
+_PQ_L2I = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+)
+
+_PQ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+subs AS (
+  SELECT vec_id, ms.m,
+         list_slice(iv, ms.m * {PQ_SUB} + 1, (ms.m + 1) * {PQ_SUB}) AS siv
+  FROM v CROSS JOIN (SELECT unnest([{_PQ_SUBS_SQL}]) AS m) ms
+),
+cbsrc AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM v WHERE vec_id % {PQ_CB_MOD} = 0 AND vec_id < {PQ_CB_CAP}
+),
+cb AS (
+  SELECT c.j, s.m, s.siv AS cbv
+  FROM cbsrc c JOIN subs s USING (vec_id)
+),
+codes AS (
+  SELECT s.vec_id, s.m, cb.j AS code
+  FROM subs s JOIN cb ON cb.m = s.m
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY {_PQ_L2I.format(a="s.siv", b="cb.cbv")}, cb.j) <= 1
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
+),
+lists AS (
+  SELECT v.vec_id AS match_id, cents.cent_id
+  FROM v CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY round(list_cosine_similarity(v.v, cents.cv), 6) DESC,
+             cents.cent_id) <= 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, cents.cent_id
+  FROM v q CROSS JOIN cents
+  WHERE {_Q_SQL.replace("vec_id", "q.vec_id")}
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC,
+             cents.cent_id) <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, l.match_id
+  FROM probes p JOIN lists l USING (cent_id)
+  WHERE p.query_id <> l.match_id
+),
+dtab AS (
+  SELECT s.vec_id AS query_id, s.m, cb.j,
+         {_PQ_L2I.format(a="s.siv", b="cb.cbv")} AS d
+  FROM subs s JOIN cb ON cb.m = s.m
+  WHERE {_Q_SQL.replace("vec_id", "s.vec_id")}
+),
+adc AS (
+  SELECT c.query_id, c.match_id, CAST(sum(dt.d) AS BIGINT) AS pq_adc
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.match_id
+  JOIN dtab dt ON dt.query_id = c.query_id AND dt.m = k.m AND dt.j = k.code
+  GROUP BY c.query_id, c.match_id
+),
+shortlist AS (
+  SELECT query_id, match_id, pq_adc FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_adc, match_id) <= {PQ_TOP_C}
+)
+SELECT s.query_id, s.match_id, s.pq_adc,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM shortlist s
+JOIN v a ON a.vec_id = s.query_id
+JOIN v b ON b.vec_id = s.match_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY cosine DESC, s.match_id) <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_pq",
+    survey_ids=(),
+    oracle=_PQ_ORACLE,
+    doc="IVF-PQ ANN (Jégou et al. TPAMI'11 / the Faiss IVFPQ layout): "
+    "the coarse IVF layer of sim_ann_ivf_bucketed plus PRODUCT "
+    "QUANTIZATION — each vector is encoded as PQ_M=4 sub-codes "
+    "(argmin-L2 codebook entry per 16-dim subspace), queries build a "
+    "per-query ADC lookup table (distance to every codebook entry "
+    "per subspace) and score candidates with PQ_M integer lookups + "
+    "adds instead of a 64-dim dot product; only the PQ_TOP_C ADC "
+    "shortlist is re-ranked with exact cosine. Why it matters at "
+    "100 TB: the inverted lists store 4 codes (+id) per vector, not "
+    "64 floats — a 64x list-storage compression, and ADC scoring is "
+    "O(PQ_M) per candidate. Determinism/oracle: subvectors are "
+    "floor(x*1e6)-quantized int64s, so encode distances and ADC sums "
+    "are EXACT integers in both engines (no float-order ambiguity); "
+    "tie-breaks are (distance, codebook idx) and (pq_adc, match_id); "
+    "the re-rank is the proven rounded-cosine parity path. Plan "
+    "shape: codebook (<= 64 tiny rows) and ADC tables (|Q|*PQ_M*K "
+    "rows) broadcast; candidate generation is the IVF id-only probe "
+    "join; the corpus is never shuffled with vectors attached — "
+    "codes ship as 4 ints per row.",
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "iv",
+        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("iv", m * PQ_SUB + 1, PQ_SUB).alias("siv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.siv").alias("siv"))
+
+    # codebook: <= 16 source vectors (mod + absolute cap), j = rank by
+    # vec_id. The global row_number window is over this bounded tiny
+    # set only — never the corpus.
+    cb_src = (
+        vecs.filter(
+            (F.col("vec_id") % PQ_CB_MOD == 0) & (F.col("vec_id") < PQ_CB_CAP)
+        )
+        .select("vec_id")
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
+        )
+    )
+    cb = cb_src.join(subs, "vec_id").select(
+        "j", "m", F.col("siv").alias("cbv")
+    )
+
+    def l2i(a: Column, b: Column) -> Column:
+        # exact int64 squared L2 over quantized subvectors
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # encode the corpus: per (vector, subspace) argmin over the
+    # broadcast codebook — 4 int codes per vector, the PQ compression
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", l2i(F.col("siv"), F.col("cbv")).alias("d")
+    )
+    wc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    codes = (
+        scored.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("vec_id").alias("match_id"), "m", F.col("j").alias("code"))
+    )
+
+    # coarse IVF layer — identical shape to sim_ann_ivf_bucketed
+    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def nearest(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+        sc = df.join(F.broadcast(cents)).select(
+            id_col,
+            "cent_id",
+            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__sim"), F.asc("cent_id")
+        )
+        return (
+            sc.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(id_col, "cent_id")
+        )
+
+    lists = nearest(vecs, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    probes = nearest(
+        vecs.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    cand = probes.join(lists, "cent_id").filter(
+        F.col("query_id") != F.col("match_id")
+    ).select("query_id", "match_id")
+
+    # per-query ADC table: |Q| x PQ_M x K distances, broadcastable
+    dtab = (
+        subs.filter(_query_filter())
+        .select(F.col("vec_id").alias("query_id"), "m", "siv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("j").alias("code"),
+            l2i(F.col("siv"), F.col("cbv")).alias("d"),
+        )
+    )
+    adc = (
+        cand.join(codes, "match_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("d").cast("long").alias("pq_adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("pq_adc", "match_id")
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= PQ_TOP_C)
+        .drop("__rn")
+    )
+
+    qv = vecs.filter(_query_filter()).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = vecs.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv"))
+    reranked = (
+        shortlist.join(cv, "match_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            "pq_adc",
+            F.round(cosine(F.col("qv"), F.col("mv")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
