@@ -489,3 +489,136 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path_factory):
     assert upd[5] == (2, 555)  # row as of v_to
     # self-diff is empty
     assert snapshot_diff(spark, table, 1, 1, ["k"]).count() == 0
+
+
+def test_stats_skipping_prunes_and_matches_full_scan(
+    spark, tmp_path_factory
+):
+    """commit_clustered records per-file min/max; the pruned read must
+    (a) return exactly the full-scan-filtered rows, (b) open strictly
+    fewer files than the table has, (c) read everything when the
+    range spans all stats."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        commit_clustered,
+        read_table_stats_pruned,
+    )
+
+    table = str(tmp_path_factory.mktemp("manifest_stats") / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("int").alias("fkey"),
+        F.format_string("%03d", F.col("id")).alias("s"),
+    )
+    v = commit_clustered(df, table, "fkey", ["s"])
+    assert v == 0
+
+    pruned, n_read, n_total = read_table_stats_pruned(
+        spark, table, "s", "020", "034"
+    )
+    assert n_total == 10
+    # ids 20..34 live in fkey buckets {0..9} by id%10 — every bucket
+    # holds ids spanning the full range (000..09x per bucket? no:
+    # bucket b holds ids b, b+10, ... so s-ranges overlap broadly).
+    got = sorted(
+        r.k
+        for r in pruned.filter(
+            (F.col("s") >= "020") & (F.col("s") <= "034")
+        ).collect()
+    )
+    assert got == list(range(20, 35))
+
+    # a layout actually clustered on s: fkey = id // 10 gives disjoint
+    # per-file ranges, so the same predicate prunes to exactly 2 files
+    table2 = str(tmp_path_factory.mktemp("manifest_stats") / "t2")
+    df2 = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 10).cast("int").alias("fkey"),
+        F.format_string("%03d", F.col("id")).alias("s"),
+    )
+    commit_clustered(df2, table2, "fkey", ["s"])
+    pruned2, n_read2, n_total2 = read_table_stats_pruned(
+        spark, table2, "s", "020", "034"
+    )
+    assert (n_read2, n_total2) == (2, 10)
+    got2 = sorted(
+        r.k
+        for r in pruned2.filter(
+            (F.col("s") >= "020") & (F.col("s") <= "034")
+        ).collect()
+    )
+    assert got2 == list(range(20, 35))
+
+    # full-range read touches everything
+    _, n_all, _ = read_table_stats_pruned(spark, table2, "s", "000", "099")
+    assert n_all == 10
+    # disjoint range reads nothing
+    none_df, n_none, _ = read_table_stats_pruned(
+        spark, table2, "s", "500", "900"
+    )
+    assert none_df is None and n_none == 0
+
+
+def test_stats_skipping_null_bounds_read_conservatively(
+    spark, tmp_path_factory
+):
+    """A file whose stats column is all NULL has NULL bounds and must
+    never be pruned (its rows might matter to a later residual
+    predicate on another column); NULL rows inside a kept file simply
+    fail the residual predicate."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        commit_clustered,
+        read_table_stats_pruned,
+    )
+
+    table = str(tmp_path_factory.mktemp("manifest_stats_null") / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 10).cast("int").alias("fkey"),
+        F.when(F.col("id") < 10, F.format_string("%03d", F.col("id"))).alias(
+            "s"
+        ),
+    )
+    commit_clustered(df, table, "fkey", ["s"])
+    pruned, n_read, n_total = read_table_stats_pruned(
+        spark, table, "s", "000", "005"
+    )
+    # file 0 intersects; file 1 (all-NULL s) must be read conservatively
+    assert (n_read, n_total) == (2, 2)
+    got = sorted(
+        r.k
+        for r in pruned.filter(
+            (F.col("s") >= "000") & (F.col("s") <= "005")
+        ).collect()
+    )
+    assert got == list(range(6))
+
+
+def test_stats_pruned_read_time_travels(spark, tmp_path_factory):
+    """read_table_stats_pruned honors explicit versions and refuses
+    uncommitted ones, same contract as read_table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        commit_clustered,
+        read_table_stats_pruned,
+    )
+
+    table = str(tmp_path_factory.mktemp("manifest_stats_tt") / "t")
+    df = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("int").alias("fkey"),
+        F.format_string("%03d", F.col("id")).alias("s"),
+    )
+    commit_clustered(df, table, "fkey", ["s"])
+    with pytest.raises(ValueError, match="not committed"):
+        read_table_stats_pruned(spark, table, "s", "000", "001", version=5)
+    got, n_read, n_total = read_table_stats_pruned(
+        spark, table, "s", "000", "001", version=0
+    )
+    assert (n_read, n_total) == (1, 1)
+    assert got.count() == 10

@@ -429,8 +429,12 @@ def compact(table: str, spark: SparkSession) -> int:
     return v + 1
 
 
-def _commit(table: str, base_version: int, new_files: dict) -> None:
+def _commit(
+    table: str, base_version: int, new_files: dict, stats: dict | None = None
+) -> None:
     manifest = {"version": base_version + 1, "files": new_files}
+    if stats is not None:
+        manifest["stats"] = stats
     mpath = os.path.join(_manifest_dir(table), f"v{base_version + 1}.json")
     try:
         with open(mpath, "x") as f:
@@ -476,3 +480,112 @@ def vacuum(table: str, keep_versions: int = 1) -> list[str]:
                     deleted.append(p)
         os.remove(mpath)
     return deleted
+
+
+def commit_clustered(
+    df: DataFrame,
+    table: str,
+    file_key_col: str,
+    stats_cols: Sequence[str],
+) -> int:
+    """Write ``df`` as one immutable file entry per distinct
+    ``file_key_col`` value and record per-entry MIN/MAX of
+    ``stats_cols`` in the manifest — Delta-style DATA SKIPPING
+    statistics (the `stats` field of an add-file action), so reads
+    with a range predicate can prune whole files from the manifest
+    alone, without opening a single parquet footer. The stats agg is
+    one groupBy over the batch; its collect is bounded by the number
+    of file entries (the documented metadata-collect class). Values
+    are stored as strings whose lexicographic order must match the
+    column's order — ISO dates and zero-padded numerics qualify; the
+    pruned reader treats a missing/NULL bound as "must read"
+    (an all-NULL file never prunes, conservatively). Returns the
+    committed version."""
+    spark = df.sparkSession  # noqa: F841  (symmetry with the merge paths)
+    v = current_version(table)
+    stat_aggs = [
+        agg
+        for c in stats_cols
+        for agg in (F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}"))
+    ]
+    stats_rows = df.groupBy(file_key_col).agg(*stat_aggs).collect()
+
+    tmp = os.path.join(table, f"_staging_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").partitionBy(file_key_col).parquet(tmp)
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(table), exist_ok=True)
+    files: dict[str, list[str]] = {}
+    stats: dict[str, dict[str, list]] = {}
+    for r in stats_rows:
+        key = r[file_key_col]
+        part = key if key is not None else "__HIVE_DEFAULT_PARTITION__"
+        src = os.path.join(tmp, f"{file_key_col}={part}")
+        if not os.path.exists(src):
+            continue
+        entry = f"data/v{v + 1}_f{part}_{uuid.uuid4().hex[:8]}"
+        os.rename(src, os.path.join(table, entry))
+        files[str(part)] = [entry]
+        stats[str(part)] = {
+            c: [
+                None if r[f"__mn_{c}"] is None else str(r[f"__mn_{c}"]),
+                None if r[f"__mx_{c}"] is None else str(r[f"__mx_{c}"]),
+            ]
+            for c in stats_cols
+        }
+    shutil.rmtree(tmp, ignore_errors=True)
+    _commit(table, v, files, stats=stats)
+    return v + 1
+
+
+def read_table_stats_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo: str,
+    hi: str,
+    version: int | None = None,
+) -> tuple[DataFrame | None, int, int]:
+    """Manifest-stats pruned read: open ONLY the file entries whose
+    recorded [min, max] for ``col`` intersects [lo, hi] (string
+    comparison — see commit_clustered's ordering contract). Entries
+    with no stats for ``col`` or NULL bounds are read conservatively.
+    Returns (df_or_None, files_read, files_total); the caller still
+    applies the residual predicate — stats pruning is file-granular,
+    not row-exact (the Delta data-skipping contract). The pruning
+    decision uses ZERO file opens: at 100 TB the manifest is the only
+    thing the driver touches before the pruned scan launches."""
+    cur = current_version(table)
+    if version is not None and version > cur:
+        raise ValueError(
+            f"{table}: version {version} is not committed "
+            f"(latest committed version is {cur})"
+        )
+    v = cur if version is None else version
+    if v < 0:
+        return None, 0, 0
+    m = _read_manifest(table, v)
+    files = m["files"]
+    stats = m.get("stats", {})
+    keep: list[str] = []
+    n_read = 0
+    total = 0
+    for k, ps in files.items():
+        total += 1
+        st = stats.get(k, {}).get(col)
+        prunable = (
+            st is not None
+            and st[0] is not None
+            and st[1] is not None
+            and (st[0] > hi or st[1] < lo)
+        )
+        if not prunable:
+            keep.extend(ps)
+            n_read += 1
+    if not keep:
+        return None, 0, total
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table, p) for p in keep]
+    )
+    if OP_COL in df.columns:
+        df = df.filter(~F.col(OP_COL).eqNullSafe("D")).drop(OP_COL)
+    return df, n_read, total

@@ -383,3 +383,83 @@ def s_zorder_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("files_read") < F.col("files_total")).alias("zorder_prunes"),
         )
     )
+
+
+@register(
+    "s_stats_skipping_prune",
+    survey_ids=("S4", "P2"),
+    oracle=f"""
+WITH buckets AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS fkey,
+         min(o_orderdate) AS mn, max(o_orderdate) AS mx
+  FROM orders GROUP BY 1
+),
+sel AS (
+  SELECT CAST(count(*) AS INT) AS files_read FROM buckets
+  WHERE NOT (mn > DATE '1995-03-31' OR mx < DATE '1995-01-01')
+),
+tot AS (SELECT CAST(count(*) AS INT) AS files_total FROM buckets),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         {money_sum_sql('o_totalprice')} AS total_price
+  FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+)
+SELECT agg.n_rows, agg.total_price, sel.files_read, tot.files_total
+FROM agg, sel, tot
+""",
+    doc="MANIFEST-STATS DATA SKIPPING (the Delta add-file `stats` "
+    "contract, materialized): orders are committed as one immutable "
+    "file entry per calendar month with per-entry MIN/MAX of "
+    "o_orderdate recorded in the manifest JSON "
+    "(operators/manifest.py commit_clustered); a Q1-1995 range read "
+    "then prunes every non-intersecting file FROM THE MANIFEST ALONE "
+    "— zero parquet footer opens before the scan launches, unlike "
+    "parquet row-group stats which still require touching each file "
+    "— and aggregates the survivors under the residual predicate. "
+    "files_read/files_total come from the actual pruning decision "
+    "(the scan really opens only the kept entries); the oracle "
+    "recomputes both from the bucket min/max, so a pruning bug that "
+    "reads too few files breaks n_rows/total_price and one that "
+    "reads too many breaks files_read. Differs from "
+    "s_partitioned_prune (directory-name pruning on the partition "
+    "value itself) in that stats skip on ANY recorded column's "
+    "range, the layout stays flat, and the decision is O(manifest), "
+    "not O(listing). At 100 TB the manifest read is the only "
+    "driver-side cost; tests/test_manifest.py proves the pruned "
+    "result equals the full scan and that pruning actually drops "
+    "files.",
+)
+def s_stats_skipping_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.manifest import commit_clustered, read_table_stats_pruned
+
+    path = f"{SINK_ROOT}/s_stats_skip"
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    clustered = orders.withColumn(
+        "fkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int"),
+    )
+    commit_clustered(clustered, path, "fkey", ["o_orderdate"])
+    lo, hi = "1995-01-01", "1995-03-31"
+    pruned, files_read, files_total = read_table_stats_pruned(
+        spark, path, "o_orderdate", lo, hi
+    )
+    if pruned is None:
+        pruned = orders.limit(0)
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+            & (F.col("o_orderdate") <= F.lit(hi).cast("date"))
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .withColumn("files_read", F.lit(files_read).cast("int"))
+        .withColumn("files_total", F.lit(files_total).cast("int"))
+    )
