@@ -1119,19 +1119,32 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # c1 (unigram-context counts) and |vocab| are MARGINALS of the
+    # bigram table: n1 = sum_w2 n12, v = countDistinct(w1 in c12) —
+    # deriving them from c12 instead of re-aggregating the exploded
+    # pairs stream drops two full-corpus shuffles (and two re-runs of
+    # the tokenize+explode lineage) down to aggregations over the
+    # model-sized c12. The per-bigram smoothed log-prob term is then
+    # folded INTO the model before broadcasting, so the corpus stream
+    # is joined exactly once against one broadcast — identical values,
+    # one explode-shuffle instead of three, one probe instead of three.
     c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    c1 = pairs.groupBy(F.col("w1").alias("c1_w1")).agg(F.count("*").alias("n1"))
-    vocab = pairs.agg(F.countDistinct("w1").alias("v"))
+    c1 = c12.groupBy(F.col("w1").alias("c1_w1")).agg(
+        F.sum("n12").alias("n1")
+    )
+    vocab = c12.agg(F.countDistinct("w1").alias("v"))
     prob = (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
-    scored = (
-        pairs.join(F.broadcast(c12), ["w1", "w2"])
-        .join(F.broadcast(c1), F.col("w1") == F.col("c1_w1"))
+    model = (
+        c12.join(c1, F.col("w1") == F.col("c1_w1"))
         .join(F.broadcast(vocab))
         .select(
-            "doc_id",
-            "lang",
+            "w1",
+            "w2",
             F.round(F.log(prob), 6).cast("decimal(25,6)").alias("term"),
         )
+    )
+    scored = pairs.join(F.broadcast(model), ["w1", "w2"]).select(
+        "doc_id", "lang", "term"
     )
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_bigrams"),
