@@ -1000,3 +1000,86 @@ def s7_snapshot_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         "change_type",
     )
+
+
+@register(
+    "etl_incremental_agg_maintenance",
+    survey_ids=("A1", "S7"),
+    oracle="""
+WITH maintained AS (
+  SELECT * FROM orders
+  WHERE o_orderdate < DATE '1996-01-01'
+    AND NOT (o_orderkey % 10 = 0)          -- deletes applied
+  UNION ALL
+  SELECT * FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01'   -- inserts applied
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS total_price
+FROM maintained
+GROUP BY o_orderpriority
+""",
+    doc="INCREMENTAL VIEW MAINTENANCE of a grouped aggregate: the "
+    "materialized view (count + exact-DECIMAL sum per priority over "
+    "pre-1996 orders) absorbs a CDC delta — 1996+ inserts AND "
+    "deletes of every 10th historical key — by aggregating ONLY the "
+    "delta with +1/-1 signs and merging it into the view state with "
+    "a full-outer coalesce-add; the base fact table is NEVER "
+    "rescanned. This is the self-maintainability algebra (count and "
+    "sum are groups under addition, so insert/delete deltas maintain "
+    "them exactly; min/max are NOT under deletes — they would need "
+    "the auxiliary per-group multiset, which is why this view "
+    "carries none). Groups whose maintained count reaches zero drop "
+    "out of the view, exactly as a recompute would drop them. The "
+    "oracle recomputes from scratch over (base - deletes) + inserts, "
+    "so any drift between the algebraic merge and the true aggregate "
+    "breaks the hash. At 100 TB: the delta-side work is "
+    "O(|delta| + |groups|), the view merge is a join of two "
+    "group-sized tables — the base scan (the expensive thing) "
+    "happens once at view creation, never per refresh.",
+)
+def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    vdec = F.col("o_totalprice").cast("decimal(25,6)")
+    base = orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    # the materialized view state: per-group count + exact sum
+    view = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum(vdec).alias("s")
+    )
+    # CDC delta: inserts (sign +1) and deletes of historical rows
+    # (sign -1) — aggregated ALONE, never touching the base again
+    inserts = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    ).select("o_orderpriority", vdec.alias("v"), F.lit(1).alias("sign"))
+    deletes = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority", vdec.alias("v"), F.lit(-1).alias("sign")
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("v") * F.col("sign")).alias("ds"),
+        )
+    )
+    merged = (
+        view.join(delta, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_new"
+            ),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(25,6)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(25,6)"))
+            ).alias("s_new"),
+        )
+        .filter(F.col("n_new") > 0)
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_new").cast("long").alias("n_orders"),
+        F.round("s_new", 2).cast("double").alias("total_price"),
+    )

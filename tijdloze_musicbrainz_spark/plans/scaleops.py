@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .util import money_sum, money_sum_sql, t
+from .util import eager_checkpoint, money_sum, money_sum_sql, t
 
 N_SALTS = 8
 N_BUCKETS = 8
@@ -417,7 +417,7 @@ def j_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Triangle counting (r6; degree orientation r8) ---------------------------
 
 
-def orient_by_degree(pairs: DataFrame) -> DataFrame:
+def orient_by_degree(pairs: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Re-orient an undirected edge list (one row per edge, any
     endpoint order, columns ``u``/``v``) so every edge points from its
     lower-(degree, id) endpoint: ``(src, dst)`` with
@@ -437,7 +437,7 @@ def orient_by_degree(pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.select(F.col("v").alias("s")))
         .groupBy("s")
         .agg(F.count("*").cast("long").alias("d"))
-    )
+    ) if deg is None else deg
     du = deg.select(F.col("s").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("s").alias("v"), F.col("d").alias("dv"))
     with_deg = pairs.join(du, "u").join(dv, "v")
@@ -522,7 +522,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    oriented = orient_by_degree(pairs)
+    # pairs feeds FIVE sibling sub-trees (the degree agg, the two
+    # orientation joins, and — via oriented — the e1/e2/e3 self-join
+    # legs); without a checkpoint every leg re-runs the lineitem
+    # self-join + distinct (r8, measured ~6x recompute). The edge list
+    # is two longs per row, bounded by 21·|orders| — cheap to pin.
+    pairs = eager_checkpoint(pairs)
+    deg = (
+        pairs.select(F.col("u").alias("s"))
+        .unionAll(pairs.select(F.col("v").alias("s")))
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    # one degree table serves both the orientation and the stats fold
+    oriented = eager_checkpoint(orient_by_degree(pairs, deg=deg))
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.alias("e3")
@@ -534,12 +547,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
-    deg = (
-        pairs.select(F.col("u").alias("s"))
-        .unionAll(pairs.select("v"))
-        .groupBy("s")
-        .agg(F.count("*").cast("long").alias("d"))
     )
     # nodes/edges/wedges ALL come from one pass over the degree table
     # (r8: the earlier plan re-derived `pairs` in four sibling

@@ -1674,11 +1674,11 @@ def _round_checkpoint(df: DataFrame) -> DataFrame:
     RELIABLE checkpoint dir is configured
     (``sc.setCheckpointDir(...)``), rounds checkpoint to shared
     storage instead: loss-proof blocks at the cost of one distributed
-    write per round."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    write per round. Shared with the graph plans via
+    util.eager_checkpoint."""
+    from .util import eager_checkpoint  # noqa: PLC0415
+
+    return eager_checkpoint(df)
 
 
 @register(

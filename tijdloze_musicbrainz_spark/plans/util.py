@@ -65,3 +65,21 @@ def money_avg_sql(expr: str, digits: int = 2) -> str:
         f"round(CAST(sum(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
         f" / count({expr}), {digits})"
     )
+
+
+def eager_checkpoint(df: DataFrame) -> DataFrame:
+    """EAGER checkpoint for a DataFrame that is consumed by several
+    sibling sub-trees (self-joins, iterative rounds): without it every
+    consumer re-evaluates the full upstream lineage. eager=True — a
+    lazy localCheckpoint still recomputes on first use (r5 lesson).
+
+    Executor-loss semantics (SCALE.md): localCheckpoint blocks live on
+    executor-local storage — on a real cluster an executor loss
+    triggers recompute, never failure. When a RELIABLE checkpoint dir
+    is configured (``sc.setCheckpointDir``), checkpoints go to shared
+    storage instead: loss-proof blocks at the cost of one distributed
+    write."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
