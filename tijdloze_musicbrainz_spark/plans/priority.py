@@ -62,7 +62,10 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     "j_skew_salted_join",
     "s4_bucketed_join_roundtrip",
     # -- tier 3: LLM-training-data pipeline components -------------------
-    "dedup_exact_first_wins",
+    # (dedup_exact_first_wins rotated to the tail in r8b — green
+    # official rows since r2, ids carried by the remaining dedup
+    # rows; the slot carries incremental view maintenance)
+    "etl_incremental_agg_maintenance",
     # (dedup_ngram_jaccard_blocked moved to the tail in r6 to make
     # room for benchmark_golden_real_e2e; its ids are carried by the
     # remaining dedup rows and the judge's tail re-run covers it)
@@ -78,14 +81,19 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     "corpus_training_dataset_e2e",
     "multimodal_png_decode_real",
     "sim_ann_lsh_bucketed",
-    "sim_ann_ivf_bucketed",
+    # (sim_ann_ivf_bucketed rotated to the tail in r8b: the IVF-PQ
+    # row exercises the same coarse layer plus product quantization)
+    "sim_ann_ivf_pq",
     # (text_quality_score / text_language_id moved to the tail in r4 to
     # make room for the two scale-mechanism rows: their survey ids are
     # redundantly carried by text_token_stats + fuzzy_two_phase_search,
     # and the judge's tail re-run covers them like text_fingerprint)
     "text_token_stats",
     "corpus_clean_pipeline",
-    "events_sessionize",
+    # (events_sessionize rotated to the tail in r8b — green official
+    # rows since r2; the slot gives the graph tier a second row:
+    # frontier BFS with the recursive-CTE oracle)
+    "graph_bfs_hops",
     # (multimodal_fake_decode rotated to the tail in r8: the tier's
     # official row is now multimodal_png_decode_real, a REAL byte-level
     # decoder rather than the deterministic fake)
@@ -105,7 +113,10 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # carried in-window by benchmark_accuracy_replay_e2e and
     # fuzzy_two_phase_search; the slot carries the next-fit sequence
     # packer so the dataset-assembly tier has a second official row)
-    "corpus_pack_sequences",
+    # (corpus_pack_sequences rotated to the tail in r8b — green
+    # official rows since r4c, ids carried in-window; the slot gives
+    # the manifest-stats data-skipping tier its first official row)
+    "s_stats_skipping_prune",
     "a_accuracy_report",
     "set_union_distinct_aliases",
     "f_search_key_normalization",

@@ -525,7 +525,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs feeds FIVE sibling sub-trees (the degree agg, the two
     # orientation joins, and — via oriented — the e1/e2/e3 self-join
     # legs); without a checkpoint every leg re-runs the lineitem
-    # self-join + distinct (r8, measured ~6x recompute). The edge list
+    # self-join + distinct (~6 sibling consumers in the plan). The edge list
     # is two longs per row, bounded by 21·|orders| — cheap to pin.
     pairs = eager_checkpoint(pairs)
     deg = (
