@@ -475,3 +475,40 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path_factory):
     assert len(a_times) == 2, got
     assert any("10:00" in ts for ts in a_times)
     assert any("13:05" in ts for ts in a_times)
+
+
+def test_left_outer_interval_join_emits_tail_unmatched(spark, sf_dir):
+    """The left-outer failure mode this query exists to prove absent:
+    unmatched clicks near the end of the bounded replay emit only when
+    the watermark passes them — without the sentinel flush batches (or
+    with the sentinel filter pushed below the join) the LATEST
+    unmatched click is silently withheld. Pin that every click emits
+    exactly the batch-join row set, including the latest unmatched
+    one."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.plans.util import t
+
+    rows = (
+        REGISTRY["streaming_interval_join_left_outer"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    got_clicks = {r.click_id for r in rows}
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select("event_id")
+        .collect()
+    )
+    assert got_clicks == {r.event_id for r in clicks}
+    unmatched = [r for r in rows if r.purchase_id is None]
+    assert unmatched, "corpus should contain unmatched clicks"
+    latest_unmatched = max(
+        (r for r in rows if r.purchase_id is None), key=lambda r: r.click_epoch
+    )
+    # the latest unmatched click is the one state eviction withholds
+    # when the flush batches are broken — it must be present with a
+    # NULL purchase side
+    assert latest_unmatched.purchase_epoch is None

@@ -984,3 +984,150 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("window_start_epoch")
         < F.unix_timestamp(F.lit(WM_BASE).cast("timestamp")) + 86400
     )
+
+
+def _staged_events_with_flush(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Stage the events table plus two LATE sentinel files (one click +
+    one purchase each, user_id/event_id = -1, ts at +10 and +20 days
+    past the real maximum) with strictly increasing mtimes. Outer
+    stream-stream joins only emit their NULL side when the watermark
+    EVICTS state; a bounded drain whose last batch carries the latest
+    real rows would end with the tail's unmatched rows still withheld
+    in state — the classic outer-join gotcha. The sentinels force two
+    extra micro-batches (maxFilesPerTrigger=1 on the reader) whose
+    watermark is past every real row + interval, so eviction — and
+    therefore NULL emission — provably happens before the drain
+    finishes. At 100 TB the same role is played by the source's
+    ordinary continuous arrivals; the sentinel trick is only needed
+    for bounded replays like this oracle harness."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    from ..plans.etl import SINK_ROOT  # noqa: PLC0415
+    from ..plans.util import t  # noqa: PLC0415
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stage = f"{SINK_ROOT}/stream_flush_{sf_tag}_{tag}"
+    shutil.rmtree(stage, ignore_errors=True)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    # ONE file for the real data: with maxFilesPerTrigger=1 each file
+    # is its own micro-batch, and files replay in arbitrary order
+    # within equal mtimes — a batch carrying the latest events would
+    # advance the watermark past earlier files' rows and drop them as
+    # LATE on arrival (observed: one unmatched click vanished). A
+    # single-file batch keeps every real row ahead of the watermark;
+    # the sentinels are the only intentionally-later arrivals.
+    ev.coalesce(1).write.parquet(f"{stage}/b0")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    base = time.time()
+    for i, days in enumerate((10, 20), start=1):
+        sent = spark.createDataFrame(
+            [(-1, -1, "click"), (-1, -1, "purchase")],
+            "event_id long, user_id long, event_type string",
+        ).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+        )
+        part = f"{stage}/b{i}"
+        sent.coalesce(1).write.parquet(part)
+        ts_i = base + i * 10
+        for root, _dirs, fs in os.walk(part):
+            for f in fs:
+                os.utime(os.path.join(root, f), (ts_i, ts_i))
+    return stage
+
+
+@register(
+    "streaming_interval_join_left_outer",
+    survey_ids=(),
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="Stream-stream LEFT OUTER interval join: every click emits — "
+    "attributed to a purchase within 30 minutes when one exists, "
+    "with a NULL purchase otherwise. The semantic surface the inner "
+    "variant can't show: NULL-side rows are emitted only when the "
+    "WATERMARK evicts their state (Spark can't know a click is "
+    "unmatched until no in-interval purchase can still arrive), so "
+    "correctness depends on watermark progress, not just the join "
+    "condition. The bounded replay appends two late sentinel batches "
+    "(_staged_events_with_flush) so the final micro-batches run with "
+    "a watermark past all real data and the tail's unmatched clicks "
+    "provably emit; the batch LEFT JOIN oracle then matches "
+    "row-for-row. State retention is finite on both sides (two-sided "
+    "time bound + watermarks), identical to the inner variant.",
+)
+def streaming_interval_join_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stage = _staged_events_with_flush(spark, sf_dir, "loj")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    clicks = (
+        raw.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        raw.filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    )
+    drained = run_stream_to_memory(joined, output_mode="append")
+    # Sentinels are filtered AFTER the drain, on the batch result: a
+    # pre-sink filter on click_id gets pushed below the join into the
+    # clicks side, which removes the sentinel CLICKS from the stream —
+    # the left watermark then stalls at the real clicks' max and the
+    # final unmatched click never evicts/emits (observed: exactly one
+    # NULL row short). Null-safe: a real NULL click_id must survive.
+    return drained.filter(~F.col("click_id").eqNullSafe(F.lit(-1))).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("click_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").cast("long").alias("purchase_epoch"),
+    )
