@@ -1728,3 +1728,75 @@ def text_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tk").cast("long").alias("n_tok_bpe"),
         F.md5(F.concat_ws(" ", F.col("tk"))).alias("bpe_digest"),
     )
+
+
+INVIDX_TOP_TOKENS = 50
+INVIDX_SEGMENT = 100  # posting-segment cap: first N doc ids per token
+
+
+@register(
+    "text_inverted_index",
+    survey_ids=("A1", "A7"),
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tk AS token
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t(tk)
+),
+agg AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS df,
+         array_to_string(
+           list_slice(list(doc_id ORDER BY doc_id), 1, {INVIDX_SEGMENT}),
+           ',') AS posting_segment
+  FROM tok GROUP BY token
+)
+SELECT token, df, posting_segment FROM agg
+QUALIFY row_number() OVER (ORDER BY df DESC, token) <= {INVIDX_TOP_TOKENS}
+""",
+    doc="INVERTED INDEX build — the IR-side artifact the BM25 query "
+    "consumes conceptually, materialized: token -> document "
+    "frequency + the first-{seg} posting SEGMENT (sorted doc ids, "
+    "stringified per the registry's array convention). One "
+    "explode + distinct (a token posts once per doc) + one "
+    "aggregate; the posting list is CAPPED to a fixed-size segment "
+    "exactly like a real index shards postings into blocks — an "
+    "uncapped collect_list on a stop-word token would be "
+    "corpus-sized, the classic build-side blowup. df stays exact "
+    "over the full corpus. Output bounded to the top-50 tokens by "
+    "(df, token). At 100 TB the index is written partitioned by "
+    "token hash and each segment block is one row — queries probe "
+    "segments by token equi-join, never scanning the corpus.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("token"),
+    ).distinct()
+    agg = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(F.collect_list("doc_id")),
+                    1,
+                    INVIDX_SEGMENT,
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("posting_segment"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # global top-N window over the aggregated vocabulary only (bounded
+    # by |vocab|, not the corpus) — same pattern as text_wordcount_topk
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return (
+        agg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= INVIDX_TOP_TOKENS)
+        .drop("__rn")
+    )
