@@ -86,6 +86,13 @@ HEADLINERS = [
     "graph_triangle_count",
     "multimodal_jpeg_decode_real",
     "s_zorder_write_prune",
+    # r8b: frontier BFS (3 join+anti-join rounds), product-quantized
+    # ANN (encode + ADC + re-rank), manifest-stats pruned read (write
+    # + zero-open skip), and the left-outer stream-stream drain
+    "graph_bfs_hops",
+    "sim_ann_ivf_pq",
+    "s_stats_skipping_prune",
+    "streaming_interval_join_left_outer",
 ]
 
 # Committed per-query snapshot: the best of all prior driver rounds
@@ -113,6 +120,7 @@ def _recall_at_k(spark, sf_dir: str) -> dict[str, float]:
     for short, name in [
         ("lsh", "sim_ann_lsh_bucketed"),
         ("ivf", "sim_ann_ivf_bucketed"),
+        ("ivf_pq", "sim_ann_ivf_pq"),
     ]:
         out[short] = round(len(exact & pairs(name)) / len(exact), 4)
 

@@ -763,3 +763,95 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(new)
         frontier = new
     return visited
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(f"""
+n{i} AS (
+  SELECT e.u AS node, CAST(count(*) AS BIGINT) AS d
+  FROM edges e
+  JOIN {prev} x ON x.node = e.u
+  JOIN {prev} y ON y.node = e.v
+  GROUP BY e.u
+),
+a{i} AS (SELECT node FROM n{i} WHERE d >= {KCORE_K})""")
+        prev = f"a{i}"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+n0 AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+a0 AS (SELECT node FROM n0 WHERE d >= {KCORE_K}),
+{",".join(rounds)}
+SELECT node, d AS residual_degree FROM n{KCORE_ROUNDS}
+WHERE d >= {KCORE_K}
+"""
+
+
+@register(
+    "graph_kcore_peel",
+    survey_ids=("J1",),
+    oracle=_kcore_oracle(),
+    doc="Bounded k-core PEELING (k=3, 3 rounds) over the co-purchase "
+    "graph: each round recomputes degrees WITHIN the surviving node "
+    "set (two semi-join-shaped joins of edges against the alive "
+    "set) and drops nodes below k — the dense-subgraph extractor "
+    "used for community seeds and spam-cluster mining. Full k-core "
+    "iterates to a fixpoint; this is the deterministic "
+    "bounded-round prefix (the fixpoint loop is the same plan per "
+    "round, driven by an emptiness check — same convergence "
+    "contract as connected components' large-star/small-star), so "
+    "both engines unroll the identical 3 rounds and the hash "
+    "matches exactly. The alive set is id-only and shrinks "
+    "monotonically; edges are re-filtered against it each round "
+    "rather than rewritten — at 100 TB you'd checkpoint the "
+    "filtered edge list every few rounds (util.eager_checkpoint) "
+    "to cap lineage, exactly like the BPE chain.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    edges = eager_checkpoint(
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    alive = deg.filter(F.col("d") >= KCORE_K).select("node")
+    for _ in range(KCORE_ROUNDS):
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        deg = (
+            edges.join(au, "u")
+            .join(av, "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").cast("long").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= KCORE_K).select("node")
+    return deg.filter(F.col("d") >= KCORE_K).select(
+        "node", F.col("d").alias("residual_degree")
+    )

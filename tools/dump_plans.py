@@ -271,6 +271,34 @@ AUDITED = {
         "token cumsum. Sources are the parallelism unit — the same "
         "contract as the shard assigner."
     ),
+    "graph_bfs_hops": (
+        "Audit (r8b): frontier BFS — each hop is one equi-join of the "
+        "frontier against the symmetrized edge list plus one LeftAnti "
+        "join against the visited id set, so no node is re-expanded "
+        "and per-hop work is O(frontier edges), never O(paths); the "
+        "seed scan carries the mod + id-cap filters as PushedFilters."
+    ),
+    "sim_ann_ivf_pq": (
+        "Audit (r8b): codebook (<= 64 rows) and per-query ADC tables "
+        "broadcast; corpus encode is a (vec_id, subspace)-partitioned "
+        "argmin window over the broadcast codebook join; candidate "
+        "generation is the IVF id-only probe join; ADC is an integer "
+        "sum aggregate over 4 broadcast lookups per candidate — real "
+        "vectors are only fetched for the 32-deep shortlist re-rank."
+    ),
+    "s_stats_skipping_prune": (
+        "Audit (r8b): the pruned scan's InMemoryFileIndex lists ONLY "
+        "the manifest-selected file entries (3 of ~80 at sf0.01) — "
+        "the skip decision happens before the plan exists, so the "
+        "physical plan's file count IS the proof; residual predicate "
+        "and aggregate run over survivors only."
+    ),
+    "etl_incremental_agg_maintenance": (
+        "Audit (r8b): two group-sized aggregates (view state + signed "
+        "delta) full-outer-joined on the group key — the base fact "
+        "scan feeds the view aggregate exactly once; the delta branch "
+        "scans only the delta partitions (date + key filters pushed)."
+    ),
 }
 
 
