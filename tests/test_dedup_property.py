@@ -92,3 +92,54 @@ def run_differential(spark, tmp_path_factory):
 @given(_CORPUS)
 def test_dedup_tier_matches_oracle_on_random_corpora(run_differential, docs):
     run_differential(docs)
+
+
+def test_prefix_filter_equals_brute_force_jaccard(spark, tmp_path_factory):
+    """The AllPairs recall=1 claim from first principles: on a crafted
+    corpus with known near-dupes, the prefix-filtered join must return
+    EXACTLY the brute-force all-pairs Jaccard >= 3/5 result — the
+    prefix is a pigeonhole argument, not a heuristic, so no pair may
+    be lost (and the length/threshold filters may admit none extra)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),        # J=4/6 vs 0
+        (2, "alpha beta gamma delta epsilon"),     # J=1 vs 0
+        (3, "one two three four five six"),
+        (4, "one two three four five seven"),      # J=5/7 vs 3
+        (5, "totally different words here now"),
+        (6, "alpha beta"),                         # short: J vs 0 = 2/5
+        (7, "gamma delta epsilon"),                # J vs 0 = 3/5 boundary
+        (8, ""),                                   # empty text
+    ]
+    base = tmp_path_factory.mktemp("ppjoin")
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("src0")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{base}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in REGISTRY["dedup_jaccard_prefix_filter"]
+        .builder(spark, str(base))
+        .collect()
+    }
+
+    def toks(s):
+        return {w for w in s.split(" ") if w}
+
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(docs, 2):
+        ta, tb = toks(a), toks(b)
+        if not ta or not tb:
+            continue
+        jac = len(ta & tb) / len(ta | tb)
+        if jac >= 3 / 5:
+            want.add((i, j, round(jac, 6)))
+    assert want, "crafted corpus must contain qualifying pairs"
+    assert got == want

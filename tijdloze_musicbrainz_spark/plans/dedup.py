@@ -1082,3 +1082,147 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("best_doc")).alias("keep"),
     )
+
+
+# -- Exact set-similarity join via prefix filtering (AllPairs/PPJoin) --------
+#
+# Jaccard threshold as an exact rational: t = PPJ_NUM/PPJ_DEN = 3/5.
+# Every bound below is integer arithmetic, so both engines agree
+# bit-for-bit with no float ceil/round hazards.
+PPJ_NUM, PPJ_DEN = 3, 5
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    survey_ids=(),
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tk AS tk
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t(tk)
+),
+df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
+ranked AS (
+  SELECT t.doc_id, t.tk,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY d.df, t.tk) AS pos,
+         count(*) OVER (PARTITION BY t.doc_id) AS len
+  FROM tok t JOIN df d USING (tk)
+),
+prefix AS (
+  -- prefix length = len - ceil(t*len) + 1, ceil(3*len/5) exactly
+  SELECT doc_id, tk, len FROM ranked
+  WHERE pos <= len - (({PPJ_NUM} * len + {PPJ_DEN} - 1) // {PPJ_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.len AS len_a, b.len AS len_b
+  FROM prefix a JOIN prefix b
+    ON a.tk = b.tk AND a.doc_id < b.doc_id
+  -- length filter: |A|/|B| >= t is necessary for J >= t
+  WHERE {PPJ_DEN} * least(a.len, b.len)
+        >= {PPJ_NUM} * greatest(a.len, b.len)
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, c.len_a, c.len_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN tok x ON x.doc_id = c.doc_a
+  JOIN tok y ON y.doc_id = c.doc_b AND y.tk = x.tk
+  GROUP BY c.doc_a, c.doc_b, c.len_a, c.len_b
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE)
+             / (len_a + len_b - n_common), 6) AS jaccard
+FROM verified
+WHERE {PPJ_DEN} * n_common >= {PPJ_NUM} * (len_a + len_b - n_common)
+""",
+    doc="EXACT set-similarity self-join (word-set Jaccard >= 3/5) via "
+    "PREFIX FILTERING — the AllPairs/PPJoin family (Bayardo et al., "
+    "WWW'07; Xiao et al., WWW'08): order each document's token set "
+    "by ascending global document frequency, keep only the first "
+    "len - ceil(t*len) + 1 tokens as the PREFIX, and generate "
+    "candidates by equi-joining prefixes — two sets with "
+    "J >= t MUST share a prefix token (pigeonhole on the rarest "
+    "tokens), so recall is exactly 1 with a candidate volume driven "
+    "by RARE-token collisions instead of all n^2 pairs; a length "
+    "filter (t*|B| <= |A|) prunes further before exact-intersection "
+    "verification. This is the EXACT counterpart of the MinHash tier "
+    "(approximate) and the first-5-words blocker (heuristic): same "
+    "answer as the brute-force join, provably, at equi-join cost. "
+    "Everything is integer arithmetic (threshold as the rational "
+    "3/5, ceil via (3*len+4)//5), so both engines agree exactly; "
+    "the only float is the final reported jaccard — one IEEE "
+    "division of agreed integers. At 100 TB the df table is the "
+    "broadcast side, prefixes shuffle ~(1-t)·tokens rows, and the "
+    "verification join ships id pairs before fetching token sets.",
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("tk"),
+    ).distinct()
+    df = tok.groupBy("tk").agg(F.count("*").cast("long").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "tk")
+    wl = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(F.broadcast(df), "tk")
+        .withColumn("pos", F.row_number().over(wr))
+        .withColumn("len", F.count("*").over(wl))
+    )
+    prefix_len = (
+        F.col("len")
+        - F.floor((PPJ_NUM * F.col("len") + PPJ_DEN - 1) / PPJ_DEN)
+        + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "tk", "len"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            PPJ_DEN * F.least(F.col("a.len"), F.col("b.len"))
+            >= PPJ_NUM * F.greatest(F.col("a.len"), F.col("b.len"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.len").alias("len_a"),
+            F.col("b.len").alias("len_b"),
+        )
+        .distinct()
+    )
+    # intersection size via a COMPOSITE equi-join on (doc_b, token):
+    # joining on doc_b alone and filtering token equality afterwards
+    # would materialize |A|x|B| rows per candidate pair first
+    x = tok.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("xtk"))
+    y = tok.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("xtk"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "xtk"])
+        .groupBy("doc_a", "doc_b", "len_a", "len_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return verified.filter(
+        PPJ_DEN * F.col("n_common")
+        >= PPJ_NUM * (F.col("len_a") + F.col("len_b") - F.col("n_common"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("len_a") + F.col("len_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+    )
