@@ -1533,3 +1533,114 @@ def multimodal_media_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_pix_dc_blocks").cast("long").alias("signal_sum"),
     ).select(F.lit("jpeg").alias("kind"), "n_files", "total_units", "signal_sum")
     return wav.unionByName(bmp).unionByName(png).unionByName(jpeg)
+
+
+WAV_WIN = 100  # samples per analysis window
+
+
+@register(
+    "multimodal_wav_energy_windows",
+    survey_ids=(),
+    oracle=f"""
+WITH m AS (SELECT unnest(range(0, {N_WAV})) AS media_id),
+p AS (
+  SELECT media_id, 300 + (media_id % 50) * 7 AS n_samples FROM m
+),
+w AS (
+  SELECT media_id, n_samples,
+         unnest(range(0, (n_samples + {WAV_WIN} - 1) // {WAV_WIN}))
+           AS win_id
+  FROM p
+)
+SELECT media_id,
+       CAST(win_id AS BIGINT) AS win_id,
+       CAST(least({WAV_WIN}, n_samples - win_id * {WAV_WIN}) AS BIGINT)
+         AS n_in_win,
+       CAST(list_sum(list_transform(
+           range(win_id * {WAV_WIN},
+                 least(win_id * {WAV_WIN} + {WAV_WIN}, n_samples)),
+           i -> ((i * 7 + 13 * media_id) % 65536 - 32768)
+                * ((i * 7 + 13 * media_id) % 65536 - 32768)))
+         AS BIGINT) AS energy,
+       CAST(list_max(list_transform(
+           range(win_id * {WAV_WIN},
+                 least(win_id * {WAV_WIN} + {WAV_WIN}, n_samples)),
+           i -> abs((i * 7 + 13 * media_id) % 65536 - 32768)))
+         AS BIGINT) AS peak_abs
+FROM w
+""",
+    doc="Windowed audio FEATURE EXTRACTION over the real WAV decode "
+    "lane: each PCM16 file's samples split into fixed 100-sample "
+    "analysis windows, per window the exact-integer ENERGY (sum of "
+    "squared samples — the RMS numerator; max |sample| * 100 fits "
+    "int64 with 10^5 headroom) and PEAK amplitude. This is the "
+    "audio analog of the image resize tier: decode once, emit a "
+    "per-window feature ROW STREAM (media_id, win_id) — the shape a "
+    "VAD/segmentation stage consumes — rather than per-file scalars. "
+    "Decoder is the same stdlib wave + numpy mapInPandas; windowing "
+    "is one vectorized reshape per file, no Python loop over "
+    "samples. The oracle recomputes every window from the "
+    "closed-form generation rule in integer SQL, so a window "
+    "boundary off-by-one or a tail-window padding bug "
+    "hash-mismatches.",
+)
+def multimodal_wav_energy_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    path = write_media_fixture()
+    media = (
+        spark.read.parquet(path)
+        .filter(F.col("kind") == "wav")
+        .select("media_id", "payload")
+    )
+    win = WAV_WIN
+
+    def features(batches: Iterator) -> Iterator:
+        import io  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = []
+            for media_id, blob in zip(pdf["media_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+                    nf = w.getnframes()
+                    samples = np.frombuffer(
+                        w.readframes(nf), dtype="<i2"
+                    ).astype(np.int64)
+                n_win = (nf + win - 1) // win
+                padded = np.zeros(n_win * win, dtype=np.int64)
+                padded[:nf] = samples
+                sq = (padded * padded).reshape(n_win, win)
+                ab = np.abs(padded).reshape(n_win, win)
+                for wid in range(n_win):
+                    n_in = min(win, nf - wid * win)
+                    out.append(
+                        (
+                            media_id,
+                            wid,
+                            n_in,
+                            int(sq[wid].sum()),  # zero-padding adds 0
+                            int(ab[wid].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "win_id",
+                    "n_in_win",
+                    "energy",
+                    "peak_abs",
+                ],
+            )
+
+    return media.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        features,
+        "media_id bigint, win_id bigint, n_in_win bigint, "
+        "energy bigint, peak_abs bigint",
+    )
