@@ -1083,3 +1083,109 @@ def etl_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_new").cast("long").alias("n_orders"),
         F.round("s_new", 2).cast("double").alias("total_price"),
     )
+
+
+# Anti-entropy constants: digest prime + bucket count. Digests are
+# < P ~ 1e9, so an int64 bucket sum is exact up to ~9e9 rows/bucket.
+MERKLE_P = 1_000_000_007
+MERKLE_BUCKETS = 64
+
+
+@register(
+    "s7_replica_merkle_diff",
+    survey_ids=("A1", "J1"),
+    oracle=f"""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (  -- replica with injected divergence in buckets 7 (update) and
+        -- 13 (partial delete)
+  SELECT k,
+         CASE WHEN k % {MERKLE_BUCKETS} = 7 AND k % 10 = 1
+              THEN cents + 1 ELSE cents END AS cents
+  FROM a
+  WHERE NOT (k % {MERKLE_BUCKETS} = 13 AND k % 10 = 3)
+),
+ha AS (
+  SELECT k % {MERKLE_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum((k * 1000003 + cents) % {MERKLE_P})
+              % {MERKLE_P} AS BIGINT) AS hash_a
+  FROM a GROUP BY 1
+),
+hb AS (
+  SELECT k % {MERKLE_BUCKETS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum((k * 1000003 + cents) % {MERKLE_P})
+              % {MERKLE_P} AS BIGINT) AS hash_b
+  FROM b GROUP BY 1
+)
+SELECT coalesce(ha.bucket, hb.bucket) AS bucket, n_a, n_b, hash_a, hash_b
+FROM ha FULL JOIN hb ON ha.bucket = hb.bucket
+WHERE n_a IS DISTINCT FROM n_b OR hash_a IS DISTINCT FROM hash_b
+""",
+    doc="MERKLE-STYLE ANTI-ENTROPY between two table replicas (the "
+    "Dynamo/Cassandra repair primitive): each replica reduces to "
+    "per-bucket (row count, order-free digest sum mod P) — one "
+    "aggregate per side, output 64 rows each — and the full-outer "
+    "bucket compare names exactly the diverging buckets, here the "
+    "two with injected divergence (bucket 7: cents drift on every "
+    "10th key; bucket 13: partial delete). Row-level repair then "
+    "reads ONLY those buckets — at 100 TB the compare moves "
+    "2 x 64 rows between replicas instead of shuffling either "
+    "table, which is the entire point of hash-tree repair. The "
+    "digest is engine-neutral integer arithmetic (k*1000003 + "
+    "cents mod P, summed mod P; digests < P keep an int64 bucket "
+    "sum exact to ~9e9 rows) — the same xxhash64-avoidance rule as "
+    "text_fingerprint. A digest that ignored values (count-only) "
+    "would miss bucket 7; one that ignored counts could miss "
+    "compensating edits — both sides are checked.",
+)
+def s7_replica_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    b = a.filter(
+        ~((F.col("k") % MERKLE_BUCKETS == 13) & (F.col("k") % 10 == 3))
+    ).select(
+        "k",
+        F.when(
+            (F.col("k") % MERKLE_BUCKETS == 7) & (F.col("k") % 10 == 1),
+            F.col("cents") + 1,
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def bucket_hashes(df: DataFrame, n: str, h: str) -> DataFrame:
+        digest = (F.col("k") * 1000003 + F.col("cents")) % MERKLE_P
+        return (
+            df.select((F.col("k") % MERKLE_BUCKETS).alias("bucket"), digest.alias("d"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("long").alias(n),
+                (F.sum("d") % MERKLE_P).cast("long").alias(h),
+            )
+        )
+
+    ha = bucket_hashes(a, "n_a", "hash_a")
+    hb = bucket_hashes(b, "n_b", "hash_b")
+    j = ha.alias("ha").join(
+        hb.alias("hb"), F.col("ha.bucket") == F.col("hb.bucket"), "full"
+    )
+    return j.select(
+        F.coalesce(F.col("ha.bucket"), F.col("hb.bucket")).alias("bucket"),
+        "n_a",
+        "n_b",
+        "hash_a",
+        "hash_b",
+    ).filter(
+        ~F.col("n_a").eqNullSafe(F.col("n_b"))
+        | ~F.col("hash_a").eqNullSafe(F.col("hash_b"))
+    )
