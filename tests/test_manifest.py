@@ -622,3 +622,47 @@ def test_stats_pruned_read_time_travels(spark, tmp_path_factory):
     )
     assert (n_read, n_total) == (1, 1)
     assert got.count() == 10
+
+
+def test_compact_recomputes_stats_when_asked(spark, tmp_path_factory):
+    """compact(stats_cols=...) must carry data-skipping stats into the
+    rewritten manifest so pruned reads keep pruning; without the
+    argument the new version has no stats and reads degrade to
+    conservative full scans (still correct, never wrong)."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        commit_clustered,
+        compact,
+        read_table_stats_pruned,
+    )
+
+    table = str(tmp_path_factory.mktemp("manifest_compact_stats") / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 10).cast("int").alias("fkey"),
+        F.format_string("%03d", F.col("id")).alias("s"),
+    )
+    commit_clustered(df, table, "fkey", ["s"])
+
+    v = compact(table, spark, stats_cols=["s"])
+    assert v == 1
+    pruned, n_read, n_total = read_table_stats_pruned(
+        spark, table, "s", "020", "034"
+    )
+    assert (n_read, n_total) == (2, 10)
+    got = sorted(
+        r.k
+        for r in pruned.filter(
+            (F.col("s") >= "020") & (F.col("s") <= "034")
+        ).collect()
+    )
+    assert got == list(range(20, 35))
+
+    # compact WITHOUT stats_cols: skipping degrades conservatively
+    v2 = compact(table, spark)
+    assert v2 == 2
+    _, n_read2, n_total2 = read_table_stats_pruned(
+        spark, table, "s", "020", "034"
+    )
+    assert (n_read2, n_total2) == (10, 10)

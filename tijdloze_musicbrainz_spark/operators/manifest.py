@@ -392,7 +392,9 @@ def snapshot_diff(
     )
 
 
-def compact(table: str, spark: SparkSession) -> int:
+def compact(
+    table: str, spark: SparkSession, stats_cols: Sequence[str] | None = None
+) -> int:
     """OPTIMIZE analog: rewrite each bucket's file list into ONE
     coalesced file set and commit — readers of older versions are
     untouched (immutable files + retained manifests), new readers see
@@ -408,12 +410,21 @@ def compact(table: str, spark: SparkSession) -> int:
     lower-priority updates; once compacted away, a late writer for a
     deleted key is re-admitted — Delta's delete-marker retention
     contract). Older versions still time-travel with tombstones
-    intact (immutable files)."""
+    intact (immutable files).
+
+    ``stats_cols`` (r8b): when given, per-entry MIN/MAX data-skipping
+    stats are RECOMPUTED for the rewritten entries (one tiny agg per
+    bucket over data already in memory for the rewrite) and carried
+    into the new manifest — compacting a commit_clustered table
+    without it silently downgrades every read to unpruned (the
+    conservative no-stats path); with it, OPTIMIZE keeps skipping
+    intact, which is the Delta behavior."""
     v = current_version(table)
     if v < 0:
         raise ValueError(f"{table}: nothing to compact")
     files = _read_manifest(table, v)["files"]
     new_files: dict[str, list[str]] = {}
+    new_stats: dict[str, dict[str, list]] = {}
     for bkey, ps in files.items():
         df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(table, p) for p in ps]
@@ -425,7 +436,25 @@ def compact(table: str, spark: SparkSession) -> int:
         entry = f"data/v{v + 1}_compact_b{bkey}_{uuid.uuid4().hex[:8]}"
         os.rename(tmp, os.path.join(table, entry))
         new_files[bkey] = [entry]
-    _commit(table, v, new_files)
+        if stats_cols:
+            r = df.agg(
+                *[
+                    agg
+                    for c in stats_cols
+                    for agg in (
+                        F.min(c).alias(f"__mn_{c}"),
+                        F.max(c).alias(f"__mx_{c}"),
+                    )
+                ]
+            ).first()
+            new_stats[bkey] = {
+                c: [
+                    None if r[f"__mn_{c}"] is None else str(r[f"__mn_{c}"]),
+                    None if r[f"__mx_{c}"] is None else str(r[f"__mx_{c}"]),
+                ]
+                for c in stats_cols
+            }
+    _commit(table, v, new_files, stats=new_stats if stats_cols else None)
     return v + 1
 
 
