@@ -21,6 +21,8 @@ ALLOWED_NESTED_LOOP = {
     "sim_embedding_near_dup",  # 16-row blocks relation self-pairs (<=)
     "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
+    "sim_ann_ivf_pq",  # same centroid assignment shape (+1-row vocab-style
+    # broadcasts for the bounded codebook/ADC tables)
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF
