@@ -447,7 +447,7 @@ def compact(
                     )
                 ]
             ).first()
-            new_stats[bkey] = {
+            new_stats[entry] = {
                 c: [
                     None if r[f"__mn_{c}"] is None else str(r[f"__mn_{c}"]),
                     None if r[f"__mx_{c}"] is None else str(r[f"__mx_{c}"]),
@@ -516,22 +516,39 @@ def commit_clustered(
     table: str,
     file_key_col: str,
     stats_cols: Sequence[str],
+    mode: str = "overwrite",
 ) -> int:
     """Write ``df`` as one immutable file entry per distinct
-    ``file_key_col`` value and record per-entry MIN/MAX of
+    ``file_key_col`` value and record per-ENTRY MIN/MAX of
     ``stats_cols`` in the manifest — Delta-style DATA SKIPPING
-    statistics (the `stats` field of an add-file action), so reads
-    with a range predicate can prune whole files from the manifest
-    alone, without opening a single parquet footer. The stats agg is
-    one groupBy over the batch; its collect is bounded by the number
-    of file entries (the documented metadata-collect class). Values
-    are stored as strings whose lexicographic order must match the
-    column's order — ISO dates and zero-padded numerics qualify; the
-    pruned reader treats a missing/NULL bound as "must read"
-    (an all-NULL file never prunes, conservatively). Returns the
+    statistics (the `stats` field of an add-file action, keyed by the
+    entry path), so reads with a range predicate can prune whole
+    files from the manifest alone, without opening a single parquet
+    footer. The stats agg is one groupBy over the batch; its collect
+    is bounded by the number of file entries (the documented
+    metadata-collect class). Values are stored as strings whose
+    lexicographic order must match the column's order — ISO dates and
+    zero-padded numerics qualify; the pruned reader treats a
+    missing/NULL bound as "must read" (an all-NULL file never prunes,
+    conservatively).
+
+    ``mode="append"`` (r8b) is the STREAMING-INGEST shape: the new
+    batch's entries are ADDED to each key's file list and prior
+    entries keep their own stats — each micro-batch becomes one
+    add-file action per touched key, exactly Delta's transaction log
+    under a streaming writer; pruning granularity stays per entry, so
+    a read skips old batches AND unrelated keys. Returns the
     committed version."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"commit_clustered: unknown mode {mode!r}")
     spark = df.sparkSession  # noqa: F841  (symmetry with the merge paths)
     v = current_version(table)
+    if mode == "append" and v >= 0:
+        prev = _read_manifest(table, v)
+        files = {k: list(ps) for k, ps in prev["files"].items()}
+        stats = dict(prev.get("stats", {}))
+    else:
+        files, stats = {}, {}
     stat_aggs = [
         agg
         for c in stats_cols
@@ -543,8 +560,6 @@ def commit_clustered(
     df.write.mode("overwrite").partitionBy(file_key_col).parquet(tmp)
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     os.makedirs(_manifest_dir(table), exist_ok=True)
-    files: dict[str, list[str]] = {}
-    stats: dict[str, dict[str, list]] = {}
     for r in stats_rows:
         key = r[file_key_col]
         part = key if key is not None else "__HIVE_DEFAULT_PARTITION__"
@@ -553,8 +568,12 @@ def commit_clustered(
             continue
         entry = f"data/v{v + 1}_f{part}_{uuid.uuid4().hex[:8]}"
         os.rename(src, os.path.join(table, entry))
-        files[str(part)] = [entry]
-        stats[str(part)] = {
+        files.setdefault(str(part), [])
+        if mode == "overwrite":
+            files[str(part)] = [entry]
+        else:
+            files[str(part)].append(entry)
+        stats[entry] = {
             c: [
                 None if r[f"__mn_{c}"] is None else str(r[f"__mn_{c}"]),
                 None if r[f"__mx_{c}"] is None else str(r[f"__mx_{c}"]),
@@ -595,21 +614,26 @@ def read_table_stats_pruned(
     m = _read_manifest(table, v)
     files = m["files"]
     stats = m.get("stats", {})
+    # stats are keyed per ENTRY path (the Delta add-file model, r8b);
+    # the prune decision and the files_read/files_total counters are
+    # per entry too, so an appended table skips old batches as well as
+    # unrelated keys
     keep: list[str] = []
     n_read = 0
     total = 0
-    for k, ps in files.items():
-        total += 1
-        st = stats.get(k, {}).get(col)
-        prunable = (
-            st is not None
-            and st[0] is not None
-            and st[1] is not None
-            and (st[0] > hi or st[1] < lo)
-        )
-        if not prunable:
-            keep.extend(ps)
-            n_read += 1
+    for ps in files.values():
+        for entry in ps:
+            total += 1
+            st = stats.get(entry, {}).get(col)
+            prunable = (
+                st is not None
+                and st[0] is not None
+                and st[1] is not None
+                and (st[0] > hi or st[1] < lo)
+            )
+            if not prunable:
+                keep.append(entry)
+                n_read += 1
     if not keep:
         return None, 0, total
     df = spark.read.option("mergeSchema", "true").parquet(

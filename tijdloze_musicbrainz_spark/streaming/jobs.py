@@ -1131,3 +1131,130 @@ def streaming_interval_join_left_outer(
         F.unix_timestamp("click_ts").cast("long").alias("click_epoch"),
         F.unix_timestamp("purchase_ts").cast("long").alias("purchase_epoch"),
     )
+
+
+@register(
+    "streaming_clustered_sink_prune",
+    survey_ids=("S7", "A1"),
+    oracle="""
+WITH e AS (
+  SELECT event_id, ts, value FROM events WHERE ts IS NOT NULL
+),
+entries AS (
+  SELECT event_id % 4 AS b, day(ts) AS fkey,
+         min(ts) AS mn, max(ts) AS mx
+  FROM e GROUP BY 1, 2
+),
+sel AS (
+  SELECT CAST(count(*) AS INT) AS files_read FROM entries
+  WHERE NOT (mn > TIMESTAMP '2024-01-13 00:00:00'
+             OR mx < TIMESTAMP '2024-01-10 00:00:00')
+),
+tot AS (SELECT CAST(count(*) AS INT) AS files_total FROM entries),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+           AS total_value
+  FROM e
+  WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+               AND TIMESTAMP '2024-01-13 00:00:00'
+)
+SELECT agg.n_rows, agg.total_value, sel.files_read, tot.files_total
+FROM agg, sel, tot
+""",
+    doc="STREAMING INGEST into the stats-clustered manifest table — "
+    "the lakehouse write loop end to end: events replay as 4 "
+    "micro-batches (staged 4-file source, maxFilesPerTrigger=1), "
+    "each batch foreachBatch-commits to the manifest in APPEND mode "
+    "(one add-file entry per touched day-key, per-entry min/max ts "
+    "stats — Delta's transaction log under a streaming writer), then "
+    "a 3-day range read prunes the accumulated entries from the "
+    "manifest ALONE and aggregates survivors under the residual "
+    "predicate. Pruning is per ENTRY, so the read skips both "
+    "unrelated day-keys and (for tighter ranges) whole batches; the "
+    "oracle recomputes entries as (batch, day) groups, so both the "
+    "commit layout and the prune decision are hash-checked. Restart "
+    "safety comes from the manifest commit protocol (a replayed "
+    "batch appends duplicate entries only if its commit succeeded "
+    "without the checkpoint advancing — the documented "
+    "at-least-once-to-exactly-once boundary foreachBatch has "
+    "everywhere; keys make dedup-on-read possible when it matters).",
+)
+def streaming_clustered_sink_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    from ..operators.manifest import (  # noqa: PLC0415
+        commit_clustered,
+        read_table_stats_pruned,
+    )
+    from ..plans.etl import SINK_ROOT  # noqa: PLC0415
+    from ..plans.util import t  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    stage = f"{SINK_ROOT}/stream_clustered_src_{tag}"
+    table = f"{SINK_ROOT}/stream_clustered_tbl_{tag}"
+    ckpt = f"{SINK_ROOT}/stream_clustered_ckpt_{tag}"
+    for d in (stage, table, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+    base = time.time()
+    for b in range(4):
+        part = f"{stage}/b{b}"
+        ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.parquet(part)
+        ts_b = base + b * 10
+        for root, _dirs, fs in os.walk(part):
+            for f in fs:
+                os.utime(os.path.join(root, f), (ts_b, ts_b))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+    def commit_batch(batch_df, _batch_id):
+        commit_clustered(
+            batch_df.withColumn("fkey", F.dayofmonth("ts")),
+            table,
+            "fkey",
+            ["ts"],
+            mode="append",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-13 00:00:00"
+    pruned, files_read, files_total = read_table_stats_pruned(
+        spark, table, "ts", lo, hi
+    )
+    if pruned is None:
+        pruned = ev.limit(0)
+    return (
+        pruned.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") <= F.lit(hi).cast("timestamp"))
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("files_read", F.lit(files_read).cast("int"))
+        .withColumn("files_total", F.lit(files_total).cast("int"))
+    )
