@@ -1228,3 +1228,50 @@ def events_ols_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
+
+
+@register(
+    "events_trailing_range_frame",
+    survey_ids=(),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))) OVER w, 2) AS DOUBLE)
+         AS trail_sum
+FROM events WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+""",
+    doc="TIME-RANGE window frame — the semantic ROWS frames can't "
+    "express: each event's trailing-10-minute count and exact-"
+    "DECIMAL value sum per user, where the frame is defined by the "
+    "EVENT-TIME distance (RANGE BETWEEN 600 PRECEDING), not a row "
+    "count — the rate-limiter / velocity-check shape. RANGE frames "
+    "include ALL peers of the current ordering value, so rows tied "
+    "at the same second see identical frames in both engines — no "
+    "tie-break sensitivity, unlike ROWS (which is why the moving "
+    "frame query needs its (ts, event_id) total order and this one "
+    "does not). Ordering key is floor-epoch seconds (Spark "
+    "unix_timestamp truncates identically); same single shuffle on "
+    "user_id + one in-partition sort as the ROWS variant.",
+)
+def events_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    epoch_s = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s)
+        .rangeBetween(-600, 0)
+    )
+    v = F.col("value").cast("decimal(25,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        epoch_s.alias("ts_epoch"),
+        F.count("*").over(w).cast("long").alias("trail_n"),
+        F.round(F.sum(v).over(w), 2).cast("double").alias("trail_sum"),
+    )
