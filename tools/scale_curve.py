@@ -116,6 +116,42 @@ QUERIES = (
         "(edges, wedges, triangles all exactly m-linear); per-order "
         "fan-out bounded at <=21 pairs regardless of m",
     ),
+    # r8b: the four new shapes.
+    (
+        "graph_bfs_hops",
+        None,
+        True,
+        "frontier BFS over the co-purchase projection: replica key "
+        "strides make the m-times graph m disjoint copies, but the "
+        "SEED set is absolutely capped (mod + id cap), so only the "
+        "first replica's component is traversed — per-hop frontier "
+        "work stays CONSTANT in m and the measured exponent reflects "
+        "the edge-build scan (m-linear) plus a flat traversal",
+    ),
+    (
+        "graph_kcore_peel",
+        None,
+        True,
+        "3 peel rounds over m disjoint graph copies: degrees, alive "
+        "sets and edge re-filters all m-linear",
+    ),
+    (
+        "sim_ann_ivf_pq",
+        None,
+        True,
+        "PQ encode is the m-linear term (corpus x 64-entry codebook "
+        "argmin); codebook + query set are id-capped constants, "
+        "probed-list sizes stay ~constant as centroid count grows "
+        "with the corpus",
+    ),
+    # dedup_jaccard_prefix_filter is deliberately NOT curved: the
+    # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
+    # pays Omega(answer), and the template-heavy synthetic corpus
+    # makes the true answer itself quadratic in duplicate-cluster
+    # size, so a wall-time exponent would measure the data, not the
+    # engine (an m=4 attempt ran past the 1h harness budget producing
+    # tens of millions of genuinely-qualifying pairs). Same reasoning
+    # as the 0.45-threshold LSH scope-out in SCALE.md.
     (
         "sim_near_dup_lsh_bucketed",
         4,
@@ -297,6 +333,13 @@ def main() -> None:
     ap.add_argument("--mult", default="1,2,4,8")
     ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--out", default="SCALE_CURVE.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: measure only these and "
+        "MERGE into --out (other entries kept verbatim; headline "
+        "recomputed over the union)",
+    )
     args = ap.parse_args()
     mults = [int(x) for x in args.mult.split(",")]
 
@@ -322,13 +365,21 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    queries = QUERIES
+    if args.only:
+        only = set(args.only.split(","))
+        queries = tuple(q for q in QUERIES if q[0] in only)
+        missing = only - {q[0] for q in queries}
+        if missing:
+            raise SystemExit(f"--only names not in QUERIES: {sorted(missing)}")
+
     # warmup: codegen + Python workers + file listing, untimed
-    for name, _cap, _lin, _note in QUERIES:
+    for name, _cap, _lin, _note in queries:
         run(name, dirs[mults[0]])
 
     results: dict[str, dict] = {}
     worst_linear = 0.0
-    for name, cap, expected_linear, note in QUERIES:
+    for name, cap, expected_linear, note in queries:
         q_mults = [m for m in mults if cap is None or m <= cap]
         times = {}
         for m in q_mults:
@@ -349,6 +400,39 @@ def main() -> None:
         if note:
             results[name]["note"] = note
         print(f"[scale] {name}: {results[name]}", file=sys.stderr)
+
+    if args.only and os.path.exists(args.out):
+        # merge mode: keep prior entries for unmeasured queries; for
+        # re-measured ones take the per-point MIN of old and new times
+        # and refit the exponent — the best-observed policy the
+        # committed file documents (bursty-steal box), so a noisy
+        # re-run can only sharpen points, never corrupt them
+        with open(args.out) as f:
+            prior = json.load(f)
+        merged = dict(prior.get("queries", {}))
+        for name, res in results.items():
+            old = merged.get(name)
+            if old and old.get("times_sec"):
+                times = {
+                    m: min(float(t_new), float(old["times_sec"].get(m, t_new)))
+                    for m, t_new in res["times_sec"].items()
+                }
+                for m, t_old in old["times_sec"].items():
+                    times.setdefault(m, float(t_old))
+                res = dict(res)
+                res["times_sec"] = {
+                    m: round(times[m], 3) for m in sorted(times, key=int)
+                }
+                res["exponent"] = round(
+                    fit_exponent(sorted((int(m), t) for m, t in times.items())),
+                    3,
+                )
+            merged[name] = res
+        results = merged
+        worst_linear = max(
+            (r["exponent"] for r in results.values() if r.get("expected_linear")),
+            default=worst_linear,
+        )
 
     out = {
         # the headline is the WORST exponent among queries whose plan
