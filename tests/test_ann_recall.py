@@ -125,7 +125,7 @@ def test_ivf_pq_recall_and_shape(spark, sf_dir):
     exact = _topk_pairs(spark, sf_dir, "sim_cosine_topk_exact")
     rows = REGISTRY["sim_ann_ivf_pq"].builder(spark, sf_dir).collect()
     pq_pairs = {(r["query_id"], r["match_id"]) for r in rows}
-    assert len(exact & pq_pairs) / len(exact) >= 0.6
+    assert len(exact & pq_pairs) / len(exact) >= 0.7
     from collections import Counter
 
     per_q = Counter(r["query_id"] for r in rows)

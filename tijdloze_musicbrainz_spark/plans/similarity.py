@@ -1438,7 +1438,7 @@ PQ_SUB = DIM // PQ_M  # 16 dims per subspace
 # pattern) — at most 16 entries per subspace at ANY corpus scale
 PQ_CB_MOD = 40
 PQ_CB_CAP = 40 * 16
-PQ_TOP_C = 32  # ADC shortlist re-ranked with exact cosine
+PQ_TOP_C = 64  # ADC shortlist re-ranked with exact cosine
 
 _PQ_SUBS_SQL = ", ".join(str(m) for m in range(PQ_M))
 
@@ -1538,7 +1538,12 @@ QUALIFY row_number() OVER (
     "per-query ADC lookup table (distance to every codebook entry "
     "per subspace) and score candidates with PQ_M integer lookups + "
     "adds instead of a 64-dim dot product; only the PQ_TOP_C ADC "
-    "shortlist is re-ranked with exact cosine. Why it matters at "
+    "shortlist is re-ranked with exact cosine (measured recall@5 vs "
+    "the exact scan: 0.80 at sf0.001, 0.76 at sf0.1 with the "
+    "16-entry-per-subspace codebook — the standard PQ knobs, "
+    "codebook size K and shortlist depth, trade recall for list "
+    "bytes and re-rank cost; bench.py re-measures per round). Why "
+    "it matters at "
     "100 TB: the inverted lists store 4 codes (+id) per vector, not "
     "64 floats — a 64x list-storage compression, and ADC scoring is "
     "O(PQ_M) per candidate. Determinism/oracle: subvectors are "
