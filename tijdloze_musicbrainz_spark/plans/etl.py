@@ -17,7 +17,7 @@ from ..functions.normalize import search_key, search_key_sql
 from ..operators.upsert import write_upsert
 from ..sources.readers import read_csv_golden
 from .registry import register
-from .util import t
+from .util import money_sum, t
 
 # Per-process sink root: two concurrent runs (driver + a local pytest,
 # say) must not interleave overwrite-then-append batches in the same
@@ -1188,4 +1188,86 @@ def s7_replica_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         ~F.col("n_a").eqNullSafe(F.col("n_b"))
         | ~F.col("hash_a").eqNullSafe(F.col("hash_b"))
+    )
+
+
+@register(
+    "etl_scd2_point_in_time_join",
+    survey_ids=("J1", "A1"),
+    oracle="""
+WITH feed AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS attr
+  FROM orders
+),
+changes AS (
+  SELECT * FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, attr,
+           lag(attr) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_attr
+    FROM feed
+  ) WHERE prev_attr IS NULL OR prev_attr <> attr
+),
+dim AS (
+  SELECT o_custkey, attr,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM changes
+),
+facts AS (
+  SELECT o.o_custkey, l.l_shipdate, l.l_extendedprice
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT d.attr,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(25,6))), 2)
+            AS DOUBLE) AS revenue
+FROM facts f
+JOIN dim d
+  ON f.o_custkey = d.o_custkey
+ AND f.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+GROUP BY d.attr
+""",
+    doc="POINT-IN-TIME fact lookup against the SCD2 dimension — the "
+    "consumption side of etl_scd2_dimension_build (whose builder is "
+    "reused verbatim for the dimension): each lineitem is attributed "
+    "to the customer-priority VERSION valid at its ship date "
+    "(valid_from <= d < valid_to, open current row), then revenue "
+    "rolls up by the as-of attribute. Plan shape: EQUI-join on the "
+    "dimension key + residual range filter — the right SCD2 lookup "
+    "at any scale because per-key fan-out before the filter is the "
+    "key's VERSION COUNT (bounded by its change history, typically "
+    "single digits), after which exactly one version survives: the "
+    "validity ranges partition the timeline, so this join is "
+    "one-to-at-most-one by construction. No banded range join "
+    "needed — that machinery (events_range_join_banded) is for "
+    "range predicates WITHOUT an equi key. Ship dates before a "
+    "customer's first version drop on both engines (inner join).",
+)
+def etl_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = etl_scd2_dimension_build(spark, sf_dir).select(
+        "o_custkey", "attr", "valid_from", "valid_to"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    facts = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_shipdate", "l_extendedprice")
+    )
+    joined = facts.join(
+        dim.withColumnRenamed("o_custkey", "d_custkey"),
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("l_shipdate") < F.col("valid_to"))
+        ),
+    )
+    return joined.groupBy("attr").agg(
+        F.count("*").cast("long").alias("n_items"),
+        money_sum(F.col("l_extendedprice")).alias("revenue"),
     )
