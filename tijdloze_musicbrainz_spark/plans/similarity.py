@@ -1694,3 +1694,253 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= TOP_K)
         .drop("__rn")
     )
+
+
+# Lloyd-refined PQ: one k-means round over each subspace's quantized
+# subvectors. The refined centroid is the ROUND-HALF-UP integer mean,
+# computed entirely in int64 via an offset shift so floor-division
+# agrees across engines (Spark `div` truncates toward zero, DuckDB
+# `//` floors — they only coincide on nonnegatives):
+#   c_i = ((2*(sum_i + n*OFF) + n) div (2*n)) - OFF
+# OFF bounds |component| (quantized embeddings are well inside 4e6).
+# Sum magnitude: 8e6 * n per component — exact in int64 to n ~ 1e12
+# per (subspace, codebook-entry) cluster.
+PQ_OFF = 4_000_000
+
+_PQT_CB1 = f"""
+assign0 AS (
+  SELECT s.vec_id, s.m, cb.j AS code
+  FROM subs s JOIN cb ON cb.m = s.m
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY {_PQ_L2I.format(a="s.siv", b="cb.cbv")}, cb.j) <= 1
+),
+dims AS (SELECT unnest(range(1, {PQ_SUB} + 1)) AS i),
+sums AS (
+  SELECT a.m, a.code AS j, d.i,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s.siv[d.i]) AS BIGINT) AS sm
+  FROM assign0 a
+  JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m
+  CROSS JOIN dims d
+  GROUP BY a.m, a.code, d.i
+),
+cb1_rows AS (
+  SELECT m, j, i,
+         ((2 * (sm + n * {PQ_OFF}) + n) // (2 * n)) - {PQ_OFF} AS c
+  FROM sums
+),
+cb1_refined AS (
+  SELECT m, j, list(c ORDER BY i) AS cbv FROM cb1_rows GROUP BY m, j
+),
+cb1 AS (  -- empty clusters keep their seed entry
+  SELECT cb.m, cb.j, coalesce(r.cbv, cb.cbv) AS cbv
+  FROM cb LEFT JOIN cb1_refined r ON r.m = cb.m AND r.j = cb.j
+)
+"""
+
+# assemble: inject the refinement CTEs before `codes`, point the
+# ENCODE and ADC joins at cb1 (every corpus/query join), then restore
+# the seed join inside assign0 itself — assign0 is textually identical
+# to codes, so the flip-all-then-fix-first approach is the only
+# non-ambiguous string surgery.
+_PQT_ORACLE = (
+    _PQ_ORACLE.replace("codes AS (", _PQT_CB1 + ",\ncodes AS (")
+    .replace(
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+    )
+    .replace(
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        1,  # first occurrence = assign0's seed assignment
+    )
+)
+
+
+@register(
+    "sim_ann_ivf_pq_trained",
+    survey_ids=(),
+    oracle=_PQT_ORACLE,
+    doc="IVF-PQ with a LLOYD-REFINED codebook — one k-means round per "
+    "subspace over the quantized subvectors (assign to the seed "
+    "codebook, recompute each entry as its cluster's integer mean, "
+    "empty clusters keep their seed), which is how real PQ codebooks "
+    "are trained (Jégou et al. §III; Faiss trains k-means per "
+    "subquantizer). The refined centroid is the round-half-up "
+    "integer mean computed entirely in int64 via an offset shift "
+    "(((2*(sum+n*OFF)+n) div (2*n)) - OFF), so Spark's truncating "
+    "div and DuckDB's flooring // agree (operands nonnegative) and "
+    "the refined codebook is bit-identical across engines — the "
+    "training step itself is oracle-checked, not just the lookup. "
+    "Encode, ADC and re-rank are the sim_ann_ivf_pq pipeline against "
+    "the refined codebook. Training cost: one corpus-x-codebook "
+    "argmin + one (m, j, dim)-keyed sum — both map-side-combinable "
+    "aggregates, one round; more rounds repeat the same plan.",
+)
+def sim_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "iv",
+        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+    )
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("iv", m * PQ_SUB + 1, PQ_SUB).alias("siv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.siv").alias("siv"))
+
+    cb_src = (
+        vecs.filter(
+            (F.col("vec_id") % PQ_CB_MOD == 0) & (F.col("vec_id") < PQ_CB_CAP)
+        )
+        .select("vec_id")
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
+        )
+    )
+    cb = cb_src.join(subs, "vec_id").select(
+        "j", "m", F.col("siv").alias("cbv")
+    )
+
+    def l2i(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def encode(codebook: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(codebook), "m").select(
+            "vec_id", "m", "j", l2i(F.col("siv"), F.col("cbv")).alias("d")
+        )
+        wc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+        return (
+            scored.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "m", F.col("j").alias("code"))
+        )
+
+    # one Lloyd round: seed-assign, integer-mean per (m, j, dim)
+    assign0 = encode(cb)
+    pos = (
+        subs.join(assign0, ["vec_id", "m"])
+        .select(
+            "m",
+            F.col("code").alias("j"),
+            F.posexplode("siv").alias("i", "val"),
+        )
+    )
+    sums = pos.groupBy("m", "j", "i").agg(
+        F.count("*").alias("n"), F.sum("val").alias("sm")
+    )
+    c = (
+        F.expr(
+            f"(2 * (sm + n * {PQ_OFF}) + n) div (2 * n)"
+        )
+        - F.lit(PQ_OFF)
+    ).cast("long")
+    refined = (
+        sums.select("m", "j", "i", c.alias("c"))
+        .groupBy("m", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda x: x["c"],
+            ).alias("rbv")
+        )
+    )
+    cb1 = (
+        cb.join(refined, ["m", "j"], "left")
+        .select("m", "j", F.coalesce("rbv", "cbv").alias("cbv"))
+    )
+
+    codes = encode(cb1).withColumnRenamed("vec_id", "match_id")
+
+    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def nearest(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+        sc = df.join(F.broadcast(cents)).select(
+            id_col,
+            "cent_id",
+            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__sim"), F.asc("cent_id")
+        )
+        return (
+            sc.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(id_col, "cent_id")
+        )
+
+    lists = nearest(vecs, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    probes = nearest(
+        vecs.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    cand = probes.join(lists, "cent_id").filter(
+        F.col("query_id") != F.col("match_id")
+    ).select("query_id", "match_id")
+
+    dtab = (
+        subs.filter(_query_filter())
+        .select(F.col("vec_id").alias("query_id"), "m", "siv")
+        .join(F.broadcast(cb1), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("j").alias("code"),
+            l2i(F.col("siv"), F.col("cbv")).alias("d"),
+        )
+    )
+    adc = (
+        cand.join(codes, "match_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("d").cast("long").alias("pq_adc"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("pq_adc", "match_id")
+    shortlist = (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= PQ_TOP_C)
+        .drop("__rn")
+    )
+    qv = vecs.filter(_query_filter()).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = vecs.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv"))
+    reranked = (
+        shortlist.join(cv, "match_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            "pq_adc",
+            F.round(cosine(F.col("qv"), F.col("mv")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
