@@ -1275,3 +1275,59 @@ def events_trailing_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("trail_n"),
         F.round(F.sum(v).over(w), 2).cast("double").alias("trail_sum"),
     )
+
+
+@register(
+    "events_sliding_window",
+    survey_ids=("A1",),
+    oracle="""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, user_id, value
+  FROM events WHERE ts IS NOT NULL
+),
+x AS (
+  SELECT (e.ep // 600 - k.k) * 600 AS ws, e.user_id, e.value
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+)
+SELECT ws AS window_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS total_value
+FROM x GROUP BY ws
+""",
+    doc="SLIDING (hopping) event-time windows — 30-minute windows "
+    "every 10 minutes, so each event belongs to exactly THREE "
+    "overlapping windows: the semantic tumbling windows can't "
+    "express (a tumbling window partitions events; a sliding window "
+    "REPLICATES them, which is why Spark's window() expands each row "
+    "window_duration/slide times before the aggregate — a deliberate "
+    "3x map-side blowup that the partial aggregation immediately "
+    "collapses). Per window: event count, exact distinct users, "
+    "exact-DECIMAL value sum. The oracle replicates rows with an "
+    "explicit k in {0,1,2} cross join and the same epoch-aligned "
+    "window-start arithmetic (boundaries at multiples of the slide, "
+    "so second-floored epochs assign identically to full-precision "
+    "timestamps). At 100 TB slide/duration choose the replication "
+    "factor — the cost lever — and the aggregate stays one shuffle.",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start"))
+            .cast("long")
+            .alias("window_start_epoch"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
