@@ -28,6 +28,11 @@ EDGE_EVENT_QUERIES = [
     "streaming_watermark_late_drop",
     "events_hypertable_rollup",
     "events_moving_frame",
+    # r8b: RANGE frame ties at the same second share frames; sliding
+    # windows replicate rows 3x — NULL ts/user/value must behave
+    # identically through both
+    "events_trailing_range_frame",
+    "events_sliding_window",
     "events_funnel_conversion",
     # streaming twins drain the same file via availableNow — the
     # zero-variance fix in the stream scorer is pinned here too
