@@ -1258,3 +1258,56 @@ def streaming_clustered_sink_prune(
         .withColumn("files_read", F.lit(files_read).cast("int"))
         .withColumn("files_total", F.lit(files_total).cast("int"))
     )
+
+
+@register(
+    "streaming_sliding_window",
+    survey_ids=("A1",),
+    oracle="""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, value
+  FROM events WHERE ts IS NOT NULL
+),
+x AS (
+  SELECT (e.ep // 600 - k.k) * 600 AS ws, e.value
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+)
+SELECT ws AS window_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS total_value
+FROM x GROUP BY ws
+""",
+    doc="Streaming twin of events_sliding_window: the same 30-minute/"
+    "10-minute hopping aggregate under readStream + watermark, "
+    "drained complete-mode with availableNow. Each arriving event "
+    "updates THREE window states (the sliding replication happens "
+    "inside the stateful aggregate); watermark eviction retires a "
+    "window only once event time passes its END + delay, exactly as "
+    "for tumbling windows — the state footprint is "
+    "windows-in-flight x duration/slide, the knob the batch "
+    "docstring names. Distinct-user counting is omitted on the "
+    "stream: exact countDistinct needs per-window member state "
+    "(unbounded per window) and is the documented batch-side "
+    "metric; the streaming state here stays two longs per window.",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start"))
+            .cast("long")
+            .alias("window_start_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg)
