@@ -463,3 +463,75 @@ def s_stats_skipping_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_read", F.lit(files_read).cast("int"))
         .withColumn("files_total", F.lit(files_total).cast("int"))
     )
+
+
+@register(
+    "s_dynamic_partition_overwrite",
+    survey_ids=("S4", "S7"),
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS pkey
+  FROM orders
+),
+-- the second write replaces ONLY partition 1995-03 (pkey 23942):
+-- doubled prices, odd keys only — every other partition keeps the
+-- first write's rows untouched
+final AS (
+  SELECT o_orderkey, o_totalprice, pkey FROM base WHERE pkey <> 23942
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, pkey
+  FROM base WHERE pkey = 23942 AND o_orderkey % 2 = 1
+)
+SELECT CAST(pkey AS INT) AS pkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {money_sum_sql('o_totalprice')} AS total_price
+FROM final GROUP BY pkey
+""",
+    doc="DYNAMIC PARTITION OVERWRITE (partitionOverwriteMode=dynamic) "
+    "— the idempotent partition-level reload every warehouse backfill "
+    "depends on: a full partitioned load, then a second "
+    "mode('overwrite') write containing ONLY the 1995-03 partition "
+    "(odd keys, doubled prices) must replace THAT partition alone; "
+    "under the default STATIC mode the same write would silently "
+    "TRUNCATE every other partition — the classic data-loss footgun "
+    "this query pins shut. The oracle recomputes the expected final "
+    "state per partition; a static-mode regression (79 of 80 "
+    "partitions vanished) or a non-replacement (duplicate rows in "
+    "1995-03) both break the hash. At 100 TB this is how daily "
+    "re-loads replace a day without rewriting the table; the "
+    "manifest tier's commit_clustered(mode='append') + compact is "
+    "the transactional alternative when readers need snapshot "
+    "isolation during the swap.",
+)
+def s_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    path = f"{SINK_ROOT}/s_dyn_overwrite"
+    shutil.rmtree(path, ignore_errors=True)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("pkey"),
+    )
+    base.write.partitionBy("pkey").parquet(path)
+    reload_199503 = base.filter(
+        (F.col("pkey") == 23942) & (F.col("o_orderkey") % 2 == 1)
+    ).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"), "pkey"
+    )
+    # the mode that makes overwrite PARTITION-scoped instead of
+    # table-scoped; set per-write via the conf the writer reads
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        reload_199503.write.mode("overwrite").partitionBy("pkey").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = spark.read.parquet(path)
+    return out.groupBy(F.col("pkey").cast("int").alias("pkey")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
