@@ -1226,3 +1226,121 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jaccard"),
     )
+
+
+# Containment threshold as an exact rational: |A ∩ B| >= 4/5 * |A|.
+CONT_NUM, CONT_DEN = 4, 5
+
+
+@register(
+    "dedup_containment_join",
+    survey_ids=(),
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tk AS tk
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t(tk)
+),
+df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
+ranked AS (
+  SELECT t.doc_id, t.tk,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY d.df, t.tk) AS pos,
+         count(*) OVER (PARTITION BY t.doc_id) AS len
+  FROM tok t JOIN df d USING (tk)
+),
+prefix AS (
+  SELECT doc_id, tk, len FROM ranked
+  WHERE pos <= len - (({CONT_NUM} * len + {CONT_DEN} - 1) // {CONT_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.len AS len_a
+  FROM prefix a JOIN tok b ON a.tk = b.tk
+  WHERE a.doc_id <> b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, c.len_a,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN tok x ON x.doc_id = c.doc_a
+  JOIN tok y ON y.doc_id = c.doc_b AND y.tk = x.tk
+  GROUP BY c.doc_a, c.doc_b, c.len_a
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / len_a, 6) AS containment
+FROM verified
+WHERE {CONT_DEN} * n_common >= {CONT_NUM} * len_a
+""",
+    doc="ASYMMETRIC CONTAINMENT join (|A inter B| >= 4/5 |A|): finds "
+    "documents mostly CONTAINED in another — quote inclusion, "
+    "boilerplate wrapping, chunk-of-a-document — the direction "
+    "symmetric Jaccard cannot see (a tweet quoted inside an article "
+    "has Jaccard ~0 but containment ~1). Same pigeonhole prefix as "
+    "the AllPairs join, applied one-sided: only the CONTAINED "
+    "candidate's rarest len - ceil(t*len) + 1 tokens generate "
+    "candidates (if B misses all of them it misses too many of A), "
+    "joined against the container side's FULL token index — recall "
+    "exactly 1, no length filter (the container may be arbitrarily "
+    "large). Candidate volume is governed by the df of A's RAREST "
+    "tokens, which is what makes the one-sided prefix viable at "
+    "scale; verification is the same composite (doc, token) "
+    "equi-join. Exact integer threshold; both directions of a "
+    "mutually-containing pair emit as separate rows.",
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("tk"),
+    ).distinct()
+    df = tok.groupBy("tk").agg(F.count("*").cast("long").alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "tk")
+    wl = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(F.broadcast(df), "tk")
+        .withColumn("pos", F.row_number().over(wr))
+        .withColumn("len", F.count("*").over(wl))
+    )
+    prefix_len = (
+        F.col("len")
+        - F.floor((CONT_NUM * F.col("len") + CONT_DEN - 1) / CONT_DEN)
+        + 1
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "tk", "len"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.tk") == F.col("b.tk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.len").alias("len_a"),
+        )
+        .distinct()
+    )
+    x = tok.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("xtk"))
+    y = tok.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("xtk"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "xtk"])
+        .groupBy("doc_a", "doc_b", "len_a")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return verified.filter(
+        CONT_DEN * F.col("n_common") >= CONT_NUM * F.col("len_a")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common").cast("double") / F.col("len_a"), 6
+        ).alias("containment"),
+    )
