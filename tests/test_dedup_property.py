@@ -143,3 +143,53 @@ def test_prefix_filter_equals_brute_force_jaccard(spark, tmp_path_factory):
             want.add((i, j, round(jac, 6)))
     assert want, "crafted corpus must contain qualifying pairs"
     assert got == want
+
+
+def test_containment_equals_brute_force(spark, tmp_path_factory):
+    """One-sided prefix filtering must return EXACTLY the brute-force
+    containment result (|A inter B| >= 4/5 |A|), including the
+    asymmetric pair (tweet inside article) that symmetric Jaccard
+    misses, and both directions of an exact-duplicate pair."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    docs = [
+        (0, "quick brown fox jumps high"),
+        (1, "quick brown fox jumps high over the extremely lazy sleepy "
+            "old guard dog tonight"),          # contains 0 fully
+        (2, "quick brown fox jumps"),           # 4 tokens, all in 0: c=1
+        (3, "totally unrelated words appear here"),
+        (4, "quick brown fox jumps high"),      # exact dup of 0
+        (5, "quick brown cat naps low"),        # 2/5 of 0: below
+        (6, ""),
+    ]
+    base = tmp_path_factory.mktemp("containment")
+    spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("src0")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(f"{base}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in REGISTRY["dedup_containment_join"]
+        .builder(spark, str(base))
+        .collect()
+    }
+
+    def toks(s):
+        return {w for w in s.split(" ") if w}
+
+    want = set()
+    for (i, a), (j, b) in itertools.permutations(docs, 2):
+        ta, tb = toks(a), toks(b)
+        if not ta or not tb:
+            continue
+        c = len(ta & tb) / len(ta)
+        if c >= 4 / 5:
+            want.add((i, j, round(c, 6)))
+    assert (0, 1, 1.0) in want, "sanity: the quote-inclusion pair"
+    assert (0, 4, 1.0) in want and (4, 0, 1.0) in want, "both dup directions"
+    assert got == want
