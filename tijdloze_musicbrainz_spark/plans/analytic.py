@@ -365,3 +365,47 @@ def w_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+@register(
+    "a_cube_grouping_sets",
+    survey_ids=("A1", "J1"),
+    oracle=f"""
+SELECT coalesce(n.n_name, '<all>') AS nation,
+       coalesce(c.c_mktsegment, '<all>') AS segment,
+       CAST(GROUPING(n.n_name, c.c_mktsegment) AS INT) AS gid,
+       count(*) AS customers,
+       {money_sum_sql('c.c_acctbal')} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY CUBE(n.n_name, c.c_mktsegment)
+""",
+    doc="CUBE grouping sets — all FOUR tiers in one pass: (nation x "
+    "segment), nation subtotals, SEGMENT subtotals (the set ROLLUP "
+    "omits: rollup is hierarchical, cube is the full lattice), and "
+    "the grand total, disambiguated by GROUPING() because a real "
+    "NULL group value and a subtotal row are otherwise "
+    "indistinguishable. Same single-pass expansion + partial "
+    "aggregation as the rollup twin; at 100 TB the expansion factor "
+    "is 2^k grouping sets — the reason you cube two or three "
+    "dimensions, never ten.",
+)
+def a_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .cube("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("customers"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("<all>")).alias("segment"),
+            "gid",
+            "customers",
+            "total_acctbal",
+        )
+    )
