@@ -1311,3 +1311,91 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg)
+
+
+@register(
+    "streaming_interval_join_full_outer",
+    survey_ids=(),
+    oracle="""
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="Stream-stream FULL OUTER interval join — both sides' "
+    "unmatched rows emit on watermark eviction: unattributed clicks "
+    "AND orphan purchases (no click within the preceding 30 minutes) "
+    "in one stream, the reconciliation shape. Same bounded-replay "
+    "flush harness as the left-outer variant (sentinel batches force "
+    "eviction before the drain ends; sentinels filtered POST-drain "
+    "on both id columns — pushing either filter below the join would "
+    "starve that side's watermark and withhold the other side's tail "
+    "NULLs). Matches the batch FULL JOIN row-for-row.",
+)
+def streaming_interval_join_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    stage = _staged_events_with_flush(spark, sf_dir, "foj")
+    raw = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    clicks = (
+        raw.filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        raw.filter(
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "fullOuter",
+    )
+    drained = run_stream_to_memory(joined, output_mode="append")
+    return (
+        drained.filter(
+            ~F.col("click_id").eqNullSafe(F.lit(-1))
+            & ~F.col("purchase_id").eqNullSafe(F.lit(-1))
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("c_user", "p_user").alias("user_id"),
+            F.unix_timestamp("click_ts").cast("long").alias("click_epoch"),
+            F.unix_timestamp("purchase_ts").cast("long").alias("purchase_epoch"),
+        )
+    )
