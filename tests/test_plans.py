@@ -23,6 +23,8 @@ ALLOWED_NESTED_LOOP = {
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
     "sim_ann_ivf_pq",  # same centroid assignment shape (+1-row vocab-style
     # broadcasts for the bounded codebook/ADC tables)
+    "sim_ann_ivf_pq_trained",  # identical shape plus the Lloyd round
+    # (still the bounded codebook broadcast x corpus)
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF
