@@ -512,3 +512,61 @@ def test_left_outer_interval_join_emits_tail_unmatched(spark, sf_dir):
     # when the flush batches are broken — it must be present with a
     # NULL purchase side
     assert latest_unmatched.purchase_epoch is None
+
+
+def test_clustered_sink_restart_commits_each_batch_once(
+    spark, tmp_path_factory
+):
+    """Restart proof for the manifest-committing streaming sink: two
+    drains against the SAME checkpoint must commit each micro-batch's
+    rows exactly once into the clustered table — the checkpointed
+    source offsets prevent re-commits of already-processed files, so
+    the manifest's row multiset equals the full input after the
+    second drain (the at-least-once-to-exactly-once boundary the
+    streaming_clustered_sink_prune docstring names)."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.operators.manifest import (
+        commit_clustered,
+        current_version,
+        read_table,
+    )
+
+    root = tmp_path_factory.mktemp("clustered_restart")
+    src = f"{root}/src"
+    table = f"{root}/table"
+    ckpt = f"{root}/ckpt"
+
+    rows1 = [(i, i % 3, i * 10) for i in range(30)]
+    rows2 = [(i, i % 3, i * 10) for i in range(30, 50)]
+    schema = "k long, fkey int, v long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+
+    def drain():
+        def commit_batch(batch_df, _bid):
+            commit_clustered(batch_df, table, "fkey", ["v"], mode="append")
+
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    v1 = current_version(table)
+    got1 = sorted(r.k for r in read_table(spark, table).collect())
+    assert got1 == sorted(k for k, _f, _v in rows1)
+
+    # restart with new data on the SAME checkpoint: only the new file
+    # commits; the first batch must not re-commit (no duplicate rows)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert current_version(table) > v1
+    got2 = sorted(r.k for r in read_table(spark, table).collect())
+    assert got2 == sorted(k for k, _f, _v in rows1 + rows2)  # once each
