@@ -21,6 +21,13 @@ EDGE_EMBEDDING_QUERIES = [
     "sim_near_dup_lsh_bucketed",
     "dedup_semantic_semdedup",
     "sim_near_dup_lsh_tight",
+    # r8b: the PQ pair degenerates gracefully here (the id-capped
+    # codebook collapses to a single entry on this tiny corpus, so
+    # every ADC distance ties and match_id breaks them) — the NULL
+    # embedding and the zero vector must still quantize/encode
+    # without crashing either engine
+    "sim_ann_ivf_pq",
+    "sim_ann_ivf_pq_trained",
 ]
 
 DIM = 64
