@@ -48,6 +48,14 @@ EDGE_QUERIES = [
     "corpus_curation_scorecard",
     "text_wordcount_topk",
     "text_length_percentiles",
+    # r8b: the exact similarity joins and the IR index on the same
+    # hostile rows — empty/NULL text must produce no prefixes, no
+    # candidates and no postings identically; the planted duplicate
+    # pair (8, 9) must qualify under Jaccard AND both containment
+    # directions
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_join",
+    "text_inverted_index",
 ]
 
 DOCS = [
