@@ -1271,3 +1271,58 @@ def etl_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         money_sum(F.col("l_extendedprice")).alias("revenue"),
     )
+
+
+@register(
+    "s_python_datasource_scan",
+    survey_ids=("S1", "A1"),
+    oracle="""
+WITH rows_gen AS (
+  SELECT r.range AS doc_id,
+         CAST(r.range // 100 AS INT) AS part,
+         CAST(1 + (r.range % 5) AS INT) AS n_tokens
+  FROM range(0, 400) r
+),
+toks AS (
+  SELECT doc_id, part, n_tokens,
+         ['alpha','beta','gamma','delta','epsilon','zeta','eta']
+           [1 + (doc_id % 7)] AS first_token
+  FROM rows_gen
+)
+SELECT first_token,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT part) AS BIGINT) AS n_parts_seen
+FROM toks
+GROUP BY first_token
+""",
+    doc="CUSTOM PYTHON DATASOURCE scan (the Spark 4 connector API, "
+    "sources/pyds.py): a DataSource subclass registered by name, "
+    "read via spark.read.format('synthetic_docs') — 4 "
+    "InputPartitions of 100 rows each, generated ON EXECUTORS "
+    "through the Arrow-batched Python reader, then aggregated like "
+    "any other relation. The oracle recomputes the source's "
+    "closed-form generation rule (first token = tokens[i %% 7], "
+    "n_tokens = 1 + i %% 5, part = i // 100) from range(), so a "
+    "partition-boundary bug, a dropped partition (n_parts_seen "
+    "breaks), or a payload drift all hash-mismatch. This is the "
+    "engine's answer to bespoke non-JVM sources — the reference's "
+    "psycopg2 cursor loop shape — with partitions as the "
+    "parallelism contract.",
+)
+def s_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: ARG001
+    from ..sources.pyds import register_synthetic_docs  # noqa: PLC0415
+
+    register_synthetic_docs(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_partitions", 4)
+        .option("rows_per_part", 100)
+        .load()
+    )
+    first_token = F.element_at(F.split(F.col("text"), " "), 1)
+    return df.groupBy(first_token.alias("first_token")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("part").cast("long").alias("n_parts_seen"),
+    )
