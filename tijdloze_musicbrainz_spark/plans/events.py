@@ -1331,3 +1331,66 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "events_histogram_equiwidth",
+    survey_ids=("A1",),
+    oracle=f"""
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM v
+),
+binned AS (
+  SELECT CAST(least(
+           floor((v.value - b.lo) * {HIST_BINS} / nullif(b.hi - b.lo, 0)),
+           {HIST_BINS} - 1) AS INT) AS bin,
+         v.value
+  FROM v CROSS JOIN bounds b
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(25,6))), 2) AS DOUBLE)
+         AS bin_sum
+FROM binned GROUP BY bin
+""",
+    doc="EQUI-WIDTH histogram (20 bins over [min, max]) — the "
+    "equal-RANGE complement of the equal-COUNT ntile binning "
+    "(w_ntile_quality_bins): two passes, (1) a global min/max scalar "
+    "aggregate (one row, broadcast — the q11/q22 scalar-join shape), "
+    "(2) a narrow map computing floor((v-lo)*B/(hi-lo)) with the max "
+    "value clamped into the last bin (the half-open-interval edge "
+    "every histogram implementation gets wrong once), then one "
+    "group-by. Bin assignment divides IDENTICAL operands in both "
+    "engines (same single division of the same doubles, floor of the "
+    "same result), so the hash checks actual bin membership. A "
+    "zero-range corpus (all values equal) yields NULL bins via "
+    "nullif — degenerate input, explicit answer, no divide error.",
+)
+def events_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "value"
+    )
+    bounds = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = v.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * HIST_BINS
+                / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+            ),
+            F.lit(HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+        .cast("double")
+        .alias("bin_sum"),
+    )
