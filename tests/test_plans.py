@@ -36,6 +36,8 @@ ALLOWED_NESTED_LOOP = {
     # BroadcastHashJoin because its filter is an equality.)
     "q11_important_stock",
     "q22_global_sales_opportunity",
+    "events_histogram_equiwidth",  # global min/max one-row broadcast
+    # against the value scan — the same scalar-threshold shape
     "text_bigram_lm_score",  # |vocab| scalar (one row) x bigram stream
     "text_bm25_topk",  # (N, avgdl, df) one-row corpus stats x doc scan
     "text_bpe_train_merges",  # per-round 1-row winner x corpus rewrite
