@@ -33,6 +33,9 @@ EDGE_EVENT_QUERIES = [
     # identically through both
     "events_trailing_range_frame",
     "events_sliding_window",
+    # r8b: LOCF navigation must skip the NULL-value rows identically
+    "w_first_last_ignore_nulls",
+    "events_histogram_equiwidth",
     "events_funnel_conversion",
     # streaming twins drain the same file via availableNow — the
     # zero-variance fix in the stream scorer is pinned here too

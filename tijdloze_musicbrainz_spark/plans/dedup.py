@@ -1344,3 +1344,45 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double") / F.col("len_a"), 6
         ).alias("containment"),
     )
+
+
+@register(
+    "dedup_exact_hash_first_wins",
+    survey_ids=("A10", "S8"),
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, text, md5(coalesce(text, '')) AS h FROM documents
+)
+SELECT h AS text_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS n_distinct_texts
+FROM hashed
+GROUP BY h
+""",
+    doc="Exact dedup ON THE HASH — the scale path the text-keyed "
+    "variant's docstring promises, materialized: group on "
+    "md5(text) so the shuffle key is 32 bytes regardless of "
+    "document size (the text-keyed variant ships full documents "
+    "through the exchange — correct, but the shuffle weighs "
+    "corpus-bytes instead of corpus-rows). md5 rather than xxhash64 "
+    "keeps the oracle engine-neutral; the plan shape (one hash "
+    "aggregate on a fixed-width key) is identical to the xxhash64 "
+    "production form. n_distinct_texts is the COLLISION PROBE: it is "
+    "1 for every group unless two distinct texts share a hash — the "
+    "resolve-rare-collisions step the docstring calls for, here "
+    "surfaced as a checked column (a collision would also "
+    "hash-mismatch any oracle that grouped by raw text). NULL text "
+    "coalesces to the empty string on both engines, merging the "
+    "content-free classes deliberately.",
+)
+def dedup_exact_hash_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return docs.groupBy(h.alias("text_hash")).agg(
+        F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        F.count("*").cast("long").alias("n_copies"),
+        F.countDistinct(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("n_distinct_texts"),
+    )

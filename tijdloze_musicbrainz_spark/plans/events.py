@@ -1394,3 +1394,46 @@ def events_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bin_sum"),
     )
+
+
+@register(
+    "w_first_last_ignore_nulls",
+    survey_ids=("A5",),
+    oracle="""
+SELECT user_id, event_id,
+       first_value(value IGNORE NULLS) OVER w AS first_nonnull_value,
+       last_value(value IGNORE NULLS) OVER w AS running_last_nonnull,
+       CAST(count(value) OVER w AS BIGINT) AS n_nonnull_so_far
+FROM events
+WHERE ts IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="Window navigation with IGNORE NULLS — the gap-carrying "
+    "semantic plain first/last_value cannot express: per user in "
+    "event order, the first non-NULL measurement and the RUNNING "
+    "last non-NULL (the carry-forward/LOCF shape that imputes gaps "
+    "from the most recent real reading — last_value without IGNORE "
+    "NULLS would return the current row's NULL right back). "
+    "Deterministic total order (ts, event_id) inside an unbounded-"
+    "preceding frame; count(value) counts only non-NULLs on both "
+    "engines, pinning agreement on which rows the navigation "
+    "skipped. One shuffle on user_id, one in-partition sort, all "
+    "three specs share the frame.",
+)
+def w_first_last_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value", ignorenulls=True).over(w).alias("first_nonnull_value"),
+        F.last("value", ignorenulls=True).over(w).alias("running_last_nonnull"),
+        F.count("value").over(w).cast("long").alias("n_nonnull_so_far"),
+    )
