@@ -21,6 +21,8 @@ ALLOWED_NESTED_LOOP = {
     "sim_embedding_near_dup",  # 16-row blocks relation self-pairs (<=)
     "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
+    "sim_ann_ivf_partitioned_lists",  # same assignment shape; the read
+    # side is partition-pruned parquet
     "sim_ann_ivf_pq",  # same centroid assignment shape (+1-row vocab-style
     # broadcasts for the bounded codebook/ADC tables)
     "sim_ann_ivf_pq_trained",  # identical shape plus the Lloyd round
