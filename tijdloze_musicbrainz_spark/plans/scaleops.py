@@ -734,8 +734,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Checkpoint the O(E) co-purchase projection ONCE: it is consumed
+    # by every hop round plus the seed scan — without this the unrolled
+    # plan re-inlines the lineitem self-join 4x (906 physical nodes,
+    # the one flagged-real r8 bench regression). Mirrors
+    # graph_triangle_count / graph_kcore_peel.
+    edges = eager_checkpoint(
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
     )
     seeds = (
         edges.select(F.col("u").alias("node"))
@@ -758,8 +765,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         # min-hop semantics: a node already visited keeps its earlier
-        # (smaller) hop count; only genuinely new nodes join the level
-        new = nbrs.join(visited.select("node"), "node", "left_anti")
+        # (smaller) hop count; only genuinely new nodes join the level.
+        # Per-hop checkpoint truncates the visited-union lineage so
+        # round k's anti-join never re-derives rounds 0..k-1.
+        new = eager_checkpoint(
+            nbrs.join(visited.select("node"), "node", "left_anti")
+        )
+        # visited stays a lazy union of CHECKPOINTED blocks (seeds +
+        # new_1..new_k): shallow lineage, no re-materialization cost.
         visited = visited.unionByName(new)
         frontier = new
     return visited
