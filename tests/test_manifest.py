@@ -464,6 +464,85 @@ def test_merge_with_retry_gives_up_after_max(spark, tmp_path_factory, monkeypatc
         )
 
 
+def test_merge_with_retry_rejects_negative_max(spark, tmp_path_factory):
+    """r9 (r8 ADVICE): max_retries < 0 used to skip the loop entirely
+    and `raise None` (TypeError) — now a loud ValueError."""
+    import tijdloze_musicbrainz_spark.operators.manifest as m
+
+    table = str(tmp_path_factory.mktemp("manifest_retry3") / "t")
+    with pytest.raises(ValueError, match="max_retries"):
+        m.merge_with_retry(
+            m.merge_upsert_manifest,
+            spark.range(1).selectExpr("id as k", "1L as seq", "id as v"),
+            table,
+            ["k"],
+            "seq",
+            max_retries=-1,
+        )
+
+
+def test_lost_race_leaves_no_orphan_data_files(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r9 (r8 ADVICE): a losing committer had already renamed its
+    staged bucket files into data/ before _commit raised — those files
+    are referenced by NO manifest, so vacuum() (which walks manifests)
+    could never reclaim them and a contended table grew unboundedly.
+    The loser must delete its own renamed entries before re-raising.
+    Invariant checked: after a lost race, every file under data/ is
+    referenced by some manifest version."""
+    import json
+    import os
+
+    import tijdloze_musicbrainz_spark.operators.manifest as m
+
+    table = str(tmp_path_factory.mktemp("manifest_orphans") / "t")
+    merge_upsert_manifest(
+        spark.range(10).selectExpr("id as k", "1L as seq", "id as v"),
+        table,
+        ["k"],
+        "seq",
+    )  # v0
+    merge_upsert_manifest(
+        spark.createDataFrame([(5, 2, 555)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )  # v1
+
+    # force ONE stale read so the next merge attempts v1 and collides
+    real_cv = m.current_version
+    calls = {"n": 0}
+
+    def stale_once(t):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real_cv(t)
+
+    monkeypatch.setattr(m, "current_version", stale_once)
+    m.merge_with_retry(
+        m.merge_upsert_manifest,
+        spark.createDataFrame([(3, 3, 333)], "k long, seq long, v long"),
+        table,
+        ["k"],
+        "seq",
+    )
+
+    referenced = set()
+    mdir = os.path.join(table, "_manifests")
+    for name in os.listdir(mdir):
+        with open(os.path.join(mdir, name)) as f:
+            for entries in json.load(f)["files"].values():
+                referenced.update(
+                    e.removeprefix("data/") for e in entries
+                )
+    on_disk = set(os.listdir(os.path.join(table, "data")))
+    orphans = on_disk - referenced
+    assert not orphans, f"lost race leaked unreferenced files: {orphans}"
+    # and the retry still landed both writers' effects
+    rows = _rows(spark, table)
+    assert (3, 3, 333) in rows and (5, 2, 555) in rows
+
+
 def test_snapshot_diff_classifies_changes(spark, tmp_path_factory):
     """r8: the change-data-feed reader over retained manifests —
     insert/update/delete between two committed versions, unchanged

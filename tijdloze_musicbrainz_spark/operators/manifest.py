@@ -186,17 +186,28 @@ def merge_upsert_manifest(
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(_manifest_dir(table), exist_ok=True)
     new_files = dict(files)
+    staged: list[str] = []
     for b in touched:
         src = os.path.join(tmp, f"__bucket={b}")
         entry = f"data/v{v + 1}_b{b}_{uuid.uuid4().hex[:8]}"
         if os.path.exists(src):
             os.rename(src, os.path.join(table, entry))
+            staged.append(entry)
             new_files[str(b)] = [entry]
         else:
             new_files.pop(str(b), None)  # bucket emptied (all rows lost)
     shutil.rmtree(tmp, ignore_errors=True)
-    # THE commit point: readers flip from snapshot v to v+1 atomically
-    _commit(table, v, new_files)
+    # THE commit point: readers flip from snapshot v to v+1 atomically.
+    # A losing committer must reclaim the files it renamed into data/ —
+    # no manifest ever references them, so vacuum() (which walks
+    # manifests only) would never find these orphans and a contended
+    # table would grow unboundedly (r8 ADVICE).
+    try:
+        _commit(table, v, new_files)
+    except CommitConflict:
+        for entry in staged:
+            shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
+        raise
     return touched
 
 
@@ -292,16 +303,25 @@ def merge_cdc_manifest(
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(_manifest_dir(table), exist_ok=True)
     new_files = dict(files)
+    staged: list[str] = []
     for b in touched:
         src = os.path.join(tmp, f"__bucket={b}")
         entry = f"data/v{v + 1}_b{b}_{uuid.uuid4().hex[:8]}"
         if os.path.exists(src):
             os.rename(src, os.path.join(table, entry))
+            staged.append(entry)
             new_files[str(b)] = [entry]
         else:
             new_files.pop(str(b), None)  # every key in the bucket deleted
     shutil.rmtree(tmp, ignore_errors=True)
-    _commit(table, v, new_files)
+    # reclaim this attempt's renamed files on a lost race — they are
+    # referenced by no manifest, so nothing else ever deletes them
+    try:
+        _commit(table, v, new_files)
+    except CommitConflict:
+        for entry in staged:
+            shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
+        raise
     return touched
 
 
@@ -327,6 +347,8 @@ def merge_with_retry(
     CommitConflict after ``max_retries`` losses (persistent
     contention is a scheduling problem, not a retry-harder problem).
     """
+    if max_retries < 0:
+        raise ValueError(f"max_retries must be >= 0, got {max_retries}")
     last: CommitConflict | None = None
     for _ in range(max_retries + 1):
         try:

