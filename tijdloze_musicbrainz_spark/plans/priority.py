@@ -62,14 +62,23 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     "j_skew_salted_join",
     "s4_bucketed_join_roundtrip",
     # -- tier 3: LLM-training-data pipeline components -------------------
-    # (dedup_exact_first_wins rotated to the tail in r8b — green
-    # official rows since r2, ids carried by the remaining dedup
-    # rows; the slot carries incremental view maintenance)
-    "etl_incremental_agg_maintenance",
+    # r9 rotation (r8 verdict item 3): etl_incremental_agg_maintenance,
+    # dedup_minhash_lsh, graph_copurchase_lift, sim_ann_lsh_bucketed,
+    # streaming_tumbling_window and multimodal_png_decode_real all
+    # carry GREEN official rows in CORRECTNESS_r08.json, every one of
+    # their survey ids keeps another in-window carrier, and their
+    # tiers stay represented; the freed slots give first official rows
+    # to the r8b marquee components below.
+    # (etl_incremental_agg_maintenance -> tail: S7 stays carried by
+    # s7_upsert_roundtrip; slot carries IGNORE-NULLS window navigation)
+    "w_first_last_ignore_nulls",
     # (dedup_ngram_jaccard_blocked moved to the tail in r6 to make
     # room for benchmark_golden_real_e2e; its ids are carried by the
     # remaining dedup rows and the judge's tail re-run covers it)
-    "dedup_minhash_lsh",
+    # (dedup_minhash_lsh -> tail in r9: green since r2; the dedup
+    # tier's official rows are now bpe_trained + the md5-keyed exact
+    # path whose 32-byte shuffle key is the 100 TB story)
+    "dedup_exact_hash_first_wins",
     # r8 rotation (r7 verdict item 2): dedup_simhash, sim_cosine_topk_
     # exact, dedup_exact_substring_spans and multimodal_fake_decode all
     # carry GREEN official rows in CORRECTNESS_r07.json and their tiers
@@ -77,10 +86,17 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # rows to the r5-r6 marquee components below.
     "dedup_exact_substring_bpe_trained",
     "graph_triangle_count",
-    "graph_copurchase_lift",
+    # (graph_copurchase_lift -> tail in r9: A1/F15 redundant, graph
+    # tier keeps triangle_count + bfs_hops; slot carries the events
+    # equi-width histogram)
+    "events_histogram_equiwidth",
     "corpus_training_dataset_e2e",
-    "multimodal_png_decode_real",
-    "sim_ann_lsh_bucketed",
+    # (multimodal_png_decode_real -> tail in r9: the tier's official
+    # row is now the baseline-JPEG decoder, the harder real codec)
+    "multimodal_jpeg_decode_real",
+    # (sim_ann_lsh_bucketed -> tail in r9: ANN tier keeps ivf_pq;
+    # slot carries the partition-pruned materialized inverted lists)
+    "sim_ann_ivf_partitioned_lists",
     # (sim_ann_ivf_bucketed rotated to the tail in r8b: the IVF-PQ
     # row exercises the same coarse layer plus product quantization)
     "sim_ann_ivf_pq",
@@ -99,7 +115,10 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # decoder rather than the deterministic fake)
     # (multimodal_frame_sample moved to the tail in r4c)
     "mb_pipeline_scale",
-    "streaming_tumbling_window",
+    # (streaming_tumbling_window -> tail in r9: green since r2; the
+    # streaming tier's official row is now the stream-stream interval
+    # join, the stateful two-sided-eviction path)
+    "streaming_interval_join",
     # -- tier 4: unique-coverage relational / fuzzy ----------------------
     "q1_pricing_summary",
     "p_disjunctive_filter",
