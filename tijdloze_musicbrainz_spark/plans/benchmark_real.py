@@ -400,7 +400,8 @@ scored AS (
   FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
 ),
 best AS (
-  SELECT qid, mb_id FROM (
+  SELECT qid, mb_id, song_id, CAST(phase AS BIGINT) AS phase,
+         round(relevance, 2) AS relevance, release_year FROM (
     SELECT *, max(relevance) OVER (PARTITION BY qid) AS max_rel FROM scored
   ) WHERE relevance >= max_rel / 10
   QUALIFY row_number() OVER (
@@ -458,8 +459,10 @@ def benchmark_golden_real_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _classified(spark: SparkSession) -> DataFrame:
-    """(qid, status) for every golden row — shared by the registered
-    scoreboard query and the per-class pin test."""
+    """One row per golden query with status PLUS the winning match's
+    columns (expected vs got ids, phase, relevance, year) and a
+    deterministic triage class — shared by the registered scoreboard
+    query, the wrong-rows triage view and the per-class pin test."""
     base = _base(spark)
     songs = _catalog(base)
     aliases = _aliases(base)
@@ -467,9 +470,19 @@ def _classified(spark: SparkSession) -> DataFrame:
     direct, duet_main, duet_second = _resolve(golden, aliases)
     cand = _candidates(songs, direct, duet_main, duet_second)
     best = rank_candidates(cand)
-    matched = best.join(
-        songs.select("song_id", "mb_id"), "song_id"
-    ).select("qid", "mb_id")
+    matched = best.join(songs.select("song_id", "mb_id"), "song_id").select(
+        "qid",
+        "mb_id",
+        "phase",
+        "relevance",
+        F.col("release_year").alias("got_year"),
+    )
+    triage = (
+        F.when(F.col("qid") % WRONG_MOD == 0, "designed-wrong")
+        .when(F.col("qid") % MISSING_MOD == 0, "designed-missing")
+        .when(F.col("db_mb_id").isNull(), "null-answer-key")
+        .otherwise("unexpected")
+    )
     return golden.join(matched, "qid", "left").select(
         "qid",
         F.when(F.col("mb_id").isNull(), "Missing")
@@ -479,4 +492,49 @@ def _classified(spark: SparkSession) -> DataFrame:
         )
         .otherwise("Correct")
         .alias("status"),
+        triage.alias("triage"),
+        F.col("db_mb_id").alias("expected_mb_id"),
+        F.col("mb_id").alias("got_mb_id"),
+        "phase",
+        "relevance",
+        "got_year",
     )
+
+
+@_register_if_csv_present(
+    "benchmark_golden_wrong_rows",
+    survey_ids=("A11", "S9"),
+    oracle=f"""
+WITH {_CSV_SQL.lstrip()},
+{_CATALOG_SQL.lstrip()},
+{_QUERIES_SQL.lstrip()},
+{_RESOLVE_SQL.lstrip()},
+{_SEARCH_SQL.lstrip()}
+SELECT * FROM (
+  SELECT q.qid,
+         CASE WHEN b.mb_id IS NULL THEN 'Missing'
+              WHEN q.db_mb_id IS NULL OR b.mb_id <> q.db_mb_id THEN 'Wrong'
+              ELSE 'Correct' END AS status,
+         CASE WHEN q.qid % {WRONG_MOD} = 0 THEN 'designed-wrong'
+              WHEN q.qid % {MISSING_MOD} = 0 THEN 'designed-missing'
+              WHEN q.db_mb_id IS NULL THEN 'null-answer-key'
+              ELSE 'unexpected' END AS triage,
+         q.db_mb_id AS expected_mb_id, b.mb_id AS got_mb_id,
+         b.phase, b.relevance, b.release_year AS got_year
+  FROM golden q LEFT JOIN best b ON b.qid = q.qid
+) WHERE status <> 'Correct'
+""",
+    doc="Per-row DISAGREEMENT TRIAGE for the real golden replay — the "
+    "reference's per-row diff print (src/benchmark.py:252-267) as a "
+    "registered query: every non-Correct row with expected vs got "
+    "release-group ids, the winning match's phase/relevance/year, and "
+    "a deterministic triage class (designed-wrong impostor, "
+    "designed-missing garble, null answer key, or 'unexpected' — the "
+    "rows a human would actually read). Pure projection over the same "
+    "plan as benchmark_golden_real_e2e; ACCURACY.md carries the "
+    "resulting breakdown.",
+)
+def benchmark_golden_wrong_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _classified(spark).filter(F.col("status") != "Correct")
