@@ -143,3 +143,43 @@ def test_bfs_hops_invariants(spark, sf_dir):
             assert any(hops.get(m) == h - 1 for m in adj[n]), (n, h)
         # minimality: no neighbor is more than 1 closer
         assert all(hops.get(m, h) >= h - 1 for m in adj[n]), (n, h)
+
+
+def test_bfs_fixpoint_extends_bounded_bfs(spark, sf_dir):
+    """graph_bfs_fixpoint runs to an EMPTY frontier: its result must
+    agree with graph_bfs_hops on every node within BFS_MAX_HOPS and be
+    a superset of it (extra nodes only at hops > BFS_MAX_HOPS); it is
+    a true fixpoint — one more expansion adds nothing."""
+    from tijdloze_musicbrainz_spark.plans.scaleops import (
+        BFS_MAX_HOPS,
+        graph_bfs_fixpoint,
+        graph_bfs_hops,
+    )
+
+    bounded = {r.node: r.hops for r in graph_bfs_hops(spark, sf_dir).collect()}
+    full = {r.node: r.hops for r in graph_bfs_fixpoint(spark, sf_dir).collect()}
+    assert set(bounded) <= set(full)
+    for n, h in bounded.items():
+        assert full[n] == h, (n, h, full[n])
+    extras = {n: h for n, h in full.items() if n not in bounded}
+    assert all(h > BFS_MAX_HOPS for h in extras.values()), extras
+
+    # fixpoint: expanding the deepest level once more yields no new node
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    for n in full:
+        assert all(m in full for m in adj[n]), n

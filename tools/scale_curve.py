@@ -144,6 +144,37 @@ QUERIES = (
         "probed-list sizes stay ~constant as centroid count grows "
         "with the corpus",
     ),
+    # r9 (VERDICT r8 #5): the partition-pruned IVF read and the two
+    # file-skipping roundtrips — proving the write is the only
+    # m-linear term and the pruned READ stays bound to the probed/
+    # selected slice as the corpus grows.
+    (
+        "sim_ann_ivf_partitioned_lists",
+        None,
+        True,
+        "write of the partitioned inverted lists is the m-linear term "
+        "(one pass over the corpus); the probe read is partition-"
+        "pruned to <= |Q|*N_PROBE centroid directories, and query/"
+        "probe counts are id-capped constants — so the exponent "
+        "reflects assignment + write, with the pruned read flat in m",
+    ),
+    (
+        "s_zorder_write_prune",
+        None,
+        True,
+        "z-order write is m-linear (interleave + repartition + "
+        "parquet); the box read prunes to the fixed z-range file set, "
+        "whose row count grows m-linearly but whose FILE fraction "
+        "stays the box/universe ratio — write dominates wall time",
+    ),
+    (
+        "s_stats_skipping_prune",
+        None,
+        True,
+        "manifest-stats write (per-file min/max) is m-linear; the "
+        "skip-read opens only files whose stats overlap the predicate "
+        "— the skipped fraction is corpus-layout-bound, not m-bound",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
