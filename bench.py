@@ -132,6 +132,7 @@ def _recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ("lsh", "sim_ann_lsh_bucketed"),
         ("ivf", "sim_ann_ivf_bucketed"),
         ("ivf_pq", "sim_ann_ivf_pq"),
+        ("ivf_pq_trained", "sim_ann_ivf_pq_trained"),
     ]:
         out[short] = round(len(exact & pairs(name)) / len(exact), 4)
 

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import search_key, search_key_sql
 from ..sources.readers import read_csv_golden
-from .fuzzy import fuzzy_key_join, rank_candidates
+from .fuzzy import fuzzy_key_join, rank_candidates, score_candidates
 from .golden_shape import GOLDEN_SHAPE_SCHEMA
 from .registry import register
 
@@ -538,3 +538,54 @@ def benchmark_golden_wrong_rows(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _classified(spark).filter(F.col("status") != "Correct")
+
+
+# The reference's --recording_id debug harness (src/main.py:235-247)
+# dumps every candidate considered for one key with its scores. These
+# four qids are the golden replay's only non-designed Wrong rows
+# (ACCURACY.md) — the exact rows a human debugging the matcher would
+# pull candidates for.
+DEBUG_QIDS = (185, 288, 512, 1664)
+
+
+@_register_if_csv_present(
+    "benchmark_candidates_debug",
+    survey_ids=("A9", "F9"),
+    oracle=f"""
+WITH {_CSV_SQL.lstrip()},
+{_CATALOG_SQL.lstrip()},
+{_QUERIES_SQL.lstrip()},
+{_RESOLVE_SQL.lstrip()},
+{_SEARCH_SQL.lstrip()}
+SELECT qid, song_id, mb_id, CAST(phase AS BIGINT) AS phase,
+       round(relevance, 2) AS relevance, release_year, title
+FROM scored WHERE qid IN {DEBUG_QIDS}
+""",
+    doc="Candidates-for-one-key DEBUG VIEW — the reference's "
+    "--recording_id candidate dump (src/main.py:235-247) as a "
+    "registered query: every candidate the scorer considered for the "
+    "four non-designed Wrong qids (ACCURACY.md), with phase, "
+    "relevance, year and the release-group id, BEFORE the threshold "
+    "and argmin — exactly what a human needs to see why the "
+    "earliest-year tie-break picked the live/remix/duet variant. "
+    "Plan shape: the qid filter lands before scoring, so the whole "
+    "view touches |DEBUG_QIDS| query keys regardless of corpus size.",
+)
+def benchmark_candidates_debug(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = _base(spark)
+    songs = _catalog(base)
+    aliases = _aliases(base)
+    golden = _golden_queries(base).filter(F.col("qid").isin(*DEBUG_QIDS))
+    direct, duet_main, duet_second = _resolve(golden, aliases)
+    cand = _candidates(songs, direct, duet_main, duet_second)
+    return score_candidates(cand).select(
+        "qid",
+        "song_id",
+        "mb_id",
+        F.col("phase").cast("long").alias("phase"),
+        F.round("relevance", 2).alias("relevance"),
+        "release_year",
+        "title",
+    )

@@ -296,21 +296,18 @@ def _search_over(songs: DataFrame, resolved: DataFrame) -> DataFrame:
     return rank_candidates(songs.join(F.broadcast(resolved), "artist_id"))
 
 
-def rank_candidates(joined: DataFrame) -> DataFrame:
-    """Phase gating + relevance + threshold + argmin over an already
-    joined (query x candidate-song) frame — the tail of the reference
-    read path (src/benchmark.py:96-142). Shared by _search_over and the
-    real-CSV closed-loop benchmark (benchmark_real.py), whose candidate
-    generation adds the second-artist duet condition before this stage.
+def score_candidates(joined: DataFrame) -> DataFrame:
+    """Phase gating + relevance over a (query x candidate-song) join —
+    the scoring stage of the reference read path BEFORE the threshold
+    and argmin (src/benchmark.py:96-126). Shared by rank_candidates
+    and the candidates-for-one-key debug view (the reference's
+    --recording_id dump, src/main.py:235-247).
 
-    ``joined`` needs: qid, title_key, alias_key, recording_score,
-    is_single_from, is_main_album, song_id, artist_id, title,
-    release_year."""
-    # One pass over the join instead of three: keep rows matching
-    # EITHER phase predicate, then realize the reference's "phase 2
-    # only if phase 1 found nothing" (src/benchmark.py:121-126) with a
-    # per-query window flag — the anti-join formulation re-evaluated
-    # the whole songs subtree two extra times.
+    One pass over the join instead of three: keep rows matching EITHER
+    phase predicate, then realize the reference's "phase 2 only if
+    phase 1 found nothing" (src/benchmark.py:121-126) with a per-query
+    window flag — the anti-join formulation re-evaluated the whole
+    songs subtree two extra times."""
     is_p1 = F.col("alias_key").startswith(F.col("title_key"))
     is_p2 = (F.length("alias_key") < 255) & (
         F.levenshtein(F.col("title_key"), F.col("alias_key"), 1) >= 0
@@ -324,13 +321,26 @@ def rank_candidates(joined: DataFrame) -> DataFrame:
         .drop("__is_p1", "__has_p1")
     )
     boost = lambda flag: F.when(flag, F.lit(10.0)).otherwise(F.lit(1.0))  # noqa: E731
-    scored = cand.withColumn(
+    return cand.withColumn(
         "relevance",
         F.col("recording_score").cast("double")
         * boost(F.col("is_single_from"))
         * boost(F.col("is_main_album"))
         * boost(F.col("alias_key") == F.col("title_key")),
     )
+
+
+def rank_candidates(joined: DataFrame) -> DataFrame:
+    """Phase gating + relevance + threshold + argmin over an already
+    joined (query x candidate-song) frame — the tail of the reference
+    read path (src/benchmark.py:96-142). Shared by _search_over and the
+    real-CSV closed-loop benchmark (benchmark_real.py), whose candidate
+    generation adds the second-artist duet condition before this stage.
+
+    ``joined`` needs: qid, title_key, alias_key, recording_score,
+    is_single_from, is_main_album, song_id, artist_id, title,
+    release_year."""
+    scored = score_candidates(joined)
     thresholded = scored.withColumn(
         "max_rel", F.max("relevance").over(Window.partitionBy("qid"))
     ).filter(F.col("relevance") >= F.col("max_rel") / 10)
