@@ -272,11 +272,25 @@ AUDITED = {
         "contract as the shard assigner."
     ),
     "graph_bfs_hops": (
-        "Audit (r8b): frontier BFS — each hop is one equi-join of the "
-        "frontier against the symmetrized edge list plus one LeftAnti "
-        "join against the visited id set, so no node is re-expanded "
-        "and per-hop work is O(frontier edges), never O(paths); the "
-        "seed scan carries the mod + id-cap filters as PushedFilters."
+        "Audit (r9): frontier BFS — the O(E) co-purchase projection "
+        "is eager-checkpointed ONCE before the hop loop and each "
+        "hop's new frontier is checkpointed, so the plan scans the "
+        "materialized edge blocks instead of re-inlining the lineitem "
+        "self-join per round (was 906 physical nodes / the one real "
+        "r8 bench regression; now 1.22x its idle seed). Each hop is "
+        "one equi-join of the frontier against the edge table plus "
+        "one LeftAnti join against the visited id set, so no node is "
+        "re-expanded and per-hop work is O(frontier edges), never "
+        "O(paths)."
+    ),
+    "graph_bfs_fixpoint": (
+        "Audit (r9): the same checkpointed frontier expansion looped "
+        "until an EMPTY frontier — the convergence check is an "
+        "isEmpty() on the already-materialized new-frontier block "
+        "(driver metadata, no extra job); round count = seed-set "
+        "eccentricity, guarded at BFS_FIXPOINT_SAFETY=30 with a loud "
+        "error, the same constant bounding the oracle's recursive "
+        "walk so the engines agree whenever the query succeeds."
     ),
     "sim_ann_ivf_pq": (
         "Audit (r9): codebook (4 subspaces x K=64 entries, broadcast) "
