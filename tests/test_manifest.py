@@ -745,3 +745,70 @@ def test_compact_recomputes_stats_when_asked(spark, tmp_path_factory):
         spark, table, "s", "020", "034"
     )
     assert (n_read2, n_total2) == (10, 10)
+
+
+def test_real_two_writer_race_serializes_and_leaks_nothing(
+    spark, tmp_path_factory
+):
+    """r9: an ACTUAL concurrent race — two threads merge different keys
+    into the same table simultaneously through merge_with_retry (no
+    monkeypatching). Whatever the interleaving: both batches land,
+    version count equals commit count, every manifest references only
+    files that exist, and no file under data/ is unreferenced (the
+    loser's cleanup really runs under contention)."""
+    import json
+    import os
+    import threading
+
+    import tijdloze_musicbrainz_spark.operators.manifest as m
+
+    table = str(tmp_path_factory.mktemp("manifest_race") / "t")
+    merge_upsert_manifest(
+        spark.range(50).selectExpr("id as k", "1L as seq", "id as v"),
+        table,
+        ["k"],
+        "seq",
+    )  # v0
+
+    errors: list[BaseException] = []
+
+    def writer(lo: int):
+        try:
+            batch = spark.createDataFrame(
+                [(lo + i, 2, 7000 + lo + i) for i in range(5)],
+                "k long, seq long, v long",
+            )
+            m.merge_with_retry(
+                m.merge_upsert_manifest, batch, table, ["k"], "seq",
+                max_retries=10,
+            )
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(lo,)) for lo in (100, 200)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join()
+    assert not errors, errors
+
+    rows = _rows(spark, table)
+    for lo in (100, 200):
+        for i in range(5):
+            assert (lo + i, 2, 7000 + lo + i) in rows
+    assert len(rows) == 60
+
+    # manifest/file-system invariants under contention
+    mdir = os.path.join(table, "_manifests")
+    versions = sorted(int(f[1:-5]) for f in os.listdir(mdir))
+    assert versions == list(range(len(versions)))  # dense, no gaps
+    assert m.current_version(table) == versions[-1]
+    referenced = set()
+    for f in os.listdir(mdir):
+        with open(os.path.join(mdir, f)) as fh:
+            for entries in json.load(fh)["files"].values():
+                for e in entries:
+                    assert os.path.exists(os.path.join(table, e)), e
+                    referenced.add(e.removeprefix("data/"))
+    on_disk = set(os.listdir(os.path.join(table, "data")))
+    assert on_disk <= referenced, f"orphans: {on_disk - referenced}"
