@@ -124,6 +124,22 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _cos_null_safe_sql(a: str, b: str) -> str:
+    """Null-safe cosine between two DOUBLE[] expressions (zero norm ->
+    NULL, matching Spark's nullif guard above — NOT
+    list_cosine_similarity, whose NaN sorts GREATER than every real
+    similarity under DESC and compares TRUE against any threshold in
+    DuckDB's total order, while Spark's NULL sorts last and fails the
+    filter). Every oracle cosine goes through this (r9: applied
+    uniformly after the r8 ADVICE flagged the raw form in the
+    IVF-family oracles)."""
+    return (
+        f"(list_dot_product({a}, {b}) / nullif("
+        f"sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
+        f", 0))"
+    )
+
+
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL embeddings are content-free: they match nothing, join no
     # cluster, and would crash the numpy lanes (np.array over None) —
@@ -356,7 +372,7 @@ cand AS (
 ),
 scored AS (
   SELECT cand.query_id, cand.match_id,
-         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         round({_cos_null_safe_sql("a.v", "b.v")}, 6) AS cosine
   FROM cand
   JOIN v a ON a.vec_id = cand.query_id
   JOIN v b ON b.vec_id = cand.match_id
@@ -623,7 +639,7 @@ lists AS (
   FROM v CROSS JOIN cents
   QUALIFY row_number() OVER (
     PARTITION BY v.vec_id
-    ORDER BY round(list_cosine_similarity(v.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("v.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= 1
 ),
 probes AS (
@@ -632,12 +648,12 @@ probes AS (
   WHERE q.vec_id % 100 = 0 AND q.vec_id < {100 * MAX_QUERIES}
   QUALIFY row_number() OVER (
     PARTITION BY q.vec_id
-    ORDER BY round(list_cosine_similarity(q.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("q.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= {N_PROBE}
 ),
 scored AS (
   SELECT p.query_id, l.match_id,
-         round(list_cosine_similarity(p.qv, l.mv), 6) AS cosine
+         round({_cos_null_safe_sql("p.qv", "l.mv")}, 6) AS cosine
   FROM probes p JOIN lists l USING (cent_id)
   WHERE p.query_id <> l.match_id
 )
@@ -802,7 +818,7 @@ assigned AS (
   FROM v CROSS JOIN cents
   QUALIFY row_number() OVER (
     PARTITION BY v.vec_id
-    ORDER BY round(list_cosine_similarity(v.v, cents.cv), 6) DESC,
+    ORDER BY round({_cos_null_safe_sql("v.v", "cents.cv")}, 6) DESC,
              cents.cent_id) <= 1
 ),
 comp AS (
@@ -864,17 +880,6 @@ def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cent_id", F.col("pos").cast("long").alias("pos"),
         "n_members", "centroid_component",
-    )
-
-
-def _cos_null_safe_sql(a: str, b: str) -> str:
-    """Null-safe cosine between two DOUBLE[] expressions (zero norm ->
-    NULL, matching Spark's nullif guard — NOT list_cosine_similarity,
-    whose NaN would sort GREATER than every real similarity)."""
-    return (
-        f"(list_dot_product({a}, {b}) / nullif("
-        f"sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
-        f", 0))"
     )
 
 
@@ -1062,11 +1067,11 @@ cand AS (
   WHERE a.vec_id < b.vec_id
 )
 SELECT cand.vec_a, cand.vec_b,
-       round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+       round({_cos_null_safe_sql("x.v", "y.v")}, 6) AS cosine
 FROM cand
 JOIN v x ON x.vec_id = cand.vec_a
 JOIN v y ON y.vec_id = cand.vec_b
-WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {NEAR_DUP_THRESHOLD}
+WHERE round({_cos_null_safe_sql("x.v", "y.v")}, 6) >= {NEAR_DUP_THRESHOLD}
 """
 
 
