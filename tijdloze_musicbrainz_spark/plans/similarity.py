@@ -2067,19 +2067,18 @@ def sim_ann_ivf_partitioned_lists(
         {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
     )
     lists = spark.read.parquet(lists_path)
+    parts_total = lists.select("cent_id").distinct().count()
+    pruned = lists.filter(F.col("cent_id").isin(probed_ids))
     # parts_read = partitions ACTUALLY read: probed centroids that own
     # a non-empty inverted list. A probed centroid with no members
     # (e.g. a near-duplicate centroid losing every rounded-cosine tie)
     # has no partition directory — counting it would overstate the
-    # scan and disagree with the oracle's IN-lists intersection.
-    # Bounded metadata count: <= |cents| distinct partition values.
-    list_cents = {
-        r["cent_id"]
-        for r in lists.select("cent_id").distinct().collect()
-    }
-    parts_total = len(list_cents)
-    pruned = lists.filter(F.col("cent_id").isin(probed_ids))
-    parts_read = len(set(probed_ids) & list_cents)
+    # scan and disagree with the oracle's IN-lists intersection. Both
+    # sides are distributed COUNTS (the pruned scan's distinct
+    # partition values are <= |Q|*N_PROBE by construction) — nothing
+    # centroid-shaped is ever collected, so the pattern holds when
+    # centroid count grows with the corpus at 100 TB.
+    parts_read = pruned.select("cent_id").distinct().count()
 
     cand = probes.join(pruned, "cent_id").filter(
         F.col("query_id") != F.col("match_id")
