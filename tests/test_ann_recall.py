@@ -175,3 +175,44 @@ def test_ivf_pq_trained_recall_not_worse(spark, sf_dir):
     r_trained = len(exact & trained) / len(exact)
     assert r_trained >= r_seed - 0.04, (r_seed, r_trained)
     assert r_trained >= 0.7
+
+
+def test_ivf_pq_persisted_matches_in_memory_and_prunes(spark, sf_dir):
+    """The persisted IVF-PQ index must return EXACTLY the in-memory
+    sim_ann_ivf_pq top-k (same codes, same ADC, same re-rank — only
+    the storage location differs), its query path must read the code
+    lists through a cent_id PartitionFilter (directory pruning), and
+    the parts accounting must show a strict subset was read."""
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        MAX_QUERIES,
+        N_PROBE,
+    )
+
+    mem = {
+        (r["query_id"], r["match_id"], r["pq_adc"], r["cosine"])
+        for r in REGISTRY["sim_ann_ivf_pq"].builder(spark, sf_dir).collect()
+    }
+    out = REGISTRY["sim_ann_ivf_pq_persisted"].builder(spark, sf_dir)
+    rows = out.collect()
+    stored = {
+        (r["query_id"], r["match_id"], r["pq_adc"], r["cosine"])
+        for r in rows
+    }
+    assert stored == mem
+
+    pr, pt = rows[0]["parts_read"], rows[0]["parts_total"]
+    assert 0 < pr <= MAX_QUERIES * N_PROBE
+    assert pr <= pt
+    # with more partitions than the probe budget, some MUST be skipped
+    # (at tiny SFs every centroid can legitimately be probed)
+    if pt > MAX_QUERIES * N_PROBE:
+        assert pr < pt
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "cent_id" in line
+    ]
+    assert pf, "no cent_id PartitionFilters in the persisted-index scan"

@@ -27,6 +27,8 @@ ALLOWED_NESTED_LOOP = {
     # broadcasts for the bounded codebook/ADC tables)
     "sim_ann_ivf_pq_trained",  # identical shape plus the Lloyd round
     # (still the bounded codebook broadcast x corpus)
+    "sim_ann_ivf_pq_persisted",  # same assignment shape; the query path
+    # reads the partition-pruned stored code lists
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF

@@ -1566,11 +1566,40 @@ QUALIFY row_number() OVER (
     "codes ship as 4 ints per row.",
 )
 def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir).withColumn(
+    vecs = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(vecs)
+    cb = _pq_seed_codebook(vecs, subs)
+    codes = _pq_encode(subs, cb)
+    cents = _ivf_cents(vecs)
+    lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    probes = _nearest_cent(
+        vecs.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    cand = probes.join(lists, "cent_id").filter(
+        F.col("query_id") != F.col("match_id")
+    ).select("query_id", "match_id")
+    adc = _pq_adc_scores(cand.join(codes, "match_id"), subs, cb)
+    return _pq_rerank(_pq_shortlist(adc), vecs)
+
+
+def _pq_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vecs(spark, sf_dir).withColumn(
         "iv",
         F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
     )
-    subs = vecs.select(
+
+
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, siv): the PQ_M quantized subvectors per vector."""
+    return vecs.select(
         "vec_id",
         F.explode(
             F.array(
@@ -1585,9 +1614,11 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.siv").alias("siv"))
 
-    # codebook: <= 16 source vectors (mod + absolute cap), j = rank by
-    # vec_id. The global row_number window is over this bounded tiny
-    # set only — never the corpus.
+
+def _pq_seed_codebook(vecs: DataFrame, subs: DataFrame) -> DataFrame:
+    """(j, m, cbv): <= PQ_CB_CAP/PQ_CB_MOD source vectors (mod +
+    absolute cap), j = rank by vec_id. The global row_number window is
+    over this bounded tiny set only — never the corpus."""
     cb_src = (
         vecs.filter(
             (F.col("vec_id") % PQ_CB_MOD == 0) & (F.col("vec_id") < PQ_CB_CAP)
@@ -1597,66 +1628,61 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
         )
     )
-    cb = cb_src.join(subs, "vec_id").select(
+    return cb_src.join(subs, "vec_id").select(
         "j", "m", F.col("siv").alias("cbv")
     )
 
-    def l2i(a: Column, b: Column) -> Column:
-        # exact int64 squared L2 over quantized subvectors
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
 
-    # encode the corpus: per (vector, subspace) argmin over the
-    # broadcast codebook — 4 int codes per vector, the PQ compression
+def _l2i(a: Column, b: Column) -> Column:
+    # exact int64 squared L2 over quantized subvectors
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(match_id, m, code): per (vector, subspace) argmin over the
+    broadcast codebook — PQ_M int codes per vector, the compression."""
     scored = subs.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "j", l2i(F.col("siv"), F.col("cbv")).alias("d")
+        "vec_id", "m", "j", _l2i(F.col("siv"), F.col("cbv")).alias("d")
     )
     wc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
-    codes = (
+    return (
         scored.withColumn("__rn", F.row_number().over(wc))
         .filter(F.col("__rn") == 1)
         .select(F.col("vec_id").alias("match_id"), "m", F.col("j").alias("code"))
     )
 
-    # coarse IVF layer — identical shape to sim_ann_ivf_bucketed
-    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
+
+def _ivf_cents(vecs: DataFrame) -> DataFrame:
+    return vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
 
-    def nearest(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
-        sc = df.join(F.broadcast(cents)).select(
-            id_col,
-            "cent_id",
-            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("__sim"), F.asc("cent_id")
-        )
-        return (
-            sc.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select(id_col, "cent_id")
-        )
 
-    lists = nearest(vecs, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
+def _nearest_cent(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    sc = df.join(F.broadcast(cents)).select(
+        id_col,
+        "cent_id",
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
     )
-    probes = nearest(
-        vecs.filter(_query_filter()).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        ),
-        "query_id",
-        "qv",
-        N_PROBE,
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    return (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "cent_id")
     )
-    cand = probes.join(lists, "cent_id").filter(
-        F.col("query_id") != F.col("match_id")
-    ).select("query_id", "match_id")
 
-    # per-query ADC table: |Q| x PQ_M x K distances, broadcastable
+
+def _pq_adc_scores(
+    coded_cand: DataFrame, subs: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """ADC: per-query distance table (|Q| x PQ_M x K ints, broadcast)
+    joined against the candidates' stored codes, summed per pair."""
     dtab = (
         subs.filter(_query_filter())
         .select(F.col("vec_id").alias("query_id"), "m", "siv")
@@ -1665,22 +1691,26 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "m",
             F.col("j").alias("code"),
-            l2i(F.col("siv"), F.col("cbv")).alias("d"),
+            _l2i(F.col("siv"), F.col("cbv")).alias("d"),
         )
     )
-    adc = (
-        cand.join(codes, "match_id")
-        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+    return (
+        coded_cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
         .groupBy("query_id", "match_id")
         .agg(F.sum("d").cast("long").alias("pq_adc"))
     )
+
+
+def _pq_shortlist(adc: DataFrame) -> DataFrame:
     ws = Window.partitionBy("query_id").orderBy("pq_adc", "match_id")
-    shortlist = (
+    return (
         adc.withColumn("__rn", F.row_number().over(ws))
         .filter(F.col("__rn") <= PQ_TOP_C)
         .drop("__rn")
     )
 
+
+def _pq_rerank(shortlist: DataFrame, vecs: DataFrame) -> DataFrame:
     qv = vecs.filter(_query_filter()).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -2093,6 +2123,116 @@ def sim_ann_ivf_partitioned_lists(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= TOP_K)
         .drop("__rn")
+        .withColumn("parts_read", F.lit(parts_read).cast("long"))
+        .withColumn("parts_total", F.lit(parts_total).cast("long"))
+    )
+
+
+# ── Persisted IVF-PQ index: the full 100 TB ANN storage story ───────
+#
+# sim_ann_ivf_pq computes index and query in one DAG;
+# sim_ann_ivf_partitioned_lists persists FULL-VECTOR lists. This
+# variant persists the REAL production layout (the Faiss IVFPQ
+# on-disk shape): code lists partitioned by centroid — PQ_M ints +
+# id per vector, a 64x compression over float lists — plus the tiny
+# codebook as its own parquet. The query path then touches ONLY the
+# stored index: probed partitions of the code lists (partition-pruned
+# read), the re-read codebook (broadcast), and exact vectors fetched
+# by id for the shortlist re-rank. Build once, query many — the
+# index write is the one corpus-linear pass.
+_PQP_ORACLE = (
+    _PQ_ORACLE.replace(
+        ")\nSELECT s.query_id, s.match_id, s.pq_adc,",
+        "),\ntopk AS (\n  SELECT s.query_id, s.match_id, s.pq_adc,",
+        1,
+    )
+    + """
+),
+parts AS (
+  SELECT CAST(count(DISTINCT cent_id) AS BIGINT) AS parts_total FROM lists
+),
+probed AS (
+  SELECT CAST(count(DISTINCT cent_id) AS BIGINT) AS parts_read FROM probes
+  WHERE cent_id IN (SELECT DISTINCT cent_id FROM lists)
+)
+SELECT t.query_id, t.match_id, t.pq_adc, t.cosine,
+       pr.parts_read, pa.parts_total
+FROM topk t CROSS JOIN probed pr CROSS JOIN parts pa
+"""
+)
+
+
+@register(
+    "sim_ann_ivf_pq_persisted",
+    survey_ids=(),
+    oracle=_PQP_ORACLE,
+    doc="PERSISTED IVF-PQ index (the Faiss IVFPQ on-disk layout): the "
+    "code lists — PQ_M=4 small ints + id per vector, a 64x storage "
+    "compression over the full-vector lists of "
+    "sim_ann_ivf_partitioned_lists — are WRITTEN to parquet "
+    "partitioned by centroid id, the codebook (4x64 subvectors) to "
+    "its own parquet; the query path reads ONLY the stored index: "
+    "probed centroid ids (bounded collect, <= |Q|*N_PROBE) become a "
+    "partition-pruning IN filter on the code lists, the re-read "
+    "codebook builds the per-query ADC tables (broadcast), and exact "
+    "vectors are fetched by id just for the PQ_TOP_C shortlist "
+    "re-rank. Top-k results are identical to the in-memory "
+    "sim_ann_ivf_pq — the oracle is the same PQ pipeline plus the "
+    "parts accounting — which is the point: build the index once "
+    "(the corpus-linear pass), query it many times touching only "
+    "probed partitions. parts_read/parts_total prove the pruning.",
+)
+def sim_ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    vecs = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(vecs)
+    cb = _pq_seed_codebook(vecs, subs)
+    cents = _ivf_cents(vecs)
+
+    # ── index build: ONE corpus-linear pass, persisted ──────────────
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/ivfpq_index_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(subs, cb).join(lists, "match_id").write.partitionBy(
+        "cent_id"
+    ).parquet(f"{root}/lists")
+    cb.write.parquet(f"{root}/codebook")
+
+    # ── query path: stored index only ────────────────────────────────
+    probes = _nearest_cent(
+        vecs.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    # bounded metadata collect: <= MAX_QUERIES * N_PROBE centroid ids
+    probed_ids = sorted(
+        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
+    )
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored = spark.read.parquet(f"{root}/lists")
+    parts_total = stored.select("cent_id").distinct().count()
+    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
+    parts_read = pruned.select("cent_id").distinct().count()
+
+    coded_cand = (
+        probes.join(pruned, "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "m", "code")
+    )
+    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
+    return (
+        _pq_rerank(_pq_shortlist(adc), vecs)
         .withColumn("parts_read", F.lit(parts_read).cast("long"))
         .withColumn("parts_total", F.lit(parts_total).cast("long"))
     )
