@@ -100,6 +100,8 @@ HEADLINERS = [
     "dedup_exact_hash_first_wins",
     "events_histogram_equiwidth",
     "w_first_last_ignore_nulls",
+    # r9: the persisted IVF-PQ index (build + pruned query in one DAG)
+    "sim_ann_ivf_pq_persisted",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,

@@ -175,6 +175,15 @@ QUERIES = (
         "skip-read opens only files whose stats overlap the predicate "
         "— the skipped fraction is corpus-layout-bound, not m-bound",
     ),
+    (
+        "sim_ann_ivf_pq_persisted",
+        None,
+        True,
+        "index build (encode + assignment + partitioned code-list "
+        "write) is the m-linear pass; the query path reads only the "
+        "id-capped probed partitions and the tiny codebook, so its "
+        "cost is flat in m — the build-once/query-many storage story",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
