@@ -28,6 +28,11 @@ EDGE_EMBEDDING_QUERIES = [
     # without crashing either engine
     "sim_ann_ivf_pq",
     "sim_ann_ivf_pq_trained",
+    # r9: the persisted-index variants share the encode path but add
+    # the partitioned write + pruned read and the frozen-codebook
+    # delta ingest — both must survive the zero/NULL vectors too
+    "sim_ann_ivf_pq_persisted",
+    "sim_ann_ivf_pq_append",
 ]
 
 DIM = 64

@@ -29,6 +29,8 @@ ALLOWED_NESTED_LOOP = {
     # (still the bounded codebook broadcast x corpus)
     "sim_ann_ivf_pq_persisted",  # same assignment shape; the query path
     # reads the partition-pruned stored code lists
+    "sim_ann_ivf_pq_append",  # same assignment shape; ingest encodes the
+    # delta against the stored codebook/centroids
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF
