@@ -34,6 +34,8 @@ DRIVER_WINDOW_SIZE = 50
 # (r7 ADVICE, medium): the window must never name an unregistered query.
 _CONDITIONAL_PRESENT: dict[str, bool] = {
     "benchmark_golden_real_e2e": REAL_CSV_PRESENT,
+    "benchmark_golden_wrong_rows": REAL_CSV_PRESENT,
+    "benchmark_candidates_debug": REAL_CSV_PRESENT,
 }
 
 _DRIVER_WINDOW_ALL: tuple[str, ...] = (
@@ -47,6 +49,13 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # tier keeps exact/minhash/simhash/exact-substring in-window, and
     # its D-ngram survey ids stay covered by the remaining rows)
     "benchmark_golden_real_e2e",
+    # r9: the per-row disagreement triage and the candidates-for-one-
+    # key debug view — the two reference-surface views that closed the
+    # last "What's missing" nits; slots freed by
+    # corpus_training_dataset_e2e and text_token_stats (both green
+    # since r2-r4b, every id keeps another in-window carrier)
+    "benchmark_golden_wrong_rows",
+    "benchmark_candidates_debug",
     # -- tier 2: sources / sinks / driver-parameterized (S*, P9/10/12, F12, J6)
     "j6_edge_traversal",
     "p9_nonequi_join_predicate",
@@ -85,31 +94,35 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # stay represented in-window; their slots now give first official
     # rows to the r5-r6 marquee components below.
     "dedup_exact_substring_bpe_trained",
+    # (corpus_training_dataset_e2e -> tail in r9: green official rows
+    # since r4b; the assembly tier stays represented by
+    # corpus_clean_pipeline)
     "graph_triangle_count",
     # (graph_copurchase_lift -> tail in r9: A1/F15 redundant, graph
     # tier keeps triangle_count + bfs_hops; slot carries the events
     # equi-width histogram)
     "events_histogram_equiwidth",
-    "corpus_training_dataset_e2e",
     # (multimodal_png_decode_real -> tail in r9: the tier's official
     # row is now the baseline-JPEG decoder, the harder real codec)
     "multimodal_jpeg_decode_real",
-    # (sim_ann_lsh_bucketed -> tail in r9: ANN tier keeps ivf_pq;
+    # (sim_ann_lsh_bucketed -> tail in r9: ANN tier keeps the PQ rows;
     # slot carries the partition-pruned materialized inverted lists)
     "sim_ann_ivf_partitioned_lists",
-    # (sim_ann_ivf_bucketed rotated to the tail in r8b: the IVF-PQ
-    # row exercises the same coarse layer plus product quantization)
-    "sim_ann_ivf_pq",
-    # (text_quality_score / text_language_id moved to the tail in r4 to
-    # make room for the two scale-mechanism rows: their survey ids are
-    # redundantly carried by text_token_stats + fuzzy_two_phase_search,
-    # and the judge's tail re-run covers them like text_fingerprint)
-    "text_token_stats",
+    # (sim_ann_ivf_pq -> tail in r9b: its r8 official row is green and
+    # the append variant supersedes it — stored-index build + frozen-
+    # codebook delta ingest + the identical pruned query in one row)
+    "sim_ann_ivf_pq_append",
+    # (sim_ann_ivf_bucketed rotated to the tail in r8b; sim_ann_ivf_pq
+    # -> tail in r9b after its green r8 row — see the append note)
+    # (text_quality_score / text_language_id moved to the tail in r4;
+    # text_token_stats -> tail in r9b: green since r2, F4 carried by
+    # corpus_clean_pipeline, F15 by q1_pricing_summary)
     "corpus_clean_pipeline",
     # (events_sessionize rotated to the tail in r8b — green official
-    # rows since r2; the slot gives the graph tier a second row:
-    # frontier BFS with the recursive-CTE oracle)
-    "graph_bfs_hops",
+    # rows since r2; graph_bfs_hops -> tail in r9b: the fixpoint
+    # variant supersedes it — same frontier expansion, convergence
+    # contract instead of a fixed hop bound, recursive-CTE oracle)
+    "graph_bfs_fixpoint",
     # (multimodal_fake_decode rotated to the tail in r8: the tier's
     # official row is now multimodal_png_decode_real, a REAL byte-level
     # decoder rather than the deterministic fake)
