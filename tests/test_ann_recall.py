@@ -216,3 +216,50 @@ def test_ivf_pq_persisted_matches_in_memory_and_prunes(spark, sf_dir):
         if "PartitionFilters" in line and "cent_id" in line
     ]
     assert pf, "no cent_id PartitionFilters in the persisted-index scan"
+
+
+def test_ivf_pq_compaction_collapses_files_preserving_results(
+    spark, sf_dir
+):
+    """Compaction is a LAYOUT event: after sim_ann_ivf_pq_compacted
+    runs, the compacted lists hold exactly ONE parquet file per
+    centroid partition (the append had left >1 in the delta-touched
+    partitions), total row count is preserved, and the query result
+    set equals the uncompacted append variant's."""
+    import os
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.plans.etl import SINK_ROOT
+
+    appended = {
+        tuple(r) for r in
+        REGISTRY["sim_ann_ivf_pq_append"].builder(spark, sf_dir).collect()
+    }
+    compacted_rows = (
+        REGISTRY["sim_ann_ivf_pq_compacted"].builder(spark, sf_dir).collect()
+    )
+    assert {tuple(r) for r in compacted_rows} == appended
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/ivfpq_compact_{tag}"
+
+    def files_per_part(d):
+        out = {}
+        for p in os.listdir(d):
+            if p.startswith("cent_id="):
+                out[p] = len(
+                    [f for f in os.listdir(os.path.join(d, p))
+                     if f.endswith(".parquet")]
+                )
+        return out
+
+    frag = files_per_part(f"{root}/lists")
+    comp = files_per_part(f"{root}/lists_compacted")
+    assert set(comp) == set(frag)  # same partitions survive
+    assert all(n == 1 for n in comp.values()), comp
+    assert any(n > 1 for n in frag.values()), (
+        "append should have fragmented at least one partition"
+    )
+    rows_frag = spark.read.parquet(f"{root}/lists").count()
+    rows_comp = spark.read.parquet(f"{root}/lists_compacted").count()
+    assert rows_frag == rows_comp

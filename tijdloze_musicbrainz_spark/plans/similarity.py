@@ -2394,3 +2394,107 @@ def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "match_id", "pq_adc", "n_appended", "cosine"
         )
     )
+
+
+@register(
+    "sim_ann_ivf_pq_compacted",
+    survey_ids=(),
+    oracle=_PQA_ORACLE,
+    doc="COMPACTION of the appended IVF-PQ index — the small-file "
+    "problem, closed: the incremental ingest of sim_ann_ivf_pq_append "
+    "leaves one extra parquet file per touched centroid partition per "
+    "batch (at real ingest rates, thousands of tiny files whose "
+    "open/footer cost dominates the pruned read); compact rewrites "
+    "the code lists with ONE file per centroid partition "
+    "(repartition(cent_id) + partitionBy write — each output task "
+    "holds exactly its partition's rows) and the query runs against "
+    "the compacted copy. The oracle is IDENTICAL to the append "
+    "variant's — compaction must change layout, never results — and "
+    "tests/test_ann_recall.py pins the physical claim (file count "
+    "per partition collapses to 1, row count preserved, result set "
+    "equal to the uncompacted index). The lakehouse compact() "
+    "contract applied to the ANN tier; at 100 TB this is the "
+    "scheduled maintenance event that keeps pruned-read latency "
+    "flat as batches accumulate.",
+)
+def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    cb = _pq_seed_codebook(base, subs)
+    cents = _ivf_cents(base)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/ivfpq_compact_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(subs, cb).join(lists, "match_id").write.partitionBy(
+        "cent_id"
+    ).parquet(f"{root}/lists")
+    cb.write.parquet(f"{root}/codebook")
+    cents.write.parquet(f"{root}/cents")
+
+    # ingest a delta batch (same derivation as sim_ann_ivf_pq_append)
+    delta = base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
+        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
+        F.reverse("v").alias("v"),
+    ).withColumn(
+        "iv",
+        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+    )
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_cents = spark.read.parquet(f"{root}/cents")
+    d_lists = _nearest_cent(delta, stored_cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(_pq_subs(delta), stored_cb).join(
+        d_lists, "match_id"
+    ).write.mode("append").partitionBy("cent_id").parquet(f"{root}/lists")
+
+    # ── COMPACT: one file per centroid partition ─────────────────────
+    fragmented = spark.read.parquet(f"{root}/lists")
+    fragmented.repartition("cent_id").write.partitionBy("cent_id").parquet(
+        f"{root}/lists_compacted"
+    )
+
+    # ── query path over the COMPACTED index ──────────────────────────
+    probes = _nearest_cent(
+        base.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        stored_cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    probed_ids = sorted(
+        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
+    )
+    stored = spark.read.parquet(f"{root}/lists_compacted")
+    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
+    n_appended = (
+        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
+        .select("match_id")
+        .distinct()
+        .count()
+    )
+    coded_cand = (
+        probes.join(pruned, "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "m", "code")
+    )
+    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
+    corpus = base.select("vec_id", "v").unionByName(
+        delta.select("vec_id", "v")
+    )
+    return (
+        _pq_rerank(_pq_shortlist(adc), corpus)
+        .withColumn("n_appended", F.lit(n_appended).cast("long"))
+        .select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+    )
