@@ -302,6 +302,31 @@ AUDITED = {
         "fetched for the PQ_TOP_C-deep (128) shortlist re-rank; "
         "measured recall@5 0.97 at sf0.1 (was 0.76 with K=16/depth 64)."
     ),
+    "sim_ann_ivf_pq_persisted": (
+        "Audit (r9): the stored-index query path — the code-list scan "
+        "carries cent_id PartitionFilters (only probed directories "
+        "open, asserted in tests/test_ann_recall.py), the re-read "
+        "codebook and the per-query ADC tables are BroadcastExchanges, "
+        "and exact vectors enter the plan only at the shortlist "
+        "re-rank join. The build half is one corpus-linear encode + "
+        "assignment feeding a partitioned write."
+    ),
+    "sim_ann_ivf_pq_append": (
+        "Audit (r9): incremental ingest — the delta is encoded against "
+        "the STORED codebook (broadcast) and assigned against the "
+        "STORED centroids (broadcast), then appended as new files "
+        "inside the centroid partitions (mode=append, existing files "
+        "untouched); the query plan is identical to the persisted "
+        "variant's pruned read, now listing base+delta files."
+    ),
+    "sim_ann_ivf_pq_compacted": (
+        "Audit (r9): compaction is repartition(cent_id) + partitionBy "
+        "write — one Exchange, one file per centroid partition "
+        "(collapse pinned in tests) — and the query plan over the "
+        "compacted copy is byte-identical in shape to the append "
+        "variant's; results pinned equal, only the file listing "
+        "shrinks."
+    ),
     "s_stats_skipping_prune": (
         "Audit (r8b): the pruned scan's InMemoryFileIndex lists ONLY "
         "the manifest-selected file entries (3 of ~80 at sf0.01) — "
