@@ -31,6 +31,8 @@ ALLOWED_NESTED_LOOP = {
     # reads the partition-pruned stored code lists
     "sim_ann_ivf_pq_append",  # same assignment shape; ingest encodes the
     # delta against the stored codebook/centroids
+    "sim_ann_ivf_pq_compacted",  # same shape as append; the query reads
+    # the one-file-per-partition compacted copy
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF
