@@ -2082,7 +2082,9 @@ def sim_ann_ivf_partitioned_lists(
     shutil.rmtree(lists_path, ignore_errors=True)
     nearest(vecs, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), F.col("v").alias("mv"), "cent_id"
-    ).write.partitionBy("cent_id").parquet(lists_path)
+    ).repartition("cent_id").write.partitionBy("cent_id").parquet(
+        lists_path
+    )
 
     probes = nearest(
         vecs.filter(_query_filter()).select(
@@ -2200,9 +2202,9 @@ def sim_ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
-    _pq_encode(subs, cb).join(lists, "match_id").write.partitionBy(
+    _pq_encode(subs, cb).join(lists, "match_id").repartition(
         "cent_id"
-    ).parquet(f"{root}/lists")
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
     cb.write.parquet(f"{root}/codebook")
 
     # ── query path: stored index only ────────────────────────────────
@@ -2331,9 +2333,9 @@ def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
-    _pq_encode(subs, cb).join(lists, "match_id").write.partitionBy(
+    _pq_encode(subs, cb).join(lists, "match_id").repartition(
         "cent_id"
-    ).parquet(f"{root}/lists")
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
     cb.write.parquet(f"{root}/codebook")
     cents.write.parquet(f"{root}/cents")
 
@@ -2352,7 +2354,9 @@ def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _pq_encode(_pq_subs(delta), stored_cb).join(
         d_lists, "match_id"
-    ).write.mode("append").partitionBy("cent_id").parquet(f"{root}/lists")
+    ).repartition("cent_id").write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(f"{root}/lists")
 
     # ── query path: identical pruned read, now over base+delta ───────
     probes = _nearest_cent(
@@ -2434,9 +2438,9 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
-    _pq_encode(subs, cb).join(lists, "match_id").write.partitionBy(
+    _pq_encode(subs, cb).join(lists, "match_id").repartition(
         "cent_id"
-    ).parquet(f"{root}/lists")
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
     cb.write.parquet(f"{root}/codebook")
     cents.write.parquet(f"{root}/cents")
 
@@ -2455,7 +2459,9 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _pq_encode(_pq_subs(delta), stored_cb).join(
         d_lists, "match_id"
-    ).write.mode("append").partitionBy("cent_id").parquet(f"{root}/lists")
+    ).repartition("cent_id").write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(f"{root}/lists")
 
     # ── COMPACT: one file per centroid partition ─────────────────────
     fragmented = spark.read.parquet(f"{root}/lists")
