@@ -86,9 +86,9 @@ FROM p
 """,
     doc="The multimodal decode pattern end-to-end with a fake decoder: "
     "binary column (props bytes) -> repartition -> mapInPandas Arrow "
-    "batches -> typed feature columns. The real decoders "
-    "(PNG/BMP/WAV, stdlib-parsed) use the identical plumbing; JPEG "
-    "(decode_jpeg_real) is the one stub left.",
+    "batches -> typed feature columns. The real decoders — PNG, "
+    "baseline JPEG (r8), BMP, WAV, all stdlib/numpy-parsed — use the "
+    "identical plumbing; no stubs remain in the codec tier.",
 )
 def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
