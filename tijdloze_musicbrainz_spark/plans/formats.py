@@ -535,3 +535,105 @@ def s_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_rows"),
         money_sum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+@register(
+    "s_orc_roundtrip",
+    survey_ids=("S4", "S1"),
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {money_sum_sql("o_totalprice")} AS total
+FROM orders WHERE o_orderkey % 10 = 0
+GROUP BY o_orderstatus
+""",
+    doc="ORC sink/source ROUNDTRIP — Spark's second columnar format "
+    "as a first-class interchange path (warehouses that standardized "
+    "on Hive/ORC are a real migration source for the reference's "
+    "Postgres world): a filtered orders projection is written as ORC "
+    "(zstd, Spark's default), read back through the ORC reader, and "
+    "aggregated; the DuckDB oracle computes the same aggregate from "
+    "the original parquet, so a value-hash match proves the "
+    "round-trip is lossless INCLUDING the DECIMAL money semantics "
+    "(exact-decimal accumulation on both engines, money_sum). ORC "
+    "carries the same predicate-pushdown/column-pruning/stats "
+    "machinery as parquet in Spark, so the scan-side contracts "
+    "asserted elsewhere (PushedFilters, ReadSchema) hold unchanged.",
+)
+def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = f"{SINK_ROOT}/orc_roundtrip_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            money_sum(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+# The committed fixture parquets double as stand-ins for a raw-media
+# landing zone: the binaryFile source is how a 100 TB multimodal
+# pipeline INGESTS opaque files (images/audio dumped by crawlers)
+# into binary columns before any decode runs.
+_FIXTURE_GLOB_DIR = "tijdloze_musicbrainz_spark/fixture_data"
+
+
+def _fixture_dir() -> str:
+    import os  # noqa: PLC0415
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixture_data",
+    )
+
+
+def _binaryfile_oracle() -> str:
+    import os  # noqa: PLC0415
+
+    d = os.path.join(_fixture_dir(), "*.parquet")
+    return f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS name,
+       CAST(size AS BIGINT) AS n_bytes,
+       md5(hex(content)) AS digest
+FROM read_blob('{d}')
+"""
+# (md5 over the HEX encoding: DuckDB 1.0's md5 takes VARCHAR only,
+# and both engines uppercase-hex identically, so the digest still
+# certifies the exact bytes)
+
+
+@register(
+    "s_binaryfile_source",
+    survey_ids=("S1",),
+    oracle=_binaryfile_oracle(),
+    doc="The binaryFile SOURCE — Spark's raw-media ingest lane (one "
+    "row per file: path, length, content bytes), reading the repo's "
+    "committed fixture files with pathGlobFilter and emitting "
+    "(basename, byte length, md5 of the exact bytes); the DuckDB "
+    "oracle reads the same files via read_blob and must produce the "
+    "same digests — byte-level ingest parity, the property the "
+    "multimodal decode tier builds on. At 100 TB this is the landing "
+    "path for crawler image/audio dumps: file-granular parallelism "
+    "(one InputPartition per file below maxPartitionBytes), no "
+    "decode until mapInPandas asks for it.",
+)
+def s_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(_fixture_dir())
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5(F.hex(F.col("content"))).alias("digest"),
+        )
+    )
