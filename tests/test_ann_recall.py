@@ -263,3 +263,32 @@ def test_ivf_pq_compaction_collapses_files_preserving_results(
     rows_frag = spark.read.parquet(f"{root}/lists").count()
     rows_comp = spark.read.parquet(f"{root}/lists_compacted").count()
     assert rows_frag == rows_comp
+
+
+def test_streaming_ann_ingest_is_multi_batch_and_equivalent(
+    spark, sf_dir
+):
+    """The streaming ingest must (a) actually run as MULTIPLE
+    micro-batches (3 staged files, maxFilesPerTrigger=1 -> 3 committed
+    offsets), and (b) leave the index in exactly the state the
+    one-shot batch append produces — the multi-micro-batch
+    equivalence contract."""
+    import os
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+    from tijdloze_musicbrainz_spark.plans.etl import SINK_ROOT
+
+    batch = {
+        tuple(r) for r in
+        REGISTRY["sim_ann_ivf_pq_append"].builder(spark, sf_dir).collect()
+    }
+    streamed = {
+        tuple(r) for r in
+        REGISTRY["streaming_ann_index_ingest"].builder(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/ivfpq_stream_{tag}"
+    offsets = os.listdir(os.path.join(root, "ckpt", "offsets"))
+    assert len([o for o in offsets if not o.startswith(".")]) == 3, offsets

@@ -2504,3 +2504,137 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_appended", F.lit(n_appended).cast("long"))
         .select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
     )
+
+
+@register(
+    "streaming_ann_index_ingest",
+    survey_ids=(),
+    oracle=_PQA_ORACLE,
+    doc="STREAMING ingest into the persisted IVF-PQ index — the "
+    "continuous version of sim_ann_ivf_pq_append: the delta batch is "
+    "staged as 3 parquet files and consumed through readStream with "
+    "maxFilesPerTrigger=1, so THREE separate micro-batches each "
+    "encode their slice against the STORED codebook, assign against "
+    "the STORED centroids, and foreachBatch-append into the "
+    "centroid-partitioned code lists (one new file per touched "
+    "partition per micro-batch; checkpointLocation makes a restarted "
+    "drain skip completed batches). The oracle is the append "
+    "variant's — the final index state must be INDEPENDENT of how "
+    "the ingest was micro-batched, the multi-micro-batch equivalence "
+    "contract the CDC tier pins — and the identical pruned query "
+    "path serves base+delta afterwards. At 100 TB this is the "
+    "standing ingest job an embedding service runs: encode cost per "
+    "batch is batch-linear, the index grows append-only, and "
+    "compaction (sim_ann_ivf_pq_compacted) is the scheduled "
+    "small-file counterweight.",
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    cb = _pq_seed_codebook(base, subs)
+    cents = _ivf_cents(base)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/ivfpq_stream_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(subs, cb).join(lists, "match_id").repartition(
+        "cent_id"
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
+    cb.write.parquet(f"{root}/codebook")
+    cents.write.parquet(f"{root}/cents")
+
+    # stage the arriving vectors as 3 files -> 3 micro-batches
+    delta = base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
+        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
+        F.reverse("v").alias("v"),
+    )
+    stage = f"{root}/arrivals"
+    delta.repartition(3).write.parquet(stage)
+
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_cents = spark.read.parquet(f"{root}/cents")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn(
+            "iv",
+            F.transform(
+                F.col("v"), lambda x: F.floor(x * QUANT).cast("long")
+            ),
+        )
+        b_lists = _nearest_cent(b, stored_cents, "vec_id", "v", 1).select(
+            F.col("vec_id").alias("match_id"), "cent_id"
+        )
+        _pq_encode(_pq_subs(b), stored_cb).join(
+            b_lists, "match_id"
+        ).repartition("cent_id").write.mode("append").partitionBy(
+            "cent_id"
+        ).parquet(f"{root}/lists")
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # query path: identical to the batch-append variant
+    probes = _nearest_cent(
+        base.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        stored_cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    probed_ids = sorted(
+        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
+    )
+    stored = spark.read.parquet(f"{root}/lists")
+    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
+    n_appended = (
+        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
+        .select("match_id")
+        .distinct()
+        .count()
+    )
+    coded_cand = (
+        probes.join(pruned, "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "m", "code")
+    )
+    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
+    corpus = base.select("vec_id", "v").unionByName(
+        delta.select("vec_id", "v")
+    )
+    return (
+        _pq_rerank(_pq_shortlist(adc), corpus)
+        .withColumn("n_appended", F.lit(n_appended).cast("long"))
+        .select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+    )
