@@ -33,6 +33,8 @@ ALLOWED_NESTED_LOOP = {
     # delta against the stored codebook/centroids
     "sim_ann_ivf_pq_compacted",  # same shape as append; the query reads
     # the one-file-per-partition compacted copy
+    "streaming_ann_index_ingest",  # same shape as append; the ingest
+    # runs through foreachBatch micro-batches
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF

@@ -584,9 +584,6 @@ def s_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # landing zone: the binaryFile source is how a 100 TB multimodal
 # pipeline INGESTS opaque files (images/audio dumped by crawlers)
 # into binary columns before any decode runs.
-_FIXTURE_GLOB_DIR = "tijdloze_musicbrainz_spark/fixture_data"
-
-
 def _fixture_dir() -> str:
     import os  # noqa: PLC0415
 

@@ -2185,59 +2185,16 @@ FROM topk t CROSS JOIN probed pr CROSS JOIN parts pa
     "probed partitions. parts_read/parts_total prove the pruning.",
 )
 def sim_ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    from .etl import SINK_ROOT  # noqa: PLC0415
-
-    vecs = _pq_vecs(spark, sf_dir)
-    subs = _pq_subs(vecs)
-    cb = _pq_seed_codebook(vecs, subs)
-    cents = _ivf_cents(vecs)
-
-    # ── index build: ONE corpus-linear pass, persisted ──────────────
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = f"{SINK_ROOT}/ivfpq_index_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
-    )
-    _pq_encode(subs, cb).join(lists, "match_id").repartition(
-        "cent_id"
-    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
-    cb.write.parquet(f"{root}/codebook")
-
-    # ── query path: stored index only ────────────────────────────────
-    probes = _nearest_cent(
-        vecs.filter(_query_filter()).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        ),
-        cents,
-        "query_id",
-        "qv",
-        N_PROBE,
-    )
-    # bounded metadata collect: <= MAX_QUERIES * N_PROBE centroid ids
-    probed_ids = sorted(
-        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
-    )
-    stored_cb = spark.read.parquet(f"{root}/codebook")
-    stored = spark.read.parquet(f"{root}/lists")
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    root = _pq_index_root(sf_dir, "ivfpq_index")
+    _pq_write_index(base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root)
+    topk, stored, pruned = _pq_query_stored(spark, base, subs, root, base)
     parts_total = stored.select("cent_id").distinct().count()
-    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
     parts_read = pruned.select("cent_id").distinct().count()
-
-    coded_cand = (
-        probes.join(pruned, "cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "m", "code")
-    )
-    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
-    return (
-        _pq_rerank(_pq_shortlist(adc), vecs)
-        .withColumn("parts_read", F.lit(parts_read).cast("long"))
-        .withColumn("parts_total", F.lit(parts_total).cast("long"))
-    )
+    return topk.withColumn(
+        "parts_read", F.lit(parts_read).cast("long")
+    ).withColumn("parts_total", F.lit(parts_total).cast("long"))
 
 
 # ── Incremental IVF-PQ ingest: append without rebuild ────────────────
@@ -2295,6 +2252,130 @@ _PQA_ORACLE = (
 )
 
 
+# ── shared lifecycle helpers (build / ingest / stored-index query) ──
+# One implementation serves all four lifecycle queries (persisted,
+# append, compacted, streaming ingest): a fix like the r9 parts_read
+# correction lands once, not four times.
+
+
+def _pq_index_root(sf_dir: str, name: str) -> str:
+    """Fresh per-(query, sf) directory under the sink root."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/{name}_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _pq_write_index(
+    base: DataFrame,
+    subs: DataFrame,
+    cb: DataFrame,
+    cents: DataFrame,
+    root: str,
+) -> None:
+    """The ONE corpus-linear build pass: centroid-partitioned code
+    lists (one file per partition via repartition), plus the tiny
+    codebook and centroid tables as their own parquets."""
+    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(subs, cb).join(lists, "match_id").repartition(
+        "cent_id"
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
+    cb.write.parquet(f"{root}/codebook")
+    cents.write.parquet(f"{root}/cents")
+
+
+def _pq_delta(base: DataFrame) -> DataFrame:
+    """Deterministic arriving batch: every PQ_APPEND_MOD-th base
+    vector, id-shifted past every mod/cap filter and REVERSED so it
+    is a genuinely different direction."""
+    return base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
+        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
+        F.reverse("v").alias("v"),
+    )
+
+
+def _pq_ingest_batch(
+    batch_df: DataFrame,
+    stored_cb: DataFrame,
+    stored_cents: DataFrame,
+    root: str,
+) -> None:
+    """The Faiss add() contract: encode a batch against the STORED
+    codebook, assign against the STORED centroids, append one file
+    per touched centroid partition. Existing files untouched."""
+    b = batch_df
+    if "iv" not in b.columns:
+        b = b.withColumn(
+            "iv",
+            F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+        )
+    b_lists = _nearest_cent(b, stored_cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(_pq_subs(b), stored_cb).join(
+        b_lists, "match_id"
+    ).repartition("cent_id").write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(f"{root}/lists")
+
+
+def _pq_query_stored(
+    spark: SparkSession,
+    base: DataFrame,
+    subs: DataFrame,
+    root: str,
+    corpus: DataFrame,
+    lists_dir: str = "lists",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Query the STORED index: probes against the stored centroids,
+    probed ids (bounded collect, <= MAX_QUERIES * N_PROBE) become the
+    partition-pruning IN filter on the code lists, the re-read
+    codebook builds the broadcast ADC tables, and exact vectors are
+    fetched from ``corpus`` only for the shortlist re-rank. Returns
+    (topk, stored, pruned) — accounting columns are the caller's."""
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_cents = spark.read.parquet(f"{root}/cents")
+    probes = _nearest_cent(
+        base.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        stored_cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    probed_ids = sorted(
+        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
+    )
+    stored = spark.read.parquet(f"{root}/{lists_dir}")
+    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
+    coded_cand = (
+        probes.join(pruned, "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "m", "code")
+    )
+    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
+    return _pq_rerank(_pq_shortlist(adc), corpus), stored, pruned
+
+
+def _pq_n_appended(stored: DataFrame) -> int:
+    """Delta batch size in VECTORS (the lists hold PQ_M code rows per
+    vector, hence the distinct) — bounded accounting count."""
+    return (
+        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
+        .select("match_id")
+        .distinct()
+        .count()
+    )
+
+
 @register(
     "sim_ann_ivf_pq_append",
     survey_ids=(),
@@ -2316,88 +2397,26 @@ _PQA_ORACLE = (
     "read.",
 )
 def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    from .etl import SINK_ROOT  # noqa: PLC0415
-
     base = _pq_vecs(spark, sf_dir)
     subs = _pq_subs(base)
-    cb = _pq_seed_codebook(base, subs)
-    cents = _ivf_cents(base)
-
-    # ── base index build (one corpus-linear pass, persisted) ─────────
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = f"{SINK_ROOT}/ivfpq_append_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
+    root = _pq_index_root(sf_dir, "ivfpq_append")
+    _pq_write_index(
+        base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
     )
-    _pq_encode(subs, cb).join(lists, "match_id").repartition(
-        "cent_id"
-    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
-    cb.write.parquet(f"{root}/codebook")
-    cents.write.parquet(f"{root}/cents")
-
-    # ── incremental ingest: stored codebook + stored centroids only ──
-    delta = base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
-        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
-        F.reverse("v").alias("v"),
-    ).withColumn(
-        "iv",
-        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+    delta = _pq_delta(base)
+    _pq_ingest_batch(
+        delta,
+        spark.read.parquet(f"{root}/codebook"),
+        spark.read.parquet(f"{root}/cents"),
+        root,
     )
-    stored_cb = spark.read.parquet(f"{root}/codebook")
-    stored_cents = spark.read.parquet(f"{root}/cents")
-    d_lists = _nearest_cent(delta, stored_cents, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
-    )
-    _pq_encode(_pq_subs(delta), stored_cb).join(
-        d_lists, "match_id"
-    ).repartition("cent_id").write.mode("append").partitionBy(
-        "cent_id"
-    ).parquet(f"{root}/lists")
-
-    # ── query path: identical pruned read, now over base+delta ───────
-    probes = _nearest_cent(
-        base.filter(_query_filter()).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        ),
-        stored_cents,
-        "query_id",
-        "qv",
-        N_PROBE,
-    )
-    probed_ids = sorted(
-        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
-    )
-    stored = spark.read.parquet(f"{root}/lists")
-    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
-    # bounded accounting count (delta batch size in VECTORS — the
-    # stored lists hold PQ_M code rows per vector, hence the distinct)
-    n_appended = (
-        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
-        .select("match_id")
-        .distinct()
-        .count()
-    )
-
-    coded_cand = (
-        probes.join(pruned, "cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "m", "code")
-    )
-    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
     corpus = base.select("vec_id", "v").unionByName(
         delta.select("vec_id", "v")
     )
-    return (
-        _pq_rerank(_pq_shortlist(adc), corpus)
-        .withColumn("n_appended", F.lit(n_appended).cast("long"))
-        .select(
-            "query_id", "match_id", "pq_adc", "n_appended", "cosine"
-        )
-    )
+    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
 
 
 @register(
@@ -2422,88 +2441,34 @@ def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flat as batches accumulate.",
 )
 def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    from .etl import SINK_ROOT  # noqa: PLC0415
-
     base = _pq_vecs(spark, sf_dir)
     subs = _pq_subs(base)
-    cb = _pq_seed_codebook(base, subs)
-    cents = _ivf_cents(base)
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = f"{SINK_ROOT}/ivfpq_compact_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
+    root = _pq_index_root(sf_dir, "ivfpq_compact")
+    _pq_write_index(
+        base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
     )
-    _pq_encode(subs, cb).join(lists, "match_id").repartition(
-        "cent_id"
-    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
-    cb.write.parquet(f"{root}/codebook")
-    cents.write.parquet(f"{root}/cents")
-
-    # ingest a delta batch (same derivation as sim_ann_ivf_pq_append)
-    delta = base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
-        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
-        F.reverse("v").alias("v"),
-    ).withColumn(
-        "iv",
-        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+    delta = _pq_delta(base)
+    _pq_ingest_batch(
+        delta,
+        spark.read.parquet(f"{root}/codebook"),
+        spark.read.parquet(f"{root}/cents"),
+        root,
     )
-    stored_cb = spark.read.parquet(f"{root}/codebook")
-    stored_cents = spark.read.parquet(f"{root}/cents")
-    d_lists = _nearest_cent(delta, stored_cents, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
-    )
-    _pq_encode(_pq_subs(delta), stored_cb).join(
-        d_lists, "match_id"
-    ).repartition("cent_id").write.mode("append").partitionBy(
-        "cent_id"
-    ).parquet(f"{root}/lists")
 
     # ── COMPACT: one file per centroid partition ─────────────────────
-    fragmented = spark.read.parquet(f"{root}/lists")
-    fragmented.repartition("cent_id").write.partitionBy("cent_id").parquet(
-        f"{root}/lists_compacted"
-    )
+    spark.read.parquet(f"{root}/lists").repartition(
+        "cent_id"
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists_compacted")
 
-    # ── query path over the COMPACTED index ──────────────────────────
-    probes = _nearest_cent(
-        base.filter(_query_filter()).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        ),
-        stored_cents,
-        "query_id",
-        "qv",
-        N_PROBE,
-    )
-    probed_ids = sorted(
-        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
-    )
-    stored = spark.read.parquet(f"{root}/lists_compacted")
-    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
-    n_appended = (
-        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
-        .select("match_id")
-        .distinct()
-        .count()
-    )
-    coded_cand = (
-        probes.join(pruned, "cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "m", "code")
-    )
-    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
     corpus = base.select("vec_id", "v").unionByName(
         delta.select("vec_id", "v")
     )
-    return (
-        _pq_rerank(_pq_shortlist(adc), corpus)
-        .withColumn("n_appended", F.lit(n_appended).cast("long"))
-        .select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+    topk, stored, _ = _pq_query_stored(
+        spark, base, subs, root, corpus, lists_dir="lists_compacted"
     )
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
 
 
 @register(
@@ -2529,9 +2494,6 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "small-file counterweight.",
 )
 def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
     from pyspark.sql.types import (  # noqa: PLC0415
         ArrayType,
         DoubleType,
@@ -2540,51 +2502,20 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from .etl import SINK_ROOT  # noqa: PLC0415
-
     base = _pq_vecs(spark, sf_dir)
     subs = _pq_subs(base)
-    cb = _pq_seed_codebook(base, subs)
-    cents = _ivf_cents(base)
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = f"{SINK_ROOT}/ivfpq_stream_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
-        F.col("vec_id").alias("match_id"), "cent_id"
+    root = _pq_index_root(sf_dir, "ivfpq_stream")
+    _pq_write_index(
+        base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
     )
-    _pq_encode(subs, cb).join(lists, "match_id").repartition(
-        "cent_id"
-    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
-    cb.write.parquet(f"{root}/codebook")
-    cents.write.parquet(f"{root}/cents")
 
     # stage the arriving vectors as 3 files -> 3 micro-batches
-    delta = base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
-        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
-        F.reverse("v").alias("v"),
-    )
+    delta = _pq_delta(base).select("vec_id", "v")
     stage = f"{root}/arrivals"
     delta.repartition(3).write.parquet(stage)
 
     stored_cb = spark.read.parquet(f"{root}/codebook")
     stored_cents = spark.read.parquet(f"{root}/cents")
-
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.withColumn(
-            "iv",
-            F.transform(
-                F.col("v"), lambda x: F.floor(x * QUANT).cast("long")
-            ),
-        )
-        b_lists = _nearest_cent(b, stored_cents, "vec_id", "v", 1).select(
-            F.col("vec_id").alias("match_id"), "cent_id"
-        )
-        _pq_encode(_pq_subs(b), stored_cb).join(
-            b_lists, "match_id"
-        ).repartition("cent_id").write.mode("append").partitionBy(
-            "cent_id"
-        ).parquet(f"{root}/lists")
 
     schema = StructType(
         [
@@ -2596,45 +2527,17 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-        .writeStream.foreachBatch(ingest)
+        .writeStream.foreachBatch(
+            lambda b, _id: _pq_ingest_batch(b, stored_cb, stored_cents, root)
+        )
         .option("checkpointLocation", f"{root}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
 
-    # query path: identical to the batch-append variant
-    probes = _nearest_cent(
-        base.filter(_query_filter()).select(
-            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-        ),
-        stored_cents,
-        "query_id",
-        "qv",
-        N_PROBE,
-    )
-    probed_ids = sorted(
-        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
-    )
-    stored = spark.read.parquet(f"{root}/lists")
-    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
-    n_appended = (
-        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
-        .select("match_id")
-        .distinct()
-        .count()
-    )
-    coded_cand = (
-        probes.join(pruned, "cent_id")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", "m", "code")
-    )
-    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
-    corpus = base.select("vec_id", "v").unionByName(
-        delta.select("vec_id", "v")
-    )
-    return (
-        _pq_rerank(_pq_shortlist(adc), corpus)
-        .withColumn("n_appended", F.lit(n_appended).cast("long"))
-        .select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
-    )
+    corpus = base.select("vec_id", "v").unionByName(delta)
+    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
