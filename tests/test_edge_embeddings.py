@@ -33,6 +33,7 @@ EDGE_EMBEDDING_QUERIES = [
     # delta ingest — both must survive the zero/NULL vectors too
     "sim_ann_ivf_pq_persisted",
     "sim_ann_ivf_pq_append",
+    "sim_ann_ivf_pq_retrain",
 ]
 
 DIM = 64

@@ -35,6 +35,8 @@ ALLOWED_NESTED_LOOP = {
     # the one-file-per-partition compacted copy
     "streaming_ann_index_ingest",  # same shape as append; the ingest
     # runs through foreachBatch micro-batches
+    "sim_ann_ivf_pq_retrain",  # same shape plus the Lloyd round over
+    # the union (still the bounded codebook broadcast x corpus)
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
     "ml_kmeans_lloyd_iterated",  # two chained centroid-assignment rounds
     "dedup_semantic_semdedup",  # same centroid assignment shape as IVF

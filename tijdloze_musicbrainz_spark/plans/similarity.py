@@ -1797,6 +1797,41 @@ _PQT_ORACLE = (
 )
 
 
+def _pq_lloyd_refine(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """One Lloyd round per subspace over quantized subvectors: assign
+    to the seed codebook, recompute each entry as its cluster's
+    ROUND-HALF-UP integer mean via the offset shift
+    (((2*(sum+n*OFF)+n) div (2*n)) - OFF) so Spark's truncating div
+    and DuckDB's flooring // agree (operands nonnegative); empty
+    clusters keep their seed entry. Shared by the trained and retrain
+    variants — the training step is oracle-checked in both."""
+    assign0 = _pq_encode(subs, cb).withColumnRenamed("match_id", "vec_id")
+    pos = subs.join(assign0, ["vec_id", "m"]).select(
+        "m",
+        F.col("code").alias("j"),
+        F.posexplode("siv").alias("i", "val"),
+    )
+    sums = pos.groupBy("m", "j", "i").agg(
+        F.count("*").alias("n"), F.sum("val").alias("sm")
+    )
+    c = (
+        F.expr(f"(2 * (sm + n * {PQ_OFF}) + n) div (2 * n)") - F.lit(PQ_OFF)
+    ).cast("long")
+    refined = (
+        sums.select("m", "j", "i", c.alias("c"))
+        .groupBy("m", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda x: x["c"],
+            ).alias("rbv")
+        )
+    )
+    return cb.join(refined, ["m", "j"], "left").select(
+        "m", "j", F.coalesce("rbv", "cbv").alias("cbv")
+    )
+
+
 @register(
     "sim_ann_ivf_pq_trained",
     survey_ids=(),
@@ -1818,118 +1853,19 @@ _PQT_ORACLE = (
     "aggregates, one round; more rounds repeat the same plan.",
 )
 def sim_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir).withColumn(
-        "iv",
-        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
-    )
-    subs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("iv", m * PQ_SUB + 1, PQ_SUB).alias("siv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.siv").alias("siv"))
-
-    cb_src = (
-        vecs.filter(
-            (F.col("vec_id") % PQ_CB_MOD == 0) & (F.col("vec_id") < PQ_CB_CAP)
-        )
-        .select("vec_id")
-        .withColumn(
-            "j", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
-        )
-    )
-    cb = cb_src.join(subs, "vec_id").select(
-        "j", "m", F.col("siv").alias("cbv")
-    )
-
-    def l2i(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def encode(codebook: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(codebook), "m").select(
-            "vec_id", "m", "j", l2i(F.col("siv"), F.col("cbv")).alias("d")
-        )
-        wc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
-        return (
-            scored.withColumn("__rn", F.row_number().over(wc))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", "m", F.col("j").alias("code"))
-        )
-
-    # one Lloyd round: seed-assign, integer-mean per (m, j, dim)
-    assign0 = encode(cb)
-    pos = (
-        subs.join(assign0, ["vec_id", "m"])
-        .select(
-            "m",
-            F.col("code").alias("j"),
-            F.posexplode("siv").alias("i", "val"),
-        )
-    )
-    sums = pos.groupBy("m", "j", "i").agg(
-        F.count("*").alias("n"), F.sum("val").alias("sm")
-    )
-    c = (
-        F.expr(
-            f"(2 * (sm + n * {PQ_OFF}) + n) div (2 * n)"
-        )
-        - F.lit(PQ_OFF)
-    ).cast("long")
-    refined = (
-        sums.select("m", "j", "i", c.alias("c"))
-        .groupBy("m", "j")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "c"))),
-                lambda x: x["c"],
-            ).alias("rbv")
-        )
-    )
-    cb1 = (
-        cb.join(refined, ["m", "j"], "left")
-        .select("m", "j", F.coalesce("rbv", "cbv").alias("cbv"))
-    )
-
-    codes = encode(cb1).withColumnRenamed("vec_id", "match_id")
-
-    cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-
-    def nearest(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
-        sc = df.join(F.broadcast(cents)).select(
-            id_col,
-            "cent_id",
-            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("__sim"), F.asc("cent_id")
-        )
-        return (
-            sc.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select(id_col, "cent_id")
-        )
-
-    lists = nearest(vecs, "vec_id", "v", 1).select(
+    vecs = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(vecs)
+    cb1 = _pq_lloyd_refine(subs, _pq_seed_codebook(vecs, subs))
+    codes = _pq_encode(subs, cb1)
+    cents = _ivf_cents(vecs)
+    lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
-    probes = nearest(
+    probes = _nearest_cent(
         vecs.filter(_query_filter()).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         ),
+        cents,
         "query_id",
         "qv",
         N_PROBE,
@@ -1937,52 +1873,8 @@ def sim_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(lists, "cent_id").filter(
         F.col("query_id") != F.col("match_id")
     ).select("query_id", "match_id")
-
-    dtab = (
-        subs.filter(_query_filter())
-        .select(F.col("vec_id").alias("query_id"), "m", "siv")
-        .join(F.broadcast(cb1), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("j").alias("code"),
-            l2i(F.col("siv"), F.col("cbv")).alias("d"),
-        )
-    )
-    adc = (
-        cand.join(codes, "match_id")
-        .join(F.broadcast(dtab), ["query_id", "m", "code"])
-        .groupBy("query_id", "match_id")
-        .agg(F.sum("d").cast("long").alias("pq_adc"))
-    )
-    ws = Window.partitionBy("query_id").orderBy("pq_adc", "match_id")
-    shortlist = (
-        adc.withColumn("__rn", F.row_number().over(ws))
-        .filter(F.col("__rn") <= PQ_TOP_C)
-        .drop("__rn")
-    )
-    qv = vecs.filter(_query_filter()).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    cv = vecs.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv"))
-    reranked = (
-        shortlist.join(cv, "match_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "match_id",
-            "pq_adc",
-            F.round(cosine(F.col("qv"), F.col("mv")), 6).alias("cosine"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("match_id")
-    )
-    return (
-        reranked.withColumn("__rn", F.row_number().over(wr))
-        .filter(F.col("__rn") <= TOP_K)
-        .drop("__rn")
-    )
+    adc = _pq_adc_scores(cand.join(codes, "match_id"), subs, cb1)
+    return _pq_rerank(_pq_shortlist(adc), vecs)
 
 
 _IVF_PART_ORACLE = f"""
@@ -2538,6 +2430,71 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = base.select("vec_id", "v").unionByName(delta)
     topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+
+
+# Retrain oracle: the Lloyd-refinement surgery (_PQT) applied on top
+# of the append surgery (_PQA) — v is base∪delta, centroids frozen to
+# the base, codebook seeded from the capped base ids but REFINED over
+# the union subvectors, union re-encoded against the refined book.
+_PQR_ORACLE = (
+    _PQA_ORACLE.replace("codes AS (", _PQT_CB1 + ",\ncodes AS (")
+    .replace(
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+    )
+    .replace(
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        1,  # first occurrence = assign0's seed assignment
+    )
+)
+
+
+@register(
+    "sim_ann_ivf_pq_retrain",
+    survey_ids=(),
+    oracle=_PQR_ORACLE,
+    doc="RETRAIN of the persisted IVF-PQ index — the rare lifecycle "
+    "event the append/compact docstrings defer to: after a delta "
+    "batch has been ingested against the frozen seed codebook, one "
+    "Lloyd round RETRAINS the codebook over the FULL base∪delta "
+    "corpus (quantization drift from new data is why production "
+    "indices retrain), the whole corpus is RE-ENCODED against the "
+    "refined book, and the index is rewritten (new codebook + new "
+    "code lists; coarse centroids stay frozen — re-clustering the "
+    "IVF layer is a separate, even rarer event). The oracle composes "
+    "the append oracle (union corpus, base-frozen centroids, "
+    "n_appended accounting) with the trained oracle's integer-exact "
+    "Lloyd round, so the retraining math is hash-checked end to end. "
+    "Cost model: one extra corpus-x-codebook argmin + one (m, j, dim) "
+    "sum for the training pass, then the same build write as the "
+    "initial index — all map-side-combinable aggregates over one "
+    "corpus pass, which is why retrain is schedulable maintenance, "
+    "not an outage.",
+)
+def sim_ann_ivf_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _pq_vecs(spark, sf_dir)
+    delta = _pq_delta(base)
+    union = (
+        base.select("vec_id", "v")
+        .unionByName(delta.select("vec_id", "v"))
+        .withColumn(
+            "iv",
+            F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+        )
+    )
+    usubs = _pq_subs(union)
+    # seed ids are capped below PQ_APPEND_OFF, so the seed codebook is
+    # base-derived even when sourced from the union; the refinement
+    # then trains over the WHOLE union
+    cb1 = _pq_lloyd_refine(usubs, _pq_seed_codebook(union, usubs))
+    root = _pq_index_root(sf_dir, "ivfpq_retrain")
+    # rewrite: refined codebook + union re-encode, centroids frozen
+    _pq_write_index(union, usubs, cb1, _ivf_cents(base), root)
+    topk, stored, _ = _pq_query_stored(spark, base, usubs, root, union)
     return topk.withColumn(
         "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
