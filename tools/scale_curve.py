@@ -184,6 +184,15 @@ QUERIES = (
         "id-capped probed partitions and the tiny codebook, so its "
         "cost is flat in m — the build-once/query-many storage story",
     ),
+    (
+        "sim_ann_ivf_pq_retrain",
+        None,
+        True,
+        "retrain = one extra Lloyd pass (corpus x codebook argmin + "
+        "(m, j, dim) sums, both map-side-combinable) on top of the "
+        "persisted build — the scheduled-maintenance cost model: "
+        "m-linear with a ~2x constant over the plain build",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
