@@ -960,3 +960,78 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.filter(F.col("d") >= KCORE_K).select(
         "node", F.col("d").alias("residual_degree")
     )
+
+
+LP_ROUNDS = 3
+
+
+def _label_prop_oracle() -> str:
+    rounds = []
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(f"""
+l{i} AS (
+  SELECT p.node, least(p.label, min(q.label)) AS label
+  FROM l{i - 1} p
+  JOIN edges e ON e.u = p.node
+  JOIN l{i - 1} q ON q.node = e.v
+  GROUP BY p.node, p.label
+)""")
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+{",".join(rounds)}
+SELECT node, CAST(label AS BIGINT) AS label FROM l{LP_ROUNDS}
+"""
+
+
+@register(
+    "graph_label_propagation",
+    survey_ids=("J1",),
+    oracle=_label_prop_oracle(),
+    doc="Bounded SYNCHRONOUS min-label propagation (3 Pregel-style "
+    "supersteps) over the co-purchase graph: every node starts "
+    "labeled with its own id, each round takes the min of its label "
+    "and its neighbors' PREVIOUS-round labels — after k rounds a "
+    "node's label is the smallest node id within k hops, the "
+    "community-seeding primitive (and the bounded-round cousin of "
+    "dedup_cluster_components, whose star-contraction reaches the "
+    "fixpoint in O(log^2 n) rounds; label prop is what you run when "
+    "you want CHEAP approximate communities with a fixed round "
+    "budget). Plan: the edge projection is eager-checkpointed once, "
+    "each round is ONE groupBy(min) over the frontier join plus a "
+    "least() against the previous labels, labels checkpointed per "
+    "round so round k never re-derives rounds 0..k-1 (the BFS "
+    "lineage lesson). Synchronicity makes it deterministic — "
+    "asynchronous label prop is order-dependent and would never "
+    "hash-match an oracle; the DuckDB twin unrolls the same 3 "
+    "rounds. At 100 TB each round shuffles |E| (node, label) pairs "
+    "on the edge partitioning — the Pregel cost model, no "
+    "node-local state beyond one long.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, _ = _copurchase_edges_and_seeds(spark, sf_dir)
+    labels = eager_checkpoint(
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LP_ROUNDS):
+        nbr_min = (
+            labels.select(F.col("node").alias("v"), "label")
+            .join(edges, "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = eager_checkpoint(
+            labels.join(nbr_min, "node")
+            .select(
+                "node",
+                F.least(F.col("label"), F.col("nbr_label")).alias("label"),
+            )
+        )
+    return labels.select("node", F.col("label").cast("long").alias("label"))
