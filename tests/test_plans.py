@@ -35,6 +35,8 @@ ALLOWED_NESTED_LOOP = {
     # the one-file-per-partition compacted copy
     "streaming_ann_index_ingest",  # same shape as append; the ingest
     # runs through foreachBatch micro-batches
+    "streaming_ann_ingest_restart",  # same shape as append; adds the
+    # injected-failure + checkpoint-restart replay around the ingest
     "sim_ann_ivf_pq_retrain",  # same shape plus the Lloyd round over
     # the union (still the bounded codebook broadcast x corpus)
     "ml_kmeans_lloyd_step",  # same centroid assignment shape as IVF
@@ -187,6 +189,69 @@ def test_wordcount_topk_avoids_global_sort(plans):
     assert not re.search(r"\bSort \(\d+\)", plan), (
         "global sort snuck into the top-k plan"
     )
+
+
+def _window_partition_specs(plan):
+    """Yield (line, partition_spec) for every physical Window node.
+
+    In formatted explain the Window detail line reads
+    ``Arguments: [exprs], [partitionSpec], [orderSpec]``, but either
+    spec may be omitted when empty, so a 2-group line is ambiguous:
+    partitionBy-without-orderBy (fine) vs orderBy-without-partitionBy
+    (the scale-killer). Disambiguate by content — an order spec's
+    entries carry ASC/DESC direction markers, a partition spec's
+    never do. Split the top-level bracket groups so commas/brackets
+    inside windowspecdefinition(...) don't confuse the count.
+    """
+    import re
+    for line in plan.splitlines():
+        line = line.strip()
+        if not line.startswith("Arguments: ["):
+            continue
+        if "windowspecdefinition" not in line:
+            continue
+        groups, depth, cur = [], 0, None
+        for ch in line[len("Arguments: ") :]:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    cur = None
+                    continue
+            if cur is not None:
+                cur.append(ch)
+        def is_order_spec(g):
+            return bool(re.search(r"\b(ASC|DESC) NULLS", g))
+
+        if len(groups) >= 3:
+            part = groups[1].strip()
+            yield line, (part or None)
+        elif len(groups) == 2:
+            g = groups[1].strip()
+            # order spec (has direction markers) => no partition spec;
+            # otherwise it IS the partition spec (unordered window)
+            yield line, (None if not g or is_order_spec(g) else g)
+        else:
+            yield line, None
+
+
+@pytest.mark.parametrize("name", _all_query_names())
+def test_no_unpartitioned_window(plans, name):
+    # A Window without a partitionBy compiles to WindowExec over
+    # SinglePartition ("No Partition Defined for Window operation!"):
+    # the entire input funnels through ONE task — the canonical
+    # 100 TB scale-killer. Top-N wants orderBy().limit(N)
+    # (TakeOrderedAndProject); running totals want a keyed partition.
+    for line, spec in _window_partition_specs(plans[name]):
+        assert spec is not None, (
+            f"{name}: unpartitioned Window in plan — {line}"
+        )
 
 
 def test_moving_frame_single_exchange(plans):

@@ -1790,13 +1790,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("posting_segment"),
     )
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    # global top-N window over the aggregated vocabulary only (bounded
-    # by |vocab|, not the corpus) — same pattern as text_wordcount_topk
-    w = Window.orderBy(F.desc("df"), F.asc("token"))
-    return (
-        agg.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= INVIDX_TOP_TOKENS)
-        .drop("__rn")
-    )
+    # top-N via orderBy+limit, which compiles to TakeOrderedAndProject:
+    # each partition keeps its local top-N and the driver merges N-sized
+    # heaps — no single-partition global sort. The former row_number()
+    # over an unpartitioned Window ran the whole vocabulary (10^8-10^9
+    # rows at 100 TB) through one WindowExec partition.
+    return agg.orderBy(F.desc("df"), F.asc("token")).limit(INVIDX_TOP_TOKENS)
