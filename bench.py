@@ -344,23 +344,54 @@ def main() -> None:
         )
         for n, sec in timings.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_steal_normalized": normalized,
-                "host_probe_per_query": probes,
-                "solo_recheck": solo_recheck,
-                "ann_recall_at_5": recall,
-                "accuracy": accuracy,
-                "host_probe_sec": {"start": probe_start, "end": probe_end},
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_steal_normalized": normalized,
+        "host_probe_per_query": probes,
+        "solo_recheck": solo_recheck,
+        "ann_recall_at_5": recall,
+        "accuracy": accuracy,
+        "host_probe_sec": {"start": probe_start, "end": probe_end},
+        "sf": sf,
+    }
+    # Full result survives as a committed file — the driver's BENCH_r*
+    # capture keeps only the LAST 2000 chars of output, and in round 9
+    # the one-line JSON grew past that (per-query probes + normalized
+    # dict), beheading the line and losing every per-query timing
+    # (BENCH_r09.json: parsed=null). The audit trail now has two
+    # layers: BENCH_LOCAL.json carries everything; stdout carries a
+    # line kept under the capture window.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(f"[bench] full result written to {local_path}", file=sys.stderr)
+
+    # Slim stdout line: the required keys first (metric/value/unit/
+    # queries/sf), then optional context only while the line still fits
+    # the 2000-char tail capture with margin. Diagnostics (normalized,
+    # probes, solo_recheck) live in BENCH_LOCAL.json only.
+    line_limit = 1900
+    slim = {
+        "metric": "total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if len(json.dumps(slim)) > line_limit:
+        slim["queries"] = {n: round(s, 2) for n, s in timings.items()}
+    for key in ("ann_recall_at_5", "accuracy", "host_probe_sec"):
+        trial = dict(slim)
+        trial[key] = full[key]
+        if len(json.dumps(trial)) <= line_limit:
+            slim = trial
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":
