@@ -1,0 +1,1078 @@
+"""IVF-PQ and the stored-index lifecycle: seed/trained codebooks, ADC
+scoring + exact re-rank, and the persisted / append / compact /
+streaming-ingest / retrain paths over one shared implementation.
+"""
+
+from __future__ import annotations
+
+import random  # noqa: F401
+from pathlib import Path  # noqa: F401
+
+import pandas as pd  # noqa: F401,TC002  (pandas_udf resolves 'pd.Series' hints at module scope)
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..util import t  # noqa: F401
+
+from .common import (  # noqa: F401
+    BITS_PER_BAND,
+    DIM,
+    MAX_BRUTE_FORCE_N,
+    MAX_QUERIES,
+    N_PROBE,
+    N_SIM_BANDS,
+    NEAR_DUP_BLOCKS,
+    NEAR_DUP_THRESHOLD,
+    PLANE_QUANT,
+    QUANT,
+    TOP_K,
+    _COS_SQL,
+    _Q_SQL,
+    _cos_null_safe_sql,
+    _guard_brute_force,
+    _query_filter,
+    _vecs,
+    cosine,
+    dot,
+)
+
+# ── IVF-PQ: product quantization over the IVF coarse layer ──────────
+#
+# The 100 TB ANN memory story: IVF alone still stores full vectors in
+# every inverted list; PQ compresses each vector to PQ_M one-byte-ish
+# codes (here PQ_M=4 codes over 16-dim subspaces), and queries score
+# candidates with an Asymmetric Distance Computation (ADC) table —
+# PQ_M lookups + adds per candidate instead of a 64-dim dot product —
+# re-ranking only a short ADC shortlist with exact vectors (Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", TPAMI'11;
+# the Faiss IVFPQ layout). Everything below is exact-integer or
+# rounded-then-tie-broken, so DuckDB reproduces codes, ADC distances
+# and the final top-k bit-for-bit.
+PQ_M = 4
+PQ_SUB = DIM // PQ_M  # 16 dims per subspace
+# codebook source rows: mod + absolute id cap (the MAX_QUERIES
+# pattern) — at most 64 entries per subspace at ANY corpus scale.
+# K=16 measured recall@5 = 0.76 at sf0.1 (r8); K=64 is the standard
+# PQ answer (Jégou §V: recall grows with k* per subspace) — the
+# codebook is still a broadcast-sized table (4 x 64 subvectors).
+PQ_CB_MOD = 10
+PQ_CB_CAP = 10 * 64
+PQ_TOP_C = 128  # ADC shortlist re-ranked with exact cosine
+
+_PQ_SUBS_SQL = ", ".join(str(m) for m in range(PQ_M))
+
+_PQ_L2I = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)"
+)
+
+_PQ_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+subs AS (
+  SELECT vec_id, ms.m,
+         list_slice(iv, ms.m * {PQ_SUB} + 1, (ms.m + 1) * {PQ_SUB}) AS siv
+  FROM v CROSS JOIN (SELECT unnest([{_PQ_SUBS_SQL}]) AS m) ms
+),
+cbsrc AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM v WHERE vec_id % {PQ_CB_MOD} = 0 AND vec_id < {PQ_CB_CAP}
+),
+cb AS (
+  SELECT c.j, s.m, s.siv AS cbv
+  FROM cbsrc c JOIN subs s USING (vec_id)
+),
+codes AS (
+  SELECT s.vec_id, s.m, cb.j AS code
+  FROM subs s JOIN cb ON cb.m = s.m
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY {_PQ_L2I.format(a="s.siv", b="cb.cbv")}, cb.j) <= 1
+),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0
+),
+lists AS (
+  SELECT v.vec_id AS match_id, cents.cent_id
+  FROM v CROSS JOIN cents
+  QUALIFY row_number() OVER (
+    PARTITION BY v.vec_id
+    ORDER BY round({_cos_null_safe_sql("v.v", "cents.cv")}, 6) DESC,
+             cents.cent_id) <= 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, cents.cent_id
+  FROM v q CROSS JOIN cents
+  WHERE {_Q_SQL.replace("vec_id", "q.vec_id")}
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round({_cos_null_safe_sql("q.v", "cents.cv")}, 6) DESC,
+             cents.cent_id) <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, l.match_id
+  FROM probes p JOIN lists l USING (cent_id)
+  WHERE p.query_id <> l.match_id
+),
+dtab AS (
+  SELECT s.vec_id AS query_id, s.m, cb.j,
+         {_PQ_L2I.format(a="s.siv", b="cb.cbv")} AS d
+  FROM subs s JOIN cb ON cb.m = s.m
+  WHERE {_Q_SQL.replace("vec_id", "s.vec_id")}
+),
+adc AS (
+  SELECT c.query_id, c.match_id, CAST(sum(dt.d) AS BIGINT) AS pq_adc
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.match_id
+  JOIN dtab dt ON dt.query_id = c.query_id AND dt.m = k.m AND dt.j = k.code
+  GROUP BY c.query_id, c.match_id
+),
+shortlist AS (
+  SELECT query_id, match_id, pq_adc FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY pq_adc, match_id) <= {PQ_TOP_C}
+)
+SELECT s.query_id, s.match_id, s.pq_adc,
+       round({_cos_null_safe_sql("a.v", "b.v")}, 6) AS cosine
+FROM shortlist s
+JOIN v a ON a.vec_id = s.query_id
+JOIN v b ON b.vec_id = s.match_id
+QUALIFY row_number() OVER (
+  PARTITION BY s.query_id ORDER BY cosine DESC, s.match_id) <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_pq",
+    survey_ids=(),
+    oracle=_PQ_ORACLE,
+    doc="IVF-PQ ANN (Jégou et al. TPAMI'11 / the Faiss IVFPQ layout): "
+    "the coarse IVF layer of sim_ann_ivf_bucketed plus PRODUCT "
+    "QUANTIZATION — each vector is encoded as PQ_M=4 sub-codes "
+    "(argmin-L2 codebook entry per 16-dim subspace), queries build a "
+    "per-query ADC lookup table (distance to every codebook entry "
+    "per subspace) and score candidates with PQ_M integer lookups + "
+    "adds instead of a 64-dim dot product; only the PQ_TOP_C ADC "
+    "shortlist is re-ranked with exact cosine (measured recall@5 vs "
+    "the exact scan: 0.97 at sf0.1 with the 64-entry-per-subspace "
+    "codebook + 128-deep shortlist, the coarse-IVF ceiling; r8's "
+    "K=16/depth-64 knobs measured 0.76 — the standard PQ knobs, "
+    "codebook size K and shortlist depth, trade recall for list "
+    "bytes and re-rank cost; bench.py re-measures per round). Why "
+    "it matters at "
+    "100 TB: the inverted lists store 4 codes (+id) per vector, not "
+    "64 floats — a 64x list-storage compression, and ADC scoring is "
+    "O(PQ_M) per candidate. Determinism/oracle: subvectors are "
+    "floor(x*1e6)-quantized int64s, so encode distances and ADC sums "
+    "are EXACT integers in both engines (no float-order ambiguity); "
+    "tie-breaks are (distance, codebook idx) and (pq_adc, match_id); "
+    "the re-rank is the proven rounded-cosine parity path. Plan "
+    "shape: codebook (<= 64 tiny rows) and ADC tables (|Q|*PQ_M*K "
+    "rows) broadcast; candidate generation is the IVF id-only probe "
+    "join; the corpus is never shuffled with vectors attached — "
+    "codes ship as 4 ints per row.",
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(vecs)
+    cb = _pq_seed_codebook(vecs, subs)
+    codes = _pq_encode(subs, cb)
+    cents = _ivf_cents(vecs)
+    lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    probes = _nearest_cent(
+        vecs.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    cand = probes.join(lists, "cent_id").filter(
+        F.col("query_id") != F.col("match_id")
+    ).select("query_id", "match_id")
+    adc = _pq_adc_scores(cand.join(codes, "match_id"), subs, cb)
+    return _pq_rerank(_pq_shortlist(adc), vecs)
+
+
+def _pq_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vecs(spark, sf_dir).withColumn(
+        "iv",
+        F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+    )
+
+
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, siv): the PQ_M quantized subvectors per vector."""
+    return vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("iv", m * PQ_SUB + 1, PQ_SUB).alias("siv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.siv").alias("siv"))
+
+
+def _pq_seed_codebook(vecs: DataFrame, subs: DataFrame) -> DataFrame:
+    """(j, m, cbv): <= PQ_CB_CAP/PQ_CB_MOD source vectors (mod +
+    absolute cap), j = rank by vec_id. The global row_number window is
+    over this bounded tiny set only — never the corpus."""
+    cb_src = (
+        vecs.filter(
+            (F.col("vec_id") % PQ_CB_MOD == 0) & (F.col("vec_id") < PQ_CB_CAP)
+        )
+        .select("vec_id")
+        .withColumn(
+            "j", F.row_number().over(Window.orderBy("vec_id")) - F.lit(1)
+        )
+    )
+    return cb_src.join(subs, "vec_id").select(
+        "j", "m", F.col("siv").alias("cbv")
+    )
+
+
+def _l2i(a: Column, b: Column) -> Column:
+    # exact int64 squared L2 over quantized subvectors
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(match_id, m, code): per (vector, subspace) argmin over the
+    broadcast codebook — PQ_M int codes per vector, the compression."""
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", _l2i(F.col("siv"), F.col("cbv")).alias("d")
+    )
+    wc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    return (
+        scored.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("vec_id").alias("match_id"), "m", F.col("j").alias("code"))
+    )
+
+
+def _ivf_cents(vecs: DataFrame) -> DataFrame:
+    return vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+
+def _nearest_cent(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    sc = df.join(F.broadcast(cents)).select(
+        id_col,
+        "cent_id",
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    return (
+        sc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "cent_id")
+    )
+
+
+def _pq_adc_scores(
+    coded_cand: DataFrame, subs: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """ADC: per-query distance table (|Q| x PQ_M x K ints, broadcast)
+    joined against the candidates' stored codes, summed per pair."""
+    dtab = (
+        subs.filter(_query_filter())
+        .select(F.col("vec_id").alias("query_id"), "m", "siv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("j").alias("code"),
+            _l2i(F.col("siv"), F.col("cbv")).alias("d"),
+        )
+    )
+    return (
+        coded_cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(F.sum("d").cast("long").alias("pq_adc"))
+    )
+
+
+def _pq_shortlist(adc: DataFrame) -> DataFrame:
+    ws = Window.partitionBy("query_id").orderBy("pq_adc", "match_id")
+    return (
+        adc.withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= PQ_TOP_C)
+        .drop("__rn")
+    )
+
+
+def _pq_rerank(shortlist: DataFrame, vecs: DataFrame) -> DataFrame:
+    qv = vecs.filter(_query_filter()).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = vecs.select(F.col("vec_id").alias("match_id"), F.col("v").alias("mv"))
+    reranked = (
+        shortlist.join(cv, "match_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            "pq_adc",
+            F.round(cosine(F.col("qv"), F.col("mv")), 6).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= TOP_K)
+        .drop("__rn")
+    )
+
+
+# Lloyd-refined PQ: one k-means round over each subspace's quantized
+# subvectors. The refined centroid is the ROUND-HALF-UP integer mean,
+# computed entirely in int64 via an offset shift so floor-division
+# agrees across engines (Spark `div` truncates toward zero, DuckDB
+# `//` floors — they only coincide on nonnegatives):
+#   c_i = ((2*(sum_i + n*OFF) + n) div (2*n)) - OFF
+# OFF bounds |component| (quantized embeddings are well inside 4e6).
+# Sum magnitude: 8e6 * n per component — exact in int64 to n ~ 1e12
+# per (subspace, codebook-entry) cluster.
+PQ_OFF = 4_000_000
+
+_PQT_CB1 = f"""
+assign0 AS (
+  SELECT s.vec_id, s.m, cb.j AS code
+  FROM subs s JOIN cb ON cb.m = s.m
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY {_PQ_L2I.format(a="s.siv", b="cb.cbv")}, cb.j) <= 1
+),
+dims AS (SELECT unnest(range(1, {PQ_SUB} + 1)) AS i),
+sums AS (
+  SELECT a.m, a.code AS j, d.i,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s.siv[d.i]) AS BIGINT) AS sm
+  FROM assign0 a
+  JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m
+  CROSS JOIN dims d
+  GROUP BY a.m, a.code, d.i
+),
+cb1_rows AS (
+  SELECT m, j, i,
+         ((2 * (sm + n * {PQ_OFF}) + n) // (2 * n)) - {PQ_OFF} AS c
+  FROM sums
+),
+cb1_refined AS (
+  SELECT m, j, list(c ORDER BY i) AS cbv FROM cb1_rows GROUP BY m, j
+),
+cb1 AS (  -- empty clusters keep their seed entry
+  SELECT cb.m, cb.j, coalesce(r.cbv, cb.cbv) AS cbv
+  FROM cb LEFT JOIN cb1_refined r ON r.m = cb.m AND r.j = cb.j
+)
+"""
+
+# assemble: inject the refinement CTEs before `codes`, point the
+# ENCODE and ADC joins at cb1 (every corpus/query join), then restore
+# the seed join inside assign0 itself — assign0 is textually identical
+# to codes, so the flip-all-then-fix-first approach is the only
+# non-ambiguous string surgery.
+_PQT_ORACLE = (
+    _PQ_ORACLE.replace("codes AS (", _PQT_CB1 + ",\ncodes AS (")
+    .replace(
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+    )
+    .replace(
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        1,  # first occurrence = assign0's seed assignment
+    )
+)
+
+
+def _pq_lloyd_refine(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """One Lloyd round per subspace over quantized subvectors: assign
+    to the seed codebook, recompute each entry as its cluster's
+    ROUND-HALF-UP integer mean via the offset shift
+    (((2*(sum+n*OFF)+n) div (2*n)) - OFF) so Spark's truncating div
+    and DuckDB's flooring // agree (operands nonnegative); empty
+    clusters keep their seed entry. Shared by the trained and retrain
+    variants — the training step is oracle-checked in both."""
+    assign0 = _pq_encode(subs, cb).withColumnRenamed("match_id", "vec_id")
+    pos = subs.join(assign0, ["vec_id", "m"]).select(
+        "m",
+        F.col("code").alias("j"),
+        F.posexplode("siv").alias("i", "val"),
+    )
+    sums = pos.groupBy("m", "j", "i").agg(
+        F.count("*").alias("n"), F.sum("val").alias("sm")
+    )
+    c = (
+        F.expr(f"(2 * (sm + n * {PQ_OFF}) + n) div (2 * n)") - F.lit(PQ_OFF)
+    ).cast("long")
+    refined = (
+        sums.select("m", "j", "i", c.alias("c"))
+        .groupBy("m", "j")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda x: x["c"],
+            ).alias("rbv")
+        )
+    )
+    return cb.join(refined, ["m", "j"], "left").select(
+        "m", "j", F.coalesce("rbv", "cbv").alias("cbv")
+    )
+
+
+@register(
+    "sim_ann_ivf_pq_trained",
+    survey_ids=(),
+    oracle=_PQT_ORACLE,
+    doc="IVF-PQ with a LLOYD-REFINED codebook — one k-means round per "
+    "subspace over the quantized subvectors (assign to the seed "
+    "codebook, recompute each entry as its cluster's integer mean, "
+    "empty clusters keep their seed), which is how real PQ codebooks "
+    "are trained (Jégou et al. §III; Faiss trains k-means per "
+    "subquantizer). The refined centroid is the round-half-up "
+    "integer mean computed entirely in int64 via an offset shift "
+    "(((2*(sum+n*OFF)+n) div (2*n)) - OFF), so Spark's truncating "
+    "div and DuckDB's flooring // agree (operands nonnegative) and "
+    "the refined codebook is bit-identical across engines — the "
+    "training step itself is oracle-checked, not just the lookup. "
+    "Encode, ADC and re-rank are the sim_ann_ivf_pq pipeline against "
+    "the refined codebook. Training cost: one corpus-x-codebook "
+    "argmin + one (m, j, dim)-keyed sum — both map-side-combinable "
+    "aggregates, one round; more rounds repeat the same plan.",
+)
+def sim_ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(vecs)
+    cb1 = _pq_lloyd_refine(subs, _pq_seed_codebook(vecs, subs))
+    codes = _pq_encode(subs, cb1)
+    cents = _ivf_cents(vecs)
+    lists = _nearest_cent(vecs, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    probes = _nearest_cent(
+        vecs.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    cand = probes.join(lists, "cent_id").filter(
+        F.col("query_id") != F.col("match_id")
+    ).select("query_id", "match_id")
+    adc = _pq_adc_scores(cand.join(codes, "match_id"), subs, cb1)
+    return _pq_rerank(_pq_shortlist(adc), vecs)
+
+
+_PQP_ORACLE = (
+    _PQ_ORACLE.replace(
+        ")\nSELECT s.query_id, s.match_id, s.pq_adc,",
+        "),\ntopk AS (\n  SELECT s.query_id, s.match_id, s.pq_adc,",
+        1,
+    )
+    + """
+),
+parts AS (
+  SELECT CAST(count(DISTINCT cent_id) AS BIGINT) AS parts_total FROM lists
+),
+probed AS (
+  SELECT CAST(count(DISTINCT cent_id) AS BIGINT) AS parts_read FROM probes
+  WHERE cent_id IN (SELECT DISTINCT cent_id FROM lists)
+)
+SELECT t.query_id, t.match_id, t.pq_adc, t.cosine,
+       pr.parts_read, pa.parts_total
+FROM topk t CROSS JOIN probed pr CROSS JOIN parts pa
+"""
+)
+
+
+@register(
+    "sim_ann_ivf_pq_persisted",
+    survey_ids=(),
+    oracle=_PQP_ORACLE,
+    doc="PERSISTED IVF-PQ index (the Faiss IVFPQ on-disk layout): the "
+    "code lists — PQ_M=4 small ints + id per vector, a 64x storage "
+    "compression over the full-vector lists of "
+    "sim_ann_ivf_partitioned_lists — are WRITTEN to parquet "
+    "partitioned by centroid id, the codebook (4x64 subvectors) to "
+    "its own parquet; the query path reads ONLY the stored index: "
+    "probed centroid ids (bounded collect, <= |Q|*N_PROBE) become a "
+    "partition-pruning IN filter on the code lists, the re-read "
+    "codebook builds the per-query ADC tables (broadcast), and exact "
+    "vectors are fetched by id just for the PQ_TOP_C shortlist "
+    "re-rank. Top-k results are identical to the in-memory "
+    "sim_ann_ivf_pq — the oracle is the same PQ pipeline plus the "
+    "parts accounting — which is the point: build the index once "
+    "(the corpus-linear pass), query it many times touching only "
+    "probed partitions. parts_read/parts_total prove the pruning.",
+)
+def sim_ann_ivf_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    root = _pq_index_root(sf_dir, "ivfpq_index")
+    _pq_write_index(base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root)
+    topk, stored, pruned = _pq_query_stored(spark, base, subs, root, base)
+    parts_total = stored.select("cent_id").distinct().count()
+    parts_read = pruned.select("cent_id").distinct().count()
+    return topk.withColumn(
+        "parts_read", F.lit(parts_read).cast("long")
+    ).withColumn("parts_total", F.lit(parts_total).cast("long"))
+
+
+# ── Incremental IVF-PQ ingest: append without rebuild ────────────────
+#
+# The operational question a persisted index raises next: new
+# documents arrive — do you rebuild? No: encode the delta against the
+# STORED codebook, assign against the STORED centroids, and append
+# the new code rows into the partitioned lists; queries immediately
+# see base+delta through the same pruned read. Codebook/centroids
+# stay frozen (the Faiss add() contract — retraining is a separate,
+# rarer compaction event). The delta here is a deterministic derived
+# batch (every 7th base vector, id-shifted past every mod/cap filter
+# and REVERSED so it is a genuinely different direction), so the
+# DuckDB oracle can state the ground truth as one PQ pipeline over
+# the base∪delta corpus with base-frozen codebook/centroid sources.
+PQ_APPEND_OFF = 5_000_000
+PQ_APPEND_MOD = 7
+
+_PQA_DELTA_SQL = f"""
+  UNION ALL
+  SELECT vec_id + {PQ_APPEND_OFF} AS vec_id,
+         list_reverse(CAST(embedding AS DOUBLE[])) AS v,
+         list_transform(list_reverse(CAST(embedding AS DOUBLE[])),
+                        x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS iv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % {PQ_APPEND_MOD} = 3
+"""
+
+_PQA_ORACLE = (
+    _PQ_ORACLE
+    # v := base ∪ shifted-reversed delta
+    .replace(
+        "  FROM embeddings WHERE embedding IS NOT NULL\n),",
+        f"  FROM embeddings WHERE embedding IS NOT NULL{_PQA_DELTA_SQL}),",
+        1,
+    )
+    # centroids stay FROZEN to the base (appended ids can satisfy the
+    # bare %50 filter; the id bound pins the set the index was built
+    # with — cbsrc and the query filter are already capped below OFF)
+    .replace(
+        "SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id % 50 = 0",
+        "SELECT vec_id AS cent_id, v AS cv FROM v"
+        f" WHERE vec_id % 50 = 0 AND vec_id < {PQ_APPEND_OFF}",
+        1,
+    )
+    # surface the ingested-row count so the driver hash proves the
+    # delta actually landed in the queried index
+    .replace(
+        "SELECT s.query_id, s.match_id, s.pq_adc,",
+        "SELECT s.query_id, s.match_id, s.pq_adc,\n"
+        f"       (SELECT CAST(count(*) AS BIGINT) FROM v"
+        f" WHERE vec_id >= {PQ_APPEND_OFF}) AS n_appended,",
+        1,
+    )
+)
+
+
+# ── shared lifecycle helpers (build / ingest / stored-index query) ──
+# One implementation serves all four lifecycle queries (persisted,
+# append, compacted, streaming ingest): a fix like the r9 parts_read
+# correction lands once, not four times.
+
+
+def _pq_index_root(sf_dir: str, name: str) -> str:
+    """Fresh per-(query, sf) directory under the sink root."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from ..etl import SINK_ROOT  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    root = f"{SINK_ROOT}/{name}_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def _pq_write_index(
+    base: DataFrame,
+    subs: DataFrame,
+    cb: DataFrame,
+    cents: DataFrame,
+    root: str,
+) -> None:
+    """The ONE corpus-linear build pass: centroid-partitioned code
+    lists (one file per partition via repartition), plus the tiny
+    codebook and centroid tables as their own parquets."""
+    lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(subs, cb).join(lists, "match_id").repartition(
+        "cent_id"
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists")
+    cb.write.parquet(f"{root}/codebook")
+    cents.write.parquet(f"{root}/cents")
+
+
+def _pq_delta(base: DataFrame) -> DataFrame:
+    """Deterministic arriving batch: every PQ_APPEND_MOD-th base
+    vector, id-shifted past every mod/cap filter and REVERSED so it
+    is a genuinely different direction."""
+    return base.filter(F.col("vec_id") % PQ_APPEND_MOD == 3).select(
+        (F.col("vec_id") + PQ_APPEND_OFF).alias("vec_id"),
+        F.reverse("v").alias("v"),
+    )
+
+
+def _pq_ingest_batch(
+    batch_df: DataFrame,
+    stored_cb: DataFrame,
+    stored_cents: DataFrame,
+    root: str,
+) -> None:
+    """The Faiss add() contract: encode a batch against the STORED
+    codebook, assign against the STORED centroids, append one file
+    per touched centroid partition. Existing files untouched."""
+    b = batch_df
+    if "iv" not in b.columns:
+        b = b.withColumn(
+            "iv",
+            F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+        )
+    b_lists = _nearest_cent(b, stored_cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(_pq_subs(b), stored_cb).join(
+        b_lists, "match_id"
+    ).repartition("cent_id").write.mode("append").partitionBy(
+        "cent_id"
+    ).parquet(f"{root}/lists")
+
+
+def _pq_query_stored(
+    spark: SparkSession,
+    base: DataFrame,
+    subs: DataFrame,
+    root: str,
+    corpus: DataFrame,
+    lists_dir: str = "lists",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Query the STORED index: probes against the stored centroids,
+    probed ids (bounded collect, <= MAX_QUERIES * N_PROBE) become the
+    partition-pruning IN filter on the code lists, the re-read
+    codebook builds the broadcast ADC tables, and exact vectors are
+    fetched from ``corpus`` only for the shortlist re-rank. Returns
+    (topk, stored, pruned) — accounting columns are the caller's."""
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_cents = spark.read.parquet(f"{root}/cents")
+    probes = _nearest_cent(
+        base.filter(_query_filter()).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        ),
+        stored_cents,
+        "query_id",
+        "qv",
+        N_PROBE,
+    )
+    probed_ids = sorted(
+        {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
+    )
+    stored = spark.read.parquet(f"{root}/{lists_dir}")
+    pruned = stored.filter(F.col("cent_id").isin(probed_ids))
+    coded_cand = (
+        probes.join(pruned, "cent_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "m", "code")
+    )
+    adc = _pq_adc_scores(coded_cand, subs, stored_cb)
+    return _pq_rerank(_pq_shortlist(adc), corpus), stored, pruned
+
+
+def _pq_n_appended(stored: DataFrame) -> int:
+    """Delta batch size in VECTORS (the lists hold PQ_M code rows per
+    vector, hence the distinct) — bounded accounting count."""
+    return (
+        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
+        .select("match_id")
+        .distinct()
+        .count()
+    )
+
+
+@register(
+    "sim_ann_ivf_pq_append",
+    survey_ids=(),
+    oracle=_PQA_ORACLE,
+    doc="INCREMENTAL ingest into the persisted IVF-PQ index (the "
+    "Faiss add() contract): a delta batch (every 7th base vector, "
+    "id-shifted and reversed — a deterministic stand-in for newly "
+    "arrived documents) is encoded against the STORED codebook, "
+    "assigned against the STORED centroids, and appended as new "
+    "parquet files inside the centroid-partitioned code lists — no "
+    "rebuild, no touch of existing files; the query path is the "
+    "identical pruned read and now sees base+delta (n_appended in "
+    "the output proves it through the value hash). Codebook and "
+    "centroids stay frozen — retraining is a separate compaction "
+    "event, exactly how production ANN services absorb writes. The "
+    "oracle states the ground truth as one PQ pipeline over the "
+    "base-union-delta corpus with base-frozen codebook/centroids, so "
+    "correctness covers the ingest path end to end, not just the "
+    "read.",
+)
+def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    root = _pq_index_root(sf_dir, "ivfpq_append")
+    _pq_write_index(
+        base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
+    )
+    delta = _pq_delta(base)
+    _pq_ingest_batch(
+        delta,
+        spark.read.parquet(f"{root}/codebook"),
+        spark.read.parquet(f"{root}/cents"),
+        root,
+    )
+    corpus = base.select("vec_id", "v").unionByName(
+        delta.select("vec_id", "v")
+    )
+    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+
+
+@register(
+    "sim_ann_ivf_pq_compacted",
+    survey_ids=(),
+    oracle=_PQA_ORACLE,
+    doc="COMPACTION of the appended IVF-PQ index — the small-file "
+    "problem, closed: the incremental ingest of sim_ann_ivf_pq_append "
+    "leaves one extra parquet file per touched centroid partition per "
+    "batch (at real ingest rates, thousands of tiny files whose "
+    "open/footer cost dominates the pruned read); compact rewrites "
+    "the code lists with ONE file per centroid partition "
+    "(repartition(cent_id) + partitionBy write — each output task "
+    "holds exactly its partition's rows) and the query runs against "
+    "the compacted copy. The oracle is IDENTICAL to the append "
+    "variant's — compaction must change layout, never results — and "
+    "tests/test_ann_recall.py pins the physical claim (file count "
+    "per partition collapses to 1, row count preserved, result set "
+    "equal to the uncompacted index). The lakehouse compact() "
+    "contract applied to the ANN tier; at 100 TB this is the "
+    "scheduled maintenance event that keeps pruned-read latency "
+    "flat as batches accumulate.",
+)
+def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    root = _pq_index_root(sf_dir, "ivfpq_compact")
+    _pq_write_index(
+        base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
+    )
+    delta = _pq_delta(base)
+    _pq_ingest_batch(
+        delta,
+        spark.read.parquet(f"{root}/codebook"),
+        spark.read.parquet(f"{root}/cents"),
+        root,
+    )
+
+    # ── COMPACT: one file per centroid partition ─────────────────────
+    spark.read.parquet(f"{root}/lists").repartition(
+        "cent_id"
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists_compacted")
+
+    corpus = base.select("vec_id", "v").unionByName(
+        delta.select("vec_id", "v")
+    )
+    topk, stored, _ = _pq_query_stored(
+        spark, base, subs, root, corpus, lists_dir="lists_compacted"
+    )
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+
+
+@register(
+    "streaming_ann_index_ingest",
+    survey_ids=(),
+    oracle=_PQA_ORACLE,
+    doc="STREAMING ingest into the persisted IVF-PQ index — the "
+    "continuous version of sim_ann_ivf_pq_append: the delta batch is "
+    "staged as 3 parquet files and consumed through readStream with "
+    "maxFilesPerTrigger=1, so THREE separate micro-batches each "
+    "encode their slice against the STORED codebook, assign against "
+    "the STORED centroids, and foreachBatch-append into the "
+    "centroid-partitioned code lists (one new file per touched "
+    "partition per micro-batch; checkpointLocation makes a restarted "
+    "drain skip completed batches). The oracle is the append "
+    "variant's — the final index state must be INDEPENDENT of how "
+    "the ingest was micro-batched, the multi-micro-batch equivalence "
+    "contract the CDC tier pins — and the identical pruned query "
+    "path serves base+delta afterwards. At 100 TB this is the "
+    "standing ingest job an embedding service runs: encode cost per "
+    "batch is batch-linear, the index grows append-only, and "
+    "compaction (sim_ann_ivf_pq_compacted) is the scheduled "
+    "small-file counterweight.",
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    root = _pq_index_root(sf_dir, "ivfpq_stream")
+    _pq_write_index(
+        base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
+    )
+
+    # stage the arriving vectors as 3 files -> 3 micro-batches
+    delta = _pq_delta(base).select("vec_id", "v")
+    stage = f"{root}/arrivals"
+    delta.repartition(3).write.parquet(stage)
+
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_cents = spark.read.parquet(f"{root}/cents")
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(
+            lambda b, _id: _pq_ingest_batch(b, stored_cb, stored_cents, root)
+        )
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    corpus = base.select("vec_id", "v").unionByName(delta)
+    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+
+
+# Retrain oracle: the Lloyd-refinement surgery (_PQT) applied on top
+# of the append surgery (_PQA) — v is base∪delta, centroids frozen to
+# the base, codebook seeded from the capped base ids but REFINED over
+# the union subvectors, union re-encoded against the refined book.
+_PQR_ORACLE = (
+    _PQA_ORACLE.replace("codes AS (", _PQT_CB1 + ",\ncodes AS (")
+    .replace(
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+    )
+    .replace(
+        "FROM subs s JOIN cb1 AS cb ON cb.m = s.m",
+        "FROM subs s JOIN cb ON cb.m = s.m",
+        1,  # first occurrence = assign0's seed assignment
+    )
+)
+
+
+@register(
+    "sim_ann_ivf_pq_retrain",
+    survey_ids=(),
+    oracle=_PQR_ORACLE,
+    doc="RETRAIN of the persisted IVF-PQ index — the rare lifecycle "
+    "event the append/compact docstrings defer to: after a delta "
+    "batch has been ingested against the frozen seed codebook, one "
+    "Lloyd round RETRAINS the codebook over the FULL base∪delta "
+    "corpus (quantization drift from new data is why production "
+    "indices retrain), the whole corpus is RE-ENCODED against the "
+    "refined book, and the index is rewritten (new codebook + new "
+    "code lists; coarse centroids stay frozen — re-clustering the "
+    "IVF layer is a separate, even rarer event). The oracle composes "
+    "the append oracle (union corpus, base-frozen centroids, "
+    "n_appended accounting) with the trained oracle's integer-exact "
+    "Lloyd round, so the retraining math is hash-checked end to end. "
+    "Cost model: one extra corpus-x-codebook argmin + one (m, j, dim) "
+    "sum for the training pass, then the same build write as the "
+    "initial index — all map-side-combinable aggregates over one "
+    "corpus pass, which is why retrain is schedulable maintenance, "
+    "not an outage.",
+)
+def sim_ann_ivf_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _pq_vecs(spark, sf_dir)
+    delta = _pq_delta(base)
+    union = (
+        base.select("vec_id", "v")
+        .unionByName(delta.select("vec_id", "v"))
+        .withColumn(
+            "iv",
+            F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+        )
+    )
+    usubs = _pq_subs(union)
+    # seed ids are capped below PQ_APPEND_OFF, so the seed codebook is
+    # base-derived even when sourced from the union; the refinement
+    # then trains over the WHOLE union
+    cb1 = _pq_lloyd_refine(usubs, _pq_seed_codebook(union, usubs))
+    root = _pq_index_root(sf_dir, "ivfpq_retrain")
+    # rewrite: refined codebook + union re-encode, centroids frozen
+    _pq_write_index(union, usubs, cb1, _ivf_cents(base), root)
+    topk, stored, _ = _pq_query_stored(spark, base, usubs, root, union)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
+
+
+@register(
+    "streaming_ann_ingest_restart",
+    survey_ids=(),
+    oracle=_PQA_ORACLE,
+    doc="Streaming ANN ingest under FAILURE + RESTART — the "
+    "exactly-once proof for the index's streaming write path. Same "
+    "staged 3-micro-batch arrival stream as streaming_ann_index_"
+    "ingest, but (a) each micro-batch lands as an idempotent "
+    "OVERWRITE of its own ingest_batch=<id> partition subtree "
+    "instead of a blind append — the write a replayed batch can "
+    "repeat without duplicating rows — and (b) a failure is "
+    "INJECTED at the worst point: after batch 1's data files are "
+    "fully written but BEFORE Structured Streaming commits its "
+    "offset, i.e. a torn commit. The stream dies, a NEW writeStream "
+    "restarts from the same checkpointLocation, the file source "
+    "replays batch 1 from its offset WAL (same files, same rows), "
+    "the overwrite replaces batch 1's subtree in place, and batch 2 "
+    "drains. The final stored index is queried and hash-checked "
+    "against the SAME DuckDB oracle as the clean append path "
+    "(_PQA_ORACLE) — equality proves no row was lost or duplicated "
+    "across the crash. At 100 TB this is the contract that makes "
+    "continuous index ingest operable: per-batch deterministic "
+    "partition paths make replays idempotent, so a worker or driver "
+    "loss costs one re-encoded micro-batch, never an index rebuild "
+    "(extension surface — no reference twin; the reference's loader "
+    "is a one-shot pg_restore, src/main.py).",
+)
+def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = _pq_vecs(spark, sf_dir)
+    subs = _pq_subs(base)
+    root = _pq_index_root(sf_dir, "ivfpq_restart")
+
+    # Base build, under the SAME two-level layout as the ingested
+    # batches (ingest_batch=base/cent_id=N) so the whole lists tree
+    # has one consistent partition scheme.
+    cb = _pq_seed_codebook(base, subs)
+    cents = _ivf_cents(base)
+    base_lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
+        F.col("vec_id").alias("match_id"), "cent_id"
+    )
+    _pq_encode(subs, cb).join(base_lists, "match_id").repartition(
+        "cent_id"
+    ).write.partitionBy("cent_id").parquet(f"{root}/lists/ingest_batch=base")
+    cb.write.parquet(f"{root}/codebook")
+    cents.write.parquet(f"{root}/cents")
+
+    delta = _pq_delta(base).select("vec_id", "v")
+    stage = f"{root}/arrivals"
+    delta.repartition(3).write.parquet(stage)
+
+    stored_cb = spark.read.parquet(f"{root}/codebook")
+    stored_cents = spark.read.parquet(f"{root}/cents")
+
+    crash = {"armed": True}
+
+    def ingest(b: DataFrame, bid: int) -> None:
+        # Idempotent micro-batch write: the batch's rows overwrite its
+        # OWN deterministic subtree. A replay after a torn commit
+        # rewrites the same paths instead of appending duplicates.
+        enc = b.withColumn(
+            "iv",
+            F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
+        )
+        b_lists = _nearest_cent(enc, stored_cents, "vec_id", "v", 1).select(
+            F.col("vec_id").alias("match_id"), "cent_id"
+        )
+        _pq_encode(_pq_subs(enc), stored_cb).join(
+            b_lists, "match_id"
+        ).repartition("cent_id").write.mode("overwrite").partitionBy(
+            "cent_id"
+        ).parquet(f"{root}/lists/ingest_batch=b{bid}")
+        if crash["armed"] and bid == 1:
+            crash["armed"] = False
+            # torn commit: data written, offset NOT committed
+            raise RuntimeError("injected post-write pre-commit failure")
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors import StreamingQueryException  # noqa: PLC0415
+
+    try:
+        run_stream()
+        raise AssertionError("injected failure did not fire")
+    except StreamingQueryException as exc:
+        if "injected post-write pre-commit failure" not in str(exc):
+            raise
+    # restart from the SAME checkpoint: batch 1 replays (idempotent
+    # overwrite), batch 2 drains, the query stops at availableNow
+    run_stream()
+
+    corpus = base.select("vec_id", "v").unionByName(delta)
+    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    return topk.withColumn(
+        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+    ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
