@@ -66,10 +66,15 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     "s5_append_sink_roundtrip",
     "s7_upsert_roundtrip",
     "sql_api_q6",
-    # -- tier 2b: scale mechanisms (round-3 verdict #6/#7: the skew and
-    # bucketing stories need official CORRECTNESS rows, not just units)
-    "j_skew_salted_join",
-    "s4_bucketed_join_roundtrip",
+    # -- tier 2b: scale mechanisms / storage lanes
+    # (j_skew_salted_join + s4_bucketed_join_roundtrip -> tail in r10:
+    # green official rows r3-r9; S4 stays carried in-window by
+    # s_orc_roundtrip and s_stats_skipping_prune; the skew and
+    # bucketing stories keep their zero-exchange/AQE unit tests)
+    # r10 rotation (r9 verdict item 3): the ORC sink/scan roundtrip and
+    # the binaryFile ingest lane get their first official rows
+    "s_orc_roundtrip",
+    "s_binaryfile_source",
     # -- tier 3: LLM-training-data pipeline components -------------------
     # r9 rotation (r8 verdict item 3): etl_incremental_agg_maintenance,
     # dedup_minhash_lsh, graph_copurchase_lift, sim_ann_lsh_bucketed,
@@ -88,20 +93,17 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # tier's official rows are now bpe_trained + the md5-keyed exact
     # path whose 32-byte shuffle key is the 100 TB story)
     "dedup_exact_hash_first_wins",
-    # r8 rotation (r7 verdict item 2): dedup_simhash, sim_cosine_topk_
-    # exact, dedup_exact_substring_spans and multimodal_fake_decode all
-    # carry GREEN official rows in CORRECTNESS_r07.json and their tiers
-    # stay represented in-window; their slots now give first official
-    # rows to the r5-r6 marquee components below.
-    "dedup_exact_substring_bpe_trained",
-    # (corpus_training_dataset_e2e -> tail in r9: green official rows
-    # since r4b; the assembly tier stays represented by
-    # corpus_clean_pipeline)
-    "graph_triangle_count",
-    # (graph_copurchase_lift -> tail in r9: A1/F15 redundant, graph
-    # tier keeps triangle_count + bfs_hops; slot carries the events
-    # equi-width histogram)
-    "events_histogram_equiwidth",
+    # (dedup_exact_substring_bpe_trained -> tail in r10: window-green
+    # r8-r9; the dedup tier keeps the md5-keyed exact path in-window
+    # and the bench still times the BPE chain every round)
+    # (graph_triangle_count -> tail in r10: green r8-r9; the graph
+    # tier's official rows are now bfs_fixpoint + label_propagation)
+    # r10 rotation (r9 verdict item 3): bounded synchronous min-label
+    # propagation over the co-purchase graph — first official row
+    "graph_label_propagation",
+    # (events_histogram_equiwidth -> tail in r10: green r9; A1 stays
+    # carried by q1_pricing_summary, the events tier keeps the
+    # IGNORE-NULLS gap-fill row in-window)
     # (multimodal_png_decode_real -> tail in r9: the tier's official
     # row is now the baseline-JPEG decoder, the harder real codec)
     "multimodal_jpeg_decode_real",
@@ -109,9 +111,14 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # slot carries the partition-pruned materialized inverted lists)
     "sim_ann_ivf_partitioned_lists",
     # (sim_ann_ivf_pq -> tail in r9b: its r8 official row is green and
-    # the append variant supersedes it — stored-index build + frozen-
-    # codebook delta ingest + the identical pruned query in one row)
-    "sim_ann_ivf_pq_append",
+    # the append variant superseded it; sim_ann_ivf_pq_append -> tail
+    # in r10 after its green r9 row — the lifecycle's official rows
+    # are now the three steps past append: compaction, retrain, and
+    # the streaming ingest path, each of which composes the same
+    # frozen-codebook delta encode)
+    "sim_ann_ivf_pq_compacted",
+    "sim_ann_ivf_pq_retrain",
+    "streaming_ann_index_ingest",
     # (sim_ann_ivf_bucketed rotated to the tail in r8b; sim_ann_ivf_pq
     # -> tail in r9b after its green r8 row — see the append note)
     # (text_quality_score / text_language_id moved to the tail in r4;
@@ -120,9 +127,11 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     "corpus_clean_pipeline",
     # (events_sessionize rotated to the tail in r8b — green official
     # rows since r2; graph_bfs_hops -> tail in r9b: the fixpoint
-    # variant supersedes it — same frontier expansion, convergence
-    # contract instead of a fixed hop bound, recursive-CTE oracle)
-    "graph_bfs_fixpoint",
+    # variant superseded it; graph_bfs_fixpoint -> tail in r10 after
+    # its green r9 row — the graph tier's official row is now label
+    # propagation, and the freed slot gives the injected-failure +
+    # checkpoint-restart ANN ingest proof its first official row)
+    "streaming_ann_ingest_restart",
     # (multimodal_fake_decode rotated to the tail in r8: the tier's
     # official row is now multimodal_png_decode_real, a REAL byte-level
     # decoder rather than the deterministic fake)
