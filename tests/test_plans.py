@@ -17,9 +17,15 @@ import pytest
 # stage: a small broadcast side scored against the corpus (documented
 # brute-force baselines), or an inequality-only self pairing.
 ALLOWED_NESTED_LOOP = {
+    # r10 drift audit (tools/lint_nested_loop_drift.py): four entries
+    # whose plans no longer contain a nested-loop stage were REMOVED
+    # so the lint guards them again — j_self_coalesce_chain (the +1/+2
+    # arithmetic keys now compile to BroadcastHashJoin), and the three
+    # BPE-chain queries (text_bpe_train_merges, text_bpe_apply_merges,
+    # dedup_exact_substring_bpe_trained: the per-round 1-row winner
+    # join hashes on the equality now).
     "sim_cosine_topk_exact",  # |Q|=5 broadcast x corpus scan
     "sim_embedding_near_dup",  # 16-row blocks relation self-pairs (<=)
-    "j_self_coalesce_chain",  # keyed on +1/+2 arithmetic, equi after rewrite
     "sim_ann_ivf_bucketed",  # centroid assignment: tiny broadcast x corpus
     "sim_ann_ivf_partitioned_lists",  # same assignment shape; the read
     # side is partition-pruned parquet
@@ -54,9 +60,6 @@ ALLOWED_NESTED_LOOP = {
     # against the value scan — the same scalar-threshold shape
     "text_bigram_lm_score",  # |vocab| scalar (one row) x bigram stream
     "text_bm25_topk",  # (N, avgdl, df) one-row corpus stats x doc scan
-    "text_bpe_train_merges",  # per-round 1-row winner x corpus rewrite
-    "text_bpe_apply_merges",  # same chain: 1-row winner x corpus rewrite
-    "dedup_exact_substring_bpe_trained",  # BPE chain feeding the span pass
     "graph_pagerank_exact_int",  # (n, r_init, base) one-row consts x ranks
     "events_kmv_sketch_merge",  # three 1-row sketch aggregates crossed
     "j_bloom_prefilter_join",  # 1-row counter aggregates crossed for stats

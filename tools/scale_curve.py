@@ -193,6 +193,27 @@ QUERIES = (
         "persisted build — the scheduled-maintenance cost model: "
         "m-linear with a ~2x constant over the plain build",
     ),
+    # r10 (VERDICT r9 #5): the remaining lifecycle shapes.
+    (
+        "streaming_ann_index_ingest",
+        None,
+        True,
+        "build (m-linear write) + 3 foreachBatch micro-batches, each "
+        "encoding an m-linear slice of the delta against the BROADCAST "
+        "stored codebook/centroids — per-batch cost linear in batch "
+        "rows, flat in batch COUNT; the pruned query path stays flat "
+        "in m (id-capped probes)",
+    ),
+    (
+        "graph_label_propagation",
+        None,
+        True,
+        "3 synchronous supersteps, each one join of labels x edges + "
+        "a min-agg — per-round cost linear in |E|; replica key strides "
+        "keep the m-times co-purchase graph m disjoint copies, and the "
+        "round count is FIXED, so total work is m-linear (checkpoints "
+        "per round keep lineage flat)",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
