@@ -105,7 +105,10 @@ HEADLINERS = [
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,
-    # not the engine; the sweep checks its correctness every round)
+    # not the engine; the sweep checks its correctness every round.
+    # streaming_ann_ingest_restart is excluded for the same reason:
+    # its runtime is two stream startups + an injected failure around
+    # the same ingest work streaming_ann_index_ingest already times)
 ]
 
 # Committed per-query snapshot: the best of all prior driver rounds
