@@ -340,6 +340,39 @@ AUDITED = {
         "scan feeds the view aggregate exactly once; the delta branch "
         "scans only the delta partitions (date + key filters pushed)."
     ),
+    "text_inverted_index": (
+        "Audit (r10, the r9 'weak' fix): the vocabulary top-N is now "
+        "TakeOrderedAndProject — per-partition N-sized heaps merged on "
+        "the driver — where it used to be row_number() over an "
+        "UNPARTITIONED window (a single-partition sort of |vocab|, "
+        "10^8-10^9 rows at 100 TB). No Sort node, no WindowExec; the "
+        "posting-segment cap bounds every aggregate payload. A "
+        "registry-wide lint (tests/test_plans.py::"
+        "test_no_unpartitioned_window) pins the class shut."
+    ),
+    "graph_label_propagation": (
+        "Audit (r9): 3 synchronous supersteps unrolled — each round is "
+        "ONE labels-x-edges shuffle join + a min hash-aggregate over a "
+        "checkpointed label table, so the physical plan stays 3 "
+        "shallow rounds instead of a lineage pyramid; per-round cost "
+        "is linear in |E| (measured exponent 0.679 over 1-8x)."
+    ),
+    "sim_ann_ivf_pq_retrain": (
+        "Audit (r9): one Lloyd round over base-union-delta (corpus x "
+        "broadcast-codebook argmin + per-(m,j,dim) map-side-combinable "
+        "sums), then the same build write as the initial index; coarse "
+        "centroids stay frozen. The nested-loop stages are the bounded "
+        "codebook broadcasts — never corpus x corpus (measured "
+        "exponent 0.342 over 1-8x)."
+    ),
+    "streaming_ann_ingest_restart": (
+        "Audit (r10): the plan shown is the post-restart stored-index "
+        "query (probes -> partition-pruned code lists -> broadcast ADC "
+        "-> shortlist re-rank); the ingest itself runs as foreachBatch "
+        "micro-batches whose idempotent per-batch overwrite "
+        "(ingest_batch=<id> subtree) + checkpoint replay is the "
+        "exactly-once contract proved by the oracle row."
+    ),
 }
 
 
