@@ -1,0 +1,184 @@
+"""Incremental near-duplicate detection against a PERSISTED MinHash
+band index — the dedup tier's analog of the ANN index lifecycle
+(similarity/pq_lifecycle.py), and the shape a 100 TB corpus actually
+runs: the historical corpus is indexed ONCE; each arriving batch is
+(1) probed against the stored index for near-duplicates and (2)
+appended to it — never re-scanning, never re-signing, never pairing
+the history with itself again.
+
+Storage layout (the 100 TB story):
+- ``bands``: (band_key, doc_id), written as a BUCKETED table on
+  band_key (sources/bucketing.py) — the probe join co-locates against
+  the stored side with NO shuffle of the index, the exact lever the
+  reference's B-tree alias indexes pulled per-row (sql/2:17-18) lifted
+  to batch scale. Bucket count sizes to ~128-256 MB per bucket of the
+  index at target scale.
+- ``shingles``: (doc_id, sgs) parquet — the verify payload, fetched by
+  id ONLY for candidate pairs (the dedup twin of the ANN shortlist
+  re-rank fetching exact vectors by id).
+
+Appends are file-level: a delta batch adds one file per touched bucket
+(bands) and one parquet append (shingles); existing files untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.bucketing import write_bucketed
+from .dedup import (
+    _SHINGLES_SQL,
+    band_key_cols,
+    jaccard,
+    minhash_agg_exprs,
+    shingles_col,
+    words_col,
+)
+from .registry import register
+from .util import t
+
+# Every DEDUP_DELTA_MOD-th document "arrives" after the base index is
+# built — a deterministic split both engines can state.
+DEDUP_DELTA_MOD = 10
+# Toy-scale bucket count; at 100 TB size buckets to ~128-256 MB of
+# index each (e.g. ~4096 buckets for a 600 GB band table).
+DEDUP_INDEX_BUCKETS = 16
+
+_MH_INC_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL
+),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.sgs, b.sgs)) * 1.0
+               / len(list_distinct(list_concat(a.sgs, b.sgs))), 4) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE (a.doc_id % {DEDUP_DELTA_MOD} = 0 OR b.doc_id % {DEDUP_DELTA_MOD} = 0)
+    AND len(list_intersect(a.sgs, b.sgs)) * 1.0
+        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
+)
+SELECT doc_a, doc_b, jaccard,
+       (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_indexed
+FROM pairs
+"""
+
+
+def _bands_of(docs: DataFrame) -> DataFrame:
+    """(band_key, doc_id): signature aggregate + 16 band keys — the
+    same codegen'd minhash pipeline as dedup_minhash_lsh."""
+    exploded_sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("ws"))).alias("shingle")
+    )
+    sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_exprs())
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_key_cols())).alias("band_key")
+    )
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", shingles_col(F.col("ws")).alias("sgs"))
+
+
+@register(
+    "dedup_minhash_incremental",
+    survey_ids=(),
+    oracle=_MH_INC_ORACLE,
+    doc="INCREMENTAL MinHash-LSH dedup against a persisted band index "
+    "— build the index over the base corpus (bands as a BUCKETED "
+    "table on band_key + shingle sets as the by-id verify payload), "
+    "APPEND the arriving batch (every 10th doc) to both stores, then "
+    "probe the arrivals' band keys against the updated stored index: "
+    "candidates = one co-located equi-join (the stored side reads "
+    "bucket-aligned, no index shuffle), verification = exact Jaccard "
+    ">= 0.8 over shingle sets fetched by id from the store. Emits "
+    "every near-dup pair with at least one arriving endpoint plus an "
+    "n_indexed accounting column proving the append landed. The "
+    "oracle is the exhaustive pair scan restricted to "
+    "arriving-endpoint pairs — valid for the same reason as "
+    "dedup_minhash_lsh (miss probability (1-s^4)^16 <= 3e-4 at "
+    "s>=0.8; planted pairs sit at s~0.97) — with the same full-count "
+    "n_indexed. At 100 TB this replaces re-running batch dedup over "
+    "history+delta (O(corpus) per batch) with O(delta) sign+probe "
+    "and a file-level append, history never re-read. No reference "
+    "twin (extension surface); the lifecycle pattern mirrors "
+    "similarity/pq_lifecycle.py.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words_col().alias("ws"))
+    )
+    base = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD == 0)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_bands = f"mh_index_bands_{tag}"
+    shingle_path = f"{SINK_ROOT}/mh_index_shingles_{tag}"
+
+    # -- build: the ONE corpus-linear pass over the base ---------------
+    write_bucketed(
+        _bands_of(base),
+        t_bands,
+        bucket_cols=["band_key"],
+        num_buckets=DEDUP_INDEX_BUCKETS,
+        sort_cols=["band_key"],
+        location=f"{SINK_ROOT}/{t_bands}",
+    )
+    shutil.rmtree(shingle_path, ignore_errors=True)
+    _shingle_sets(base).write.parquet(shingle_path)
+
+    # -- ingest: append the arriving batch (file-level adds only) ------
+    _bands_of(delta).write.mode("append").format("parquet").bucketBy(
+        DEDUP_INDEX_BUCKETS, "band_key"
+    ).sortBy("band_key").saveAsTable(t_bands)
+    _shingle_sets(delta).write.mode("append").parquet(shingle_path)
+
+    # -- probe: arrivals vs the UPDATED stored index --------------------
+    # The stored side is bucketed on band_key, so this equi-join reads
+    # it in place; only the O(delta) probe side moves. least/greatest
+    # orientation + distinct collapses multi-band collisions and the
+    # (delta x delta) pair seen from both sides.
+    stored_bands = spark.table(t_bands)
+    probes = _bands_of(delta).select(
+        F.col("doc_id").alias("probe_id"), "band_key"
+    )
+    cand = (
+        probes.join(stored_bands.hint("merge"), "band_key")
+        .filter(F.col("probe_id") != F.col("doc_id"))
+        .select(
+            F.least("probe_id", "doc_id").alias("doc_a"),
+            F.greatest("probe_id", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # -- verify: exact Jaccard over shingle sets fetched by id ---------
+    stored_sh = spark.read.parquet(shingle_path)
+    sh_a = stored_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a")
+    )
+    sh_b = stored_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b")
+    )
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    jac = jaccard(F.col("sgs_a"), F.col("sgs_b"))
+
+    # bounded accounting: distinct indexed docs AFTER the append — the
+    # hash-checked proof the ingest landed in the store being queried
+    n_indexed = stored_bands.select("doc_id").distinct().count()
+    return verified.filter(jac >= 0.8).select(
+        "doc_a",
+        "doc_b",
+        F.round(jac, 4).alias("jaccard"),
+        F.lit(n_indexed).cast("long").alias("n_indexed"),
+    )

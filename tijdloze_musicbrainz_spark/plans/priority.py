@@ -89,10 +89,13 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # (dedup_ngram_jaccard_blocked moved to the tail in r6 to make
     # room for benchmark_golden_real_e2e; its ids are carried by the
     # remaining dedup rows and the judge's tail re-run covers it)
-    # (dedup_minhash_lsh -> tail in r9: green since r2; the dedup
-    # tier's official rows are now bpe_trained + the md5-keyed exact
-    # path whose 32-byte shuffle key is the 100 TB story)
-    "dedup_exact_hash_first_wins",
+    # (dedup_minhash_lsh -> tail in r9: green since r2;
+    # dedup_exact_hash_first_wins -> tail in r10 after its green r9
+    # row — A10/S8 stay carried by s7_upsert_roundtrip; the dedup
+    # tier's official row is now the persisted-band-index lifecycle:
+    # build -> append -> bucket-aligned probe -> by-id verify, the
+    # r10 marquee addition)
+    "dedup_minhash_incremental",
     # (dedup_exact_substring_bpe_trained -> tail in r10: window-green
     # r8-r9; the dedup tier keeps the md5-keyed exact path in-window
     # and the bench still times the BPE chain every round)
