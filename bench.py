@@ -102,6 +102,9 @@ HEADLINERS = [
     "w_first_last_ignore_nulls",
     # r9: the persisted IVF-PQ index (build + pruned query in one DAG)
     "sim_ann_ivf_pq_persisted",
+    # r10: the dedup index lifecycle (build + file-level append +
+    # bucket-aligned probe + by-id verify in one DAG)
+    "dedup_minhash_incremental",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,
