@@ -104,9 +104,13 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     "s>=0.8; planted pairs sit at s~0.97) — with the same full-count "
     "n_indexed. At 100 TB this replaces re-running batch dedup over "
     "history+delta (O(corpus) per batch) with O(delta) sign+probe "
-    "and a file-level append, history never re-read. No reference "
-    "twin (extension surface); the lifecycle pattern mirrors "
-    "similarity/pq_lifecycle.py.",
+    "and a file-level append, history never re-read. Sibling of "
+    "streaming_minhash_index (r5), which maintains the index via "
+    "foreachBatch micro-batches and re-emits ALL pairs from it; this "
+    "operator is the batch-ingest read path — O(delta) probe, "
+    "arriving-endpoint output only, zero-shuffle bucketed store. No "
+    "reference twin (extension surface); the lifecycle pattern "
+    "mirrors similarity/pq_lifecycle.py.",
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil  # noqa: PLC0415

@@ -214,6 +214,16 @@ QUERIES = (
         "round count is FIXED, so total work is m-linear (checkpoints "
         "per round keep lineage flat)",
     ),
+    (
+        "dedup_minhash_incremental",
+        None,
+        True,
+        "persisted-band-index lifecycle: build (m-linear sign+write "
+        "over the base 90%), file-level append (m-linear over the "
+        "arriving 10%), bucket-aligned probe (m-linear delta bands vs "
+        "the bucketed store) and by-id verify (replica-salted shingles "
+        "keep candidates m-linear, same argument as dedup_minhash_lsh)",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
