@@ -53,6 +53,50 @@ def test_incremental_equals_batch_restricted_to_arrivals(spark, sf_dir):
     assert inc, "restriction produced no pairs — split constant broke the test"
 
 
+def test_compaction_collapses_files_preserving_results(spark, sf_dir):
+    import os
+    import re
+    from collections import Counter
+
+    from tijdloze_musicbrainz_spark.plans.dedup_index import (
+        DEDUP_INDEX_BUCKETS,
+    )
+    from tijdloze_musicbrainz_spark.plans.etl import SINK_ROOT
+
+    inc = {
+        tuple(r)
+        for r in REGISTRY["dedup_minhash_incremental"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    comp = {
+        tuple(r)
+        for r in REGISTRY["dedup_minhash_index_compact"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    # the layout changes, the results must not
+    assert comp == inc
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = f"{SINK_ROOT}/mh_compact_bands_{tag}"
+
+    def layout(path):
+        fs = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        per_bucket = Counter(
+            re.search(r"_(\d{5})\.", f).group(1) for f in fs
+        )
+        return len(fs), max(per_bucket.values())
+
+    n_before, _ = layout(loc)
+    n_after, max_per_bucket = layout(f"{loc}_c")
+    # base write + append leave 2+ files per touched bucket; the
+    # compactor must emit exactly one file per bucket
+    assert n_before > DEDUP_INDEX_BUCKETS
+    assert n_after <= DEDUP_INDEX_BUCKETS
+    assert max_per_bucket == 1
+
+
 def test_n_indexed_counts_every_nonnull_doc(spark, sf_dir):
     import pyspark.sql.functions as F
 

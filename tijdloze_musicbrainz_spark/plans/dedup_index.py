@@ -84,35 +84,13 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", shingles_col(F.col("ws")).alias("sgs"))
 
 
-@register(
-    "dedup_minhash_incremental",
-    survey_ids=(),
-    oracle=_MH_INC_ORACLE,
-    doc="INCREMENTAL MinHash-LSH dedup against a persisted band index "
-    "— build the index over the base corpus (bands as a BUCKETED "
-    "table on band_key + shingle sets as the by-id verify payload), "
-    "APPEND the arriving batch (every 10th doc) to both stores, then "
-    "probe the arrivals' band keys against the updated stored index: "
-    "candidates = one co-located equi-join (the stored side reads "
-    "bucket-aligned, no index shuffle), verification = exact Jaccard "
-    ">= 0.8 over shingle sets fetched by id from the store. Emits "
-    "every near-dup pair with at least one arriving endpoint plus an "
-    "n_indexed accounting column proving the append landed. The "
-    "oracle is the exhaustive pair scan restricted to "
-    "arriving-endpoint pairs — valid for the same reason as "
-    "dedup_minhash_lsh (miss probability (1-s^4)^16 <= 3e-4 at "
-    "s>=0.8; planted pairs sit at s~0.97) — with the same full-count "
-    "n_indexed. At 100 TB this replaces re-running batch dedup over "
-    "history+delta (O(corpus) per batch) with O(delta) sign+probe "
-    "and a file-level append, history never re-read. Sibling of "
-    "streaming_minhash_index (r5), which maintains the index via "
-    "foreachBatch micro-batches and re-emits ALL pairs from it; this "
-    "operator is the batch-ingest read path — O(delta) probe, "
-    "arriving-endpoint output only, zero-shuffle bucketed store. No "
-    "reference twin (extension surface); the lifecycle pattern "
-    "mirrors similarity/pq_lifecycle.py.",
-)
-def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _build_and_ingest(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[str, str, DataFrame]:
+    """Build the base index (bucketed bands + shingle payload), append
+    the arriving batch to both stores. Returns (bands_table,
+    shingle_path, delta_docs) — shared by the probe and compaction
+    queries so a fix lands once (the pq_lifecycle convention)."""
     import shutil  # noqa: PLC0415
 
     from .etl import SINK_ROOT  # noqa: PLC0415
@@ -126,8 +104,8 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD == 0)
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    t_bands = f"mh_index_bands_{tag}"
-    shingle_path = f"{SINK_ROOT}/mh_index_shingles_{tag}"
+    t_bands = f"{name}_bands_{tag}"
+    shingle_path = f"{SINK_ROOT}/{name}_shingles_{tag}"
 
     # -- build: the ONE corpus-linear pass over the base ---------------
     write_bucketed(
@@ -146,8 +124,16 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         DEDUP_INDEX_BUCKETS, "band_key"
     ).sortBy("band_key").saveAsTable(t_bands)
     _shingle_sets(delta).write.mode("append").parquet(shingle_path)
+    return t_bands, shingle_path, delta
 
-    # -- probe: arrivals vs the UPDATED stored index --------------------
+
+def _probe_index(
+    spark: SparkSession,
+    t_bands: str,
+    shingle_path: str,
+    delta: DataFrame,
+) -> DataFrame:
+    # -- probe: arrivals vs the stored index ----------------------------
     # The stored side is bucketed on band_key, so this equi-join reads
     # it in place; only the O(delta) probe side moves. least/greatest
     # orientation + distinct collapses multi-band collisions and the
@@ -186,3 +172,81 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jac, 4).alias("jaccard"),
         F.lit(n_indexed).cast("long").alias("n_indexed"),
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    survey_ids=(),
+    oracle=_MH_INC_ORACLE,
+    doc="INCREMENTAL MinHash-LSH dedup against a persisted band index "
+    "— build the index over the base corpus (bands as a BUCKETED "
+    "table on band_key + shingle sets as the by-id verify payload), "
+    "APPEND the arriving batch (every 10th doc) to both stores, then "
+    "probe the arrivals' band keys against the updated stored index: "
+    "candidates = one co-located equi-join (the stored side reads "
+    "bucket-aligned, no index shuffle), verification = exact Jaccard "
+    ">= 0.8 over shingle sets fetched by id from the store. Emits "
+    "every near-dup pair with at least one arriving endpoint plus an "
+    "n_indexed accounting column proving the append landed. The "
+    "oracle is the exhaustive pair scan restricted to "
+    "arriving-endpoint pairs — valid for the same reason as "
+    "dedup_minhash_lsh (miss probability (1-s^4)^16 <= 3e-4 at "
+    "s>=0.8; planted pairs sit at s~0.97) — with the same full-count "
+    "n_indexed. At 100 TB this replaces re-running batch dedup over "
+    "history+delta (O(corpus) per batch) with O(delta) sign+probe "
+    "and a file-level append, history never re-read. Sibling of "
+    "streaming_minhash_index (r5), which maintains the index via "
+    "foreachBatch micro-batches and re-emits ALL pairs from it; this "
+    "operator is the batch-ingest read path — O(delta) probe, "
+    "arriving-endpoint output only, zero-shuffle bucketed store. No "
+    "reference twin (extension surface); the lifecycle pattern "
+    "mirrors similarity/pq_lifecycle.py.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_bands, shingle_path, delta = _build_and_ingest(spark, sf_dir, "mh_index")
+    return _probe_index(spark, t_bands, shingle_path, delta)
+
+
+@register(
+    "dedup_minhash_index_compact",
+    survey_ids=(),
+    oracle=_MH_INC_ORACLE,
+    doc="COMPACTION of the persisted MinHash band index: every append "
+    "adds files inside the band buckets (one-plus file per touched "
+    "bucket per batch), so probe-read latency degrades as batches "
+    "accumulate — the classic small-files decay. The compactor "
+    "rewrites base+delta bands into a fresh bucketed table with "
+    "exactly ONE file per bucket (repartition on the bucket hash "
+    "aligns tasks to buckets, so each task emits one file), then the "
+    "SAME probe runs against the compacted copy. Oracle = the append "
+    "path's oracle: the layout must change, the results must not "
+    "(the ANN compaction contract, sim_ann_ivf_pq_compacted, applied "
+    "to the dedup tier). The file-count collapse is pinned in "
+    "tests/test_dedup_index.py. At 100 TB compaction is scheduled "
+    "maintenance: one m-linear rewrite of the band table (2 longs + "
+    "key per row) that restores one-file-per-bucket probe reads.",
+)
+def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    t_bands, shingle_path, delta = _build_and_ingest(spark, sf_dir, "mh_compact")
+    compacted = f"{t_bands}_c"
+    # Repartition on the explicit BUCKET-ID expression, not the bare
+    # column: the bucketed scan already claims hashpartitioning(
+    # band_key, N), so a plain repartition(N, band_key) is elided as
+    # redundant and every pre-compaction file becomes its own write
+    # task — 2+ files per bucket survive (measured). The pmod(hash)
+    # expression is a different partitioning, forcing the one shuffle
+    # that clusters each bucket into exactly one task → one file.
+    write_bucketed(
+        spark.table(t_bands).repartition(
+            DEDUP_INDEX_BUCKETS,
+            F.pmod(F.hash("band_key"), F.lit(DEDUP_INDEX_BUCKETS)),
+        ),
+        compacted,
+        bucket_cols=["band_key"],
+        num_buckets=DEDUP_INDEX_BUCKETS,
+        sort_cols=["band_key"],
+        location=f"{SINK_ROOT}/{compacted}",
+    )
+    return _probe_index(spark, compacted, shingle_path, delta)
