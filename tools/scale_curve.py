@@ -224,6 +224,14 @@ QUERIES = (
         "the bucketed store) and by-id verify (replica-salted shingles "
         "keep candidates m-linear, same argument as dedup_minhash_lsh)",
     ),
+    (
+        "dedup_minhash_index_compact",
+        None,
+        True,
+        "incremental lifecycle + the compaction rewrite: one extra "
+        "m-linear pass over the band table (2 longs + key per row) "
+        "clustered to one file per bucket; probe unchanged",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
