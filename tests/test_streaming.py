@@ -317,6 +317,29 @@ def test_minhash_index_absorbs_increment(spark, tmp_path_factory):
     assert pairs == {(1, 3)}
 
 
+def test_minhash_ingest_restart_equals_batch_lsh(spark, sf_dir):
+    """r10 verdict item 6: the dedup streaming index's restart-under-
+    failure proof. The builder itself injects a torn commit after
+    batch 1's merge and restarts from the checkpoint (it raises if the
+    failure does not fire); the final index-served pairs must equal
+    the batch MinHash-LSH operator's pairs over the same corpus — a
+    crash and replay changed nothing."""
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    restart = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in REGISTRY["streaming_minhash_ingest_restart"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    }
+    assert restart == batch
+    assert restart, "corpus produced no near-dup pairs — test is vacuous"
+
+
 def test_cdc_multi_micro_batch_equals_batch_lww(spark, tmp_path_factory):
     """r7 verdict item 1: drive the CDC apply with maxFilesPerTrigger=1
     so a D-then-late-lower-priority-U pair SPLITS across micro-batches

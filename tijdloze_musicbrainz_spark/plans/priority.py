@@ -72,9 +72,14 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # s_orc_roundtrip and s_stats_skipping_prune; the skew and
     # bucketing stories keep their zero-exchange/AQE unit tests)
     # r10 rotation (r9 verdict item 3): the ORC sink/scan roundtrip and
-    # the binaryFile ingest lane get their first official rows
+    # the binaryFile ingest lane got their first official rows in r10
+    # (s_binaryfile_source -> tail in r11 after its green r10 row: S1
+    # stays carried by sql_api_q6 + s_orc_roundtrip, the binary lane
+    # keeps multimodal_jpeg_decode_real in-window; the slot gives the
+    # dedup-index COMPACTION its first official row — r10 verdict
+    # item 2)
     "s_orc_roundtrip",
-    "s_binaryfile_source",
+    "dedup_minhash_index_compact",
     # -- tier 3: LLM-training-data pipeline components -------------------
     # r9 rotation (r8 verdict item 3): etl_incremental_agg_maintenance,
     # dedup_minhash_lsh, graph_copurchase_lift, sim_ann_lsh_bucketed,
@@ -84,8 +89,12 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # tiers stay represented; the freed slots give first official rows
     # to the r8b marquee components below.
     # (etl_incremental_agg_maintenance -> tail: S7 stays carried by
-    # s7_upsert_roundtrip; slot carries IGNORE-NULLS window navigation)
-    "w_first_last_ignore_nulls",
+    # s7_upsert_roundtrip; w_first_last_ignore_nulls -> tail in r11
+    # after green r9+r10 rows: A5/§2.5 stay carried by
+    # a_pick_one_deterministic; the slot gives the dedup streaming
+    # index its restart-under-failure proof — r10 verdict item 6,
+    # mirroring the ANN tier's streaming_ann_ingest_restart)
+    "streaming_minhash_ingest_restart",
     # (dedup_ngram_jaccard_blocked moved to the tail in r6 to make
     # room for benchmark_golden_real_e2e; its ids are carried by the
     # remaining dedup rows and the judge's tail re-run covers it)

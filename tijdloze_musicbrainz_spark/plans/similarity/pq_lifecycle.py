@@ -657,7 +657,13 @@ def _pq_ingest_batch(
 ) -> None:
     """The Faiss add() contract: encode a batch against the STORED
     codebook, assign against the STORED centroids, append one file
-    per touched centroid partition. Existing files untouched."""
+    per touched centroid partition. Existing files untouched. The
+    append runs under the index's single-writer lock (r10 verdict
+    item 7): a second concurrent ingest errors explicitly instead of
+    interleaving files; streaming micro-batches are sequential within
+    one query, so each acquires and releases in turn."""
+    from ...sources.bucketing import exclusive_append  # noqa: PLC0415
+
     b = batch_df
     if "iv" not in b.columns:
         b = b.withColumn(
@@ -667,11 +673,11 @@ def _pq_ingest_batch(
     b_lists = _nearest_cent(b, stored_cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
-    _pq_encode(_pq_subs(b), stored_cb).join(
-        b_lists, "match_id"
-    ).repartition("cent_id").write.mode("append").partitionBy(
-        "cent_id"
-    ).parquet(f"{root}/lists")
+    enc = _pq_encode(_pq_subs(b), stored_cb).join(b_lists, "match_id")
+    with exclusive_append(f"{root}/lists", owner="pq_ingest"):
+        enc.repartition("cent_id").write.mode("append").partitionBy(
+            "cent_id"
+        ).parquet(f"{root}/lists")
 
 
 def _pq_query_stored(

