@@ -1023,7 +1023,9 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored_cb = spark.read.parquet(f"{root}/codebook")
     stored_cents = spark.read.parquet(f"{root}/cents")
 
-    crash = {"armed": True}
+    from ...streaming.restart_harness import (  # noqa: PLC0415
+        ingest_with_injected_restart,
+    )
 
     def ingest(b: DataFrame, bid: int) -> None:
         # Idempotent micro-batch write: the batch's rows overwrite its
@@ -1041,10 +1043,6 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).repartition("cent_id").write.mode("overwrite").partitionBy(
             "cent_id"
         ).parquet(f"{root}/lists/ingest_batch=b{bid}")
-        if crash["armed"] and bid == 1:
-            crash["armed"] = False
-            # torn commit: data written, offset NOT committed
-            raise RuntimeError("injected post-write pre-commit failure")
 
     schema = StructType(
         [
@@ -1052,30 +1050,12 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("v", ArrayType(DoubleType())),
         ]
     )
-
-    def run_stream() -> None:
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-            .writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    from pyspark.errors import StreamingQueryException  # noqa: PLC0415
-
-    try:
-        run_stream()
-        raise AssertionError("injected failure did not fire")
-    except StreamingQueryException as exc:
-        if "injected post-write pre-commit failure" not in str(exc):
-            raise
-    # restart from the SAME checkpoint: batch 1 replays (idempotent
-    # overwrite), batch 2 drains, the query stops at availableNow
-    run_stream()
+    # torn commit after batch 1's write, restart from the same
+    # checkpoint, batch 1 replays (idempotent overwrite), batch 2
+    # drains — the shared proof driver (streaming/restart_harness.py)
+    ingest_with_injected_restart(
+        spark, schema, stage, f"{root}/ckpt", ingest
+    )
 
     corpus = base.select("vec_id", "v").unionByName(delta)
     topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)

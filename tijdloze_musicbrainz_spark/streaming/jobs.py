@@ -831,10 +831,9 @@ def streaming_minhash_ingest_restart(
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
-    from pyspark.errors import StreamingQueryException  # noqa: PLC0415
-
     from ..plans.etl import SINK_ROOT  # noqa: PLC0415
     from ..plans.util import t  # noqa: PLC0415
+    from .restart_harness import ingest_with_injected_restart  # noqa: PLC0415
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = f"{SINK_ROOT}/minhash_restart_{tag}"
@@ -844,41 +843,19 @@ def streaming_minhash_ingest_restart(
     # would prove nothing
     shutil.rmtree(root, ignore_errors=True)
 
-    # stage the corpus as 3 files -> 3 micro-batches
+    # stage the corpus as 3 files -> 3 micro-batches; the torn commit
+    # fires after batch 1's merge (idempotent: replay re-merges with
+    # the same ingest_seq -> identical winners)
     t(spark, sf_dir, "documents").repartition(3).write.parquet(
         f"{root}/arrivals"
     )
-
-    crash = {"armed": True}
-
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        _mh_merge_batch(batch_df, batch_id, path)
-        if crash["armed"] and batch_id == 1:
-            crash["armed"] = False
-            # torn commit: merge fully applied, offset NOT committed
-            raise RuntimeError("injected post-merge pre-commit failure")
-
-    def run_stream() -> None:
-        q = (
-            spark.readStream.schema(_MH_DOC_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{root}/arrivals")
-            .writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    try:
-        run_stream()
-        raise AssertionError("injected failure did not fire")
-    except StreamingQueryException as exc:
-        if "injected post-merge pre-commit failure" not in str(exc):
-            raise
-    # restart from the SAME checkpoint: batch 1 replays (idempotent
-    # re-merge, same ingest_seq -> identical winners), batch 2 drains
-    run_stream()
+    ingest_with_injected_restart(
+        spark,
+        _MH_DOC_SCHEMA,
+        f"{root}/arrivals",
+        f"{root}/ckpt",
+        lambda b, bid: _mh_merge_batch(b, bid, path),
+    )
 
     corpus = spark.read.schema(_MH_DOC_SCHEMA).parquet(f"{root}/arrivals")
     return _mh_index_pairs(spark, path, corpus)
