@@ -342,8 +342,10 @@ def a_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("O1", "A5"),
     oracle="""
 SELECT c_nationkey, c_custkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cum_dist,
+       CAST(round(CAST(percent_rank() OVER w AS DECIMAL(25,12)), 6)
+            AS DOUBLE) AS pct_rank,
+       CAST(round(CAST(cume_dist() OVER w AS DECIMAL(25,12)), 6)
+            AS DOUBLE) AS cum_dist,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -353,16 +355,24 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     "one window spec serves all three (single exchange + sort). The "
     "ordering key carries the c_custkey tiebreak, so ranks are total "
     "and deterministic; both ratios are (rank-based integer "
-    "arithmetic) / (partition count), identical across engines, "
-    "rounded once for the hash.",
+    "arithmetic) / (partition count), identical doubles across "
+    "engines — but the 6-dp OUTPUT rounding goes through "
+    "decimal(25,12) on both sides: round(double, 6) diverges at 1e-6 "
+    "boundaries (cume_dist 41/640 = .0640625 split .064063 vs "
+    ".064062 at sf0.1 — caught by the r11 sweep; sf0.01 partition "
+    "sizes never landed a rank on a boundary).",
 )
 def w_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return t(spark, sf_dir, "customer").select(
         "c_nationkey",
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.round(F.percent_rank().over(w).cast("decimal(25,12)"), 6)
+        .cast("double")
+        .alias("pct_rank"),
+        F.round(F.cume_dist().over(w).cast("decimal(25,12)"), 6)
+        .cast("double")
+        .alias("cum_dist"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 

@@ -1080,9 +1080,11 @@ WITH toks AS (
 )
 SELECT p.doc_id, p.lang,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(CAST(sum(CAST(round(ln(
+       CAST(round(CAST(
+             CAST(sum(CAST(round(ln(
                  CAST(c12.n12 + 1 AS DOUBLE) / (c1.n1 + vocab.v)
-             ), 6) AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) AS lm_score
+             ), 6) AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+           AS DECIMAL(25,12)), 6) AS DOUBLE) AS lm_score
 FROM pairs p
 JOIN c12 ON p.w1 = c12.w1 AND p.w2 = c12.w2
 JOIN c1 ON p.w1 = c1.w1
@@ -1146,9 +1148,22 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.join(F.broadcast(model), ["w1", "w2"]).select(
         "doc_id", "lang", "term"
     )
+    # The mean's final rounding goes through decimal(25,12) on both
+    # engines: round(double, 6) diverges at 1e-6 boundaries (Spark
+    # rounds the decimal rendering HALF_UP, DuckDB the binary double;
+    # doc 361 at sf0.1 split -3.388329 vs -3.38833 — caught by the r11
+    # sf0.1 sweep). The quotient itself is bit-identical (exact-decimal
+    # sum cast to double, divided by an exact count).
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.sum("term").cast("double") / F.count("*"), 6).alias("lm_score"),
+        F.round(
+            (F.sum("term").cast("double") / F.count("*")).cast(
+                "decimal(25,12)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("lm_score"),
     )
 
 

@@ -73,7 +73,8 @@ WITH ps AS (
 )
 SELECT e.s_acctbal, e.s_name, e.n_name,
        e.l_partkey AS p_partkey, p.p_type,
-       round(e.supplycost, 2) AS supplycost
+       CAST(round(CAST(e.supplycost AS DECIMAL(25,6)), 2) AS DOUBLE)
+         AS supplycost
 FROM eligible e
 JOIN minc m ON e.l_partkey = m.l_partkey AND e.supplycost = m.min_cost
 JOIN part p ON e.l_partkey = p.p_partkey
@@ -81,7 +82,13 @@ WHERE p.p_size = 25
 """,
     doc="TPC-H Q2 shape: per-part minimum supply cost as a decorrelated "
     "scalar-MIN (A2) — lineitem stands in for partsupp; the equality "
-    "join is on a single-division double (bit-identical across engines).",
+    "join is on a single-division double (bit-identical across "
+    "engines). The OUTPUT rounding goes through decimal(25,6) on both "
+    "sides (the money_sum convention): round(double, 2) diverges at "
+    "cent boundaries — Spark rounds the decimal rendering HALF_UP "
+    "while DuckDB rounds the binary double, so 539.805 (stored "
+    "539.80499...) split 539.81 vs 539.80. Caught by the r11 sf0.1 "
+    "sweep; invisible at sf0.01 where no value sat on a boundary.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
@@ -116,7 +123,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.col("l_partkey").alias("p_partkey"),
             "p_type",
-            F.round("supplycost", 2).alias("supplycost"),
+            F.round(F.col("supplycost").cast(_DEC), 2)
+            .cast("double")
+            .alias("supplycost"),
         )
     )
 
