@@ -771,11 +771,13 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{SINK_ROOT}/minhash_index_{tag}"
     # documents*.parquet: the testdata layout is ONE file named
     # documents.parquet; an ingest directory appends increment files
-    # (documents_b2.parquet, ...) that the stream picks up on resume
-    stream = (
-        spark.readStream.schema(_MH_DOC_SCHEMA)
-        .option("pathGlobFilter", "documents*.parquet")
-        .parquet(sf_dir)
+    # (documents_b2.parquet, ...) that the stream picks up on resume.
+    # Glob in the PATH, not pathGlobFilter: the filter matches leaf
+    # file names only, so a Spark-written documents.parquet DIRECTORY
+    # (the scale-curve derived corpora) would yield zero input files —
+    # the path glob matches files and directories alike.
+    stream = spark.readStream.schema(_MH_DOC_SCHEMA).parquet(
+        f"{sf_dir}/documents*.parquet"
     )
     q = (
         stream.writeStream.foreachBatch(
@@ -789,10 +791,8 @@ def streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch verify side reads the SAME file set as the stream (the
     # full corpus incl. increments), so candidate texts always resolve
-    corpus = (
-        spark.read.schema(_MH_DOC_SCHEMA)
-        .option("pathGlobFilter", "documents*.parquet")
-        .parquet(sf_dir)
+    corpus = spark.read.schema(_MH_DOC_SCHEMA).parquet(
+        f"{sf_dir}/documents*.parquet"
     )
     return _mh_index_pairs(spark, path, corpus)
 
