@@ -23,12 +23,11 @@ Appends are file-level: a delta batch adds one file per touched bucket
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.bucketing import exclusive_append, write_bucketed
+from .lifecycle import compact_bucketed, sf_tag
 from .dedup import (
     _SHINGLES_SQL,
     band_key_cols,
@@ -115,7 +114,7 @@ def _build_and_ingest(
     base = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD != 0)
     delta = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD == 0)
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_tag(sf_dir)
     t_bands = f"{name}_bands_{tag}"
     shingle_path = f"{SINK_ROOT}/{name}_shingles_{tag}"
     delta_bands_path = f"{SINK_ROOT}/{name}_delta_bands_{tag}"
@@ -277,22 +276,12 @@ def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "mh_compact"
     )
     compacted = f"{t_bands}_c"
-    # Repartition on the explicit BUCKET-ID expression, not the bare
-    # column: the bucketed scan already claims hashpartitioning(
-    # band_key, N), so a plain repartition(N, band_key) is elided as
-    # redundant and every pre-compaction file becomes its own write
-    # task — 2+ files per bucket survive (measured). The pmod(hash)
-    # expression is a different partitioning, forcing the one shuffle
-    # that clusters each bucket into exactly one task → one file.
-    write_bucketed(
-        spark.table(t_bands).repartition(
-            DEDUP_INDEX_BUCKETS,
-            F.pmod(F.hash("band_key"), F.lit(DEDUP_INDEX_BUCKETS)),
-        ),
+    compact_bucketed(
+        spark,
+        t_bands,
         compacted,
-        bucket_cols=["band_key"],
+        bucket_col="band_key",
         num_buckets=DEDUP_INDEX_BUCKETS,
-        sort_cols=["band_key"],
         location=f"{SINK_ROOT}/{compacted}",
     )
     return _probe_index(spark, compacted, shingle_path, delta_path, n_indexed)

@@ -1,0 +1,110 @@
+"""Shared scaffolding for the engine's persisted-index lifecycles.
+
+Two index tiers implement the same build/append/compact/ingest/restart
+shape: the ANN IVF-PQ index (similarity/pq_lifecycle.py — centroid-
+partitioned code lists) and the MinHash band index (dedup_index.py —
+a band_key-bucketed table). r10's verdict flagged that the shape was
+implemented twice, so fixes (like the O(delta) accounting rule below)
+had to land twice. This module is the one home for the parts that are
+genuinely identical:
+
+- **store layout**: every index lives under its own
+  ``{SINK_ROOT}/{name}_{sf_tag}`` root (:func:`index_root`), rebuilt
+  fresh per registered-query invocation so runs are deterministic;
+- **compaction drivers**: appends accumulate one-plus file per
+  touched partition/bucket per batch (the small-files decay); the two
+  compactors rewrite to exactly ONE file per unit —
+  :func:`compact_partitioned` for partitionBy stores,
+  :func:`compact_bucketed` for bucketed tables (where the shuffle
+  must be forced past Spark's redundant-exchange elision, see the
+  pmod note);
+- **accounting rule**: counters emitted with results (n_indexed,
+  n_appended) are maintained INCREMENTALLY from the batches in hand
+  at build/append time — never by re-scanning the stored index,
+  which at 100 TB erases the O(delta) ingest win (r10 verdict item 1;
+  at scale the counter lives in manifest commit stats,
+  operators/manifest.py). There is no helper for this on purpose:
+  the rule is "``.count()`` the DataFrame you are already holding",
+  and a wrapper would only obscure which DataFrame that is.
+
+The remaining shared pieces already have single homes: the
+single-writer append lock is ``sources.bucketing.exclusive_append``,
+and the torn-commit + checkpoint-restart proof driver is
+``streaming.restart_harness.ingest_with_injected_restart``.
+
+What stays tier-specific is the payload itself (PQ codes + codebook +
+centroids vs bands + shingle sets) and the probe plans — unifying
+those would be abstraction without shared behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.bucketing import write_bucketed
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe tag for a scale-factor directory (``sf0.1`` →
+    ``sf0_1``) — the suffix every per-(query, sf) store name carries."""
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def index_root(sf_dir: str, name: str, fresh: bool = True) -> str:
+    """Per-(index, sf) directory under the sink root; ``fresh`` wipes
+    any prior run's store so registered queries are deterministic."""
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
+    root = f"{SINK_ROOT}/{name}_{sf_tag(sf_dir)}"
+    if fresh:
+        shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def compact_partitioned(
+    spark: SparkSession, src: str, dst: str, partition_col: str
+) -> None:
+    """Rewrite a partitionBy parquet store with exactly ONE file per
+    partition directory: ``repartition(partition_col)`` aligns each
+    output task to one partition value, so every ``partition_col=v``
+    directory collapses from one-plus file per ingested batch back to
+    a single file. Layout changes, results must not — callers pin that
+    by running the same probe against ``dst`` under the same oracle."""
+    spark.read.parquet(src).repartition(partition_col).write.partitionBy(
+        partition_col
+    ).parquet(dst)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    compacted: str,
+    bucket_col: str,
+    num_buckets: int,
+    location: str,
+) -> None:
+    """Rewrite a bucketed table with exactly ONE file per bucket.
+
+    Repartitions on the explicit BUCKET-ID expression, not the bare
+    column: the bucketed scan already claims
+    ``hashpartitioning(bucket_col, N)``, so a plain
+    ``repartition(N, bucket_col)`` is elided as redundant and every
+    pre-compaction file becomes its own write task — 2+ files per
+    bucket survive (measured, r10). The ``pmod(hash)`` expression is a
+    different partitioning, forcing the one shuffle that clusters each
+    bucket into exactly one task → one file."""
+    write_bucketed(
+        spark.table(table).repartition(
+            num_buckets,
+            F.pmod(F.hash(bucket_col), F.lit(num_buckets)),
+        ),
+        compacted,
+        bucket_cols=[bucket_col],
+        num_buckets=num_buckets,
+        sort_cols=[bucket_col],
+        location=location,
+    )

@@ -13,6 +13,7 @@ import pandas as pd  # noqa: F401,TC002  (pandas_udf resolves 'pd.Series' hints 
 from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
+from ..lifecycle import compact_partitioned, index_root
 from ..registry import register
 from ..util import t  # noqa: F401
 
@@ -603,20 +604,15 @@ _PQA_ORACLE = (
 # ── shared lifecycle helpers (build / ingest / stored-index query) ──
 # One implementation serves all four lifecycle queries (persisted,
 # append, compacted, streaming ingest): a fix like the r9 parts_read
-# correction lands once, not four times.
+# correction lands once, not four times. Store-root naming and the
+# compaction driver are shared with the dedup tier's band index
+# (plans/lifecycle.py — r10 verdict item 8); _pq_index_root survives
+# as the ANN-flavored alias.
 
 
 def _pq_index_root(sf_dir: str, name: str) -> str:
     """Fresh per-(query, sf) directory under the sink root."""
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    from ..etl import SINK_ROOT  # noqa: PLC0415
-
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    root = f"{SINK_ROOT}/{name}_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    return root
+    return index_root(sf_dir, name, fresh=True)
 
 
 def _pq_write_index(
@@ -719,15 +715,13 @@ def _pq_query_stored(
     return _pq_rerank(_pq_shortlist(adc), corpus), stored, pruned
 
 
-def _pq_n_appended(stored: DataFrame) -> int:
-    """Delta batch size in VECTORS (the lists hold PQ_M code rows per
-    vector, hence the distinct) — bounded accounting count."""
-    return (
-        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
-        .select("match_id")
-        .distinct()
-        .count()
-    )
+# n_appended accounting: counted from the delta batch IN HAND at
+# ingest time (one filtered pass over the source embeddings), never by
+# re-scanning the stored code lists — the shared lifecycle accounting
+# rule (plans/lifecycle.py; r10 verdict item 1 applied to both tiers).
+# The append itself is still proven through the value hash: the top-k
+# rows come from the STORED pruned read, so a lost or duplicated
+# ingest file changes result rows, not just a counter.
 
 
 @register(
@@ -741,8 +735,10 @@ def _pq_n_appended(stored: DataFrame) -> int:
     "assigned against the STORED centroids, and appended as new "
     "parquet files inside the centroid-partitioned code lists — no "
     "rebuild, no touch of existing files; the query path is the "
-    "identical pruned read and now sees base+delta (n_appended in "
-    "the output proves it through the value hash). Codebook and "
+    "identical pruned read and now sees base+delta (the delta-sourced "
+    "top-k rows prove it through the value hash; n_appended is the "
+    "incrementally-maintained counter, plans/lifecycle.py). Codebook "
+    "and "
     "centroids stay frozen — retraining is a separate compaction "
     "event, exactly how production ANN services absorb writes. The "
     "oracle states the ground truth as one PQ pipeline over the "
@@ -758,6 +754,7 @@ def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
     )
     delta = _pq_delta(base)
+    n_appended = delta.count()
     _pq_ingest_batch(
         delta,
         spark.read.parquet(f"{root}/codebook"),
@@ -767,9 +764,9 @@ def sim_ann_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.select("vec_id", "v").unionByName(
         delta.select("vec_id", "v")
     )
-    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    topk, _, _ = _pq_query_stored(spark, base, subs, root, corpus)
     return topk.withColumn(
-        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+        "n_appended", F.lit(n_appended).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
 
 
@@ -802,6 +799,7 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, subs, _pq_seed_codebook(base, subs), _ivf_cents(base), root
     )
     delta = _pq_delta(base)
+    n_appended = delta.count()
     _pq_ingest_batch(
         delta,
         spark.read.parquet(f"{root}/codebook"),
@@ -810,18 +808,18 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ── COMPACT: one file per centroid partition ─────────────────────
-    spark.read.parquet(f"{root}/lists").repartition(
-        "cent_id"
-    ).write.partitionBy("cent_id").parquet(f"{root}/lists_compacted")
+    compact_partitioned(
+        spark, f"{root}/lists", f"{root}/lists_compacted", "cent_id"
+    )
 
     corpus = base.select("vec_id", "v").unionByName(
         delta.select("vec_id", "v")
     )
-    topk, stored, _ = _pq_query_stored(
+    topk, _, _ = _pq_query_stored(
         spark, base, subs, root, corpus, lists_dir="lists_compacted"
     )
     return topk.withColumn(
-        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+        "n_appended", F.lit(n_appended).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
 
 
@@ -865,6 +863,7 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage the arriving vectors as 3 files -> 3 micro-batches
     delta = _pq_delta(base).select("vec_id", "v")
+    n_appended = delta.count()
     stage = f"{root}/arrivals"
     delta.repartition(3).write.parquet(stage)
 
@@ -891,9 +890,9 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     corpus = base.select("vec_id", "v").unionByName(delta)
-    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    topk, _, _ = _pq_query_stored(spark, base, subs, root, corpus)
     return topk.withColumn(
-        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+        "n_appended", F.lit(n_appended).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
 
 
@@ -956,9 +955,10 @@ def sim_ann_ivf_pq_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _pq_index_root(sf_dir, "ivfpq_retrain")
     # rewrite: refined codebook + union re-encode, centroids frozen
     _pq_write_index(union, usubs, cb1, _ivf_cents(base), root)
-    topk, stored, _ = _pq_query_stored(spark, base, usubs, root, union)
+    n_appended = delta.count()
+    topk, _, _ = _pq_query_stored(spark, base, usubs, root, union)
     return topk.withColumn(
-        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+        "n_appended", F.lit(n_appended).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
 
 
@@ -1017,6 +1017,7 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents.write.parquet(f"{root}/cents")
 
     delta = _pq_delta(base).select("vec_id", "v")
+    n_appended = delta.count()
     stage = f"{root}/arrivals"
     delta.repartition(3).write.parquet(stage)
 
@@ -1058,7 +1059,7 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = base.select("vec_id", "v").unionByName(delta)
-    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    topk, _, _ = _pq_query_stored(spark, base, subs, root, corpus)
     return topk.withColumn(
-        "n_appended", F.lit(_pq_n_appended(stored)).cast("long")
+        "n_appended", F.lit(n_appended).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
