@@ -12,9 +12,24 @@ of truth for the operator inventory.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Python WORKERS resolve imports from the environment PYTHONPATH the
+# JVM inherits — not from the driver's sys.path. Export the repo root
+# at import time (before any SparkSession exists) so mapInPandas /
+# Python-datasource closures that reference this package unpickle on
+# workers even when the consuming process started from a foreign cwd.
+# On a real cluster the same contract is `spark-submit --py-files`.
+_REPO_ROOT = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO_ROOT not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

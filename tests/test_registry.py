@@ -44,3 +44,41 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_python_worker_queries_survive_foreign_cwd(tmp_path):
+    """Python WORKERS resolve imports from the env PYTHONPATH the JVM
+    inherits, not the driver's sys.path — so a consumer that starts
+    its process outside the repo (the verify recipe runs from /tmp)
+    used to get worker-side ModuleNotFoundError on every mapInPandas /
+    Python-datasource query. __spark_entry__ now exports the repo root
+    into PYTHONPATH at import time (before the JVM exists); this pins
+    that contract with a genuinely fresh process, foreign cwd, and a
+    scrubbed PYTHONPATH, running the cheapest Python-worker query."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __spark_entry__ as entry\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '2')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "n = entry.queries()['multimodal_jpeg_decode_real'](\n"
+        "    spark, '/root/testdata/sf0.001').count()\n"
+        "print('WORKER_OK', n)\n" % repo
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "WORKER_OK" in out.stdout, out.stderr[-2000:]

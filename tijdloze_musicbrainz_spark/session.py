@@ -31,12 +31,31 @@ def cpu_count() -> int:
     return os.cpu_count() or 4
 
 
+def export_worker_pythonpath() -> None:
+    """Make this package importable by Python WORKER processes.
+
+    Workers resolve imports from the environment ``PYTHONPATH`` the
+    JVM inherits at launch — not from the driver's ``sys.path`` — so a
+    driver started from a foreign cwd can plan a mapInPandas closure
+    the workers then fail to unpickle (``ModuleNotFoundError``). Must
+    run BEFORE the JVM starts; on a real cluster the equivalent is
+    ``spark-submit --py-files`` / shipping the package archive."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ["PYTHONPATH"]
+            if os.environ.get("PYTHONPATH")
+            else repo_root
+        )
+
+
 def get_spark(
     app_name: str = "tijdloze_musicbrainz_spark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession."""
+    export_worker_pythonpath()
     cores = cpu_count()
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
