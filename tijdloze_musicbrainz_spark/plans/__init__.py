@@ -9,6 +9,7 @@ from . import events  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import dedup_index  # noqa: E402,F401
+from . import cc_index  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import etl  # noqa: E402,F401

@@ -128,7 +128,14 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # are now the three steps past append: compaction, retrain, and
     # the streaming ingest path, each of which composes the same
     # frozen-codebook delta encode)
-    "sim_ann_ivf_pq_compacted",
+    # (sim_ann_ivf_pq_compacted -> tail in r11 after its green r10
+    # row: the ANN lifecycle keeps retrain + streaming ingest + the
+    # restart proof in-window, and the compaction contract is carried
+    # for the dedup tier by dedup_minhash_index_compact; the slot
+    # gives the CLUSTER tier's lifecycle its first official row — the
+    # persisted label store with contracted-graph merge + relabel
+    # cascade, the r11 marquee addition)
+    "dedup_cluster_incremental",
     "sim_ann_ivf_pq_retrain",
     "streaming_ann_index_ingest",
     # (sim_ann_ivf_bucketed rotated to the tail in r8b; sim_ann_ivf_pq
