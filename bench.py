@@ -105,6 +105,9 @@ HEADLINERS = [
     # r10: the dedup index lifecycle (build + file-level append +
     # bucket-aligned probe + by-id verify in one DAG)
     "dedup_minhash_incremental",
+    # r11: the cluster tier's lifecycle (base clustering + bucketed
+    # block probe + contracted-graph merge + remap-journal relabel)
+    "dedup_cluster_incremental",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,

@@ -284,6 +284,19 @@ QUERIES = (
         "is RESET before every timed trial (see RESETS) so each run "
         "times the full sign+merge+query, not a warm checkpoint no-op",
     ),
+    # r11: the cluster tier's lifecycle.
+    (
+        "dedup_cluster_incremental",
+        None,
+        True,
+        "persisted-label-store lifecycle: base clustering (m-linear "
+        "blocked pairs + star-contraction over m disjoint replica "
+        "copies), bucketed block append, O(delta) probe join, and a "
+        "contracted-graph merge whose node count tracks delta-touched "
+        "components — replica-salted tokens keep blocks and pairs "
+        "replica-local (same argument as dedup_cluster_components), "
+        "so every stage and the answer grow m-linearly",
+    ),
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
