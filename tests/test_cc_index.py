@@ -1,9 +1,11 @@
 """Incremental cluster lifecycle (plans/cc_index.py): the probe must
 read the stored block index bucket-aligned (no index shuffle), the
-merge must run on the contracted graph, and the incremental labels
-must be bit-identical to a from-scratch batch clustering — including
-the relabel cascade when an arriving document bridges two existing
-components.
+merge must run on the contracted graph through the CURRENT labels,
+and the incremental labels must be bit-identical to a from-scratch
+batch clustering — including the relabel cascade when an arriving
+document bridges two existing components, and the chained cascade
+when a LATER generation bridges through a component an earlier
+generation already merged.
 """
 
 from __future__ import annotations
@@ -11,10 +13,13 @@ from __future__ import annotations
 import contextlib
 import io
 
+from pyspark.sql import functions as F
+
 from tijdloze_musicbrainz_spark.plans import REGISTRY
 from tijdloze_musicbrainz_spark.plans.cc_index import (
     CC_DELTA_MOD,
-    _build_and_ingest,
+    _build_base,
+    _ingest_batch,
     _probe_pairs,
 )
 
@@ -27,8 +32,19 @@ def _plan(df) -> str:
 
 
 def test_probe_reads_stored_blocks_bucketed(spark, sf_dir):
-    t_blocks, paths, _ = _build_and_ingest(spark, sf_dir, "cc_plan_probe")
-    plan = _plan(_probe_pairs(spark, t_blocks, paths))
+    t_blocks, paths, docs_all, pay, _ = _build_base(
+        spark, sf_dir, "cc_plan_probe"
+    )
+    _ingest_batch(
+        spark,
+        t_blocks,
+        paths,
+        docs_all,
+        pay,
+        F.col("doc_id") % CC_DELTA_MOD == 0,
+        gen=1,
+    )
+    plan = _plan(_probe_pairs(spark, t_blocks, paths, gen=1))
     assert "Bucketed: true" in plan
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
@@ -54,33 +70,28 @@ def test_incremental_labels_equal_batch_clustering(spark, sf_dir):
     )
 
 
-def test_relabel_cascade_when_delta_bridges_two_components(spark, tmp_path):
-    """Crafted corpus: base components {1,2} (label 1) and {3,4}
-    (label 3) are NOT near-dups of each other (J ~ 0.82 < 0.9), but
-    the arriving doc 10 is >= 0.9-near one member of EACH — the merge
-    must cascade the relabel so all five documents land in cluster 1,
-    even though doc 3/4 were never compared against doc 1/2."""
+def test_two_batch_compacted_equals_single_batch(spark, sf_dir):
+    """Batch-count independence + compaction contract: two-generation
+    ingest, resolved through the remap chain and folded flat, must
+    produce exactly the single-batch (and hence from-scratch) labels."""
+    two = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_cluster_label_compact"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    one = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_cluster_incremental"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert two == one
+
+
+def _write_docs(path, rows) -> None:
     import duckdb
 
-    toks = [f"t{i}" for i in range(1, 63)]  # 62 tokens, 60 shingles
-
-    def variant(*changes: tuple[int, str]) -> str:
-        ws = list(toks)
-        for pos, w in changes:
-            ws[pos - 1] = w
-        return " ".join(ws)
-
-    rows = [
-        # comp A: 2 = T<30>, 1 = T<30, last>  (J(1,2) = 59/61 ~ 0.97)
-        (1, variant((30, "qa"), (62, "qz1"))),
-        (2, variant((30, "qa"))),
-        # comp B: 3 = T<40>, 4 = T<40, last>
-        (3, variant((40, "qb"))),
-        (4, variant((40, "qb"), (62, "qz4"))),
-        # bridge: 10 = T exactly; J(10,2) = J(10,3) = 57/63 ~ 0.905,
-        # J(2,3) = 54/66 ~ 0.82 (never pairs directly)
-        (10, variant()),
-    ]
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
@@ -90,7 +101,37 @@ def test_relabel_cascade_when_delta_bridges_two_components(spark, tmp_path):
         "INSERT INTO d VALUES (?, ?, 'en', 's0', ?)",
         [(i, txt, len(txt)) for i, txt in rows],
     )
-    con.execute(f"COPY d TO '{tmp_path}/documents.parquet' (FORMAT parquet)")
+    con.execute(f"COPY d TO '{path}/documents.parquet' (FORMAT parquet)")
+
+
+_TOKS = [f"t{i}" for i in range(1, 63)]  # 62 tokens, 60 shingles
+
+
+def _variant(*changes: tuple[int, str]) -> str:
+    ws = list(_TOKS)
+    for pos, w in changes:
+        ws[pos - 1] = w
+    return " ".join(ws)
+
+
+def test_relabel_cascade_when_delta_bridges_two_components(spark, tmp_path):
+    """Crafted corpus: base components {1,2} (label 1) and {3,4}
+    (label 3) are NOT near-dups of each other (J ~ 0.82 < 0.9), but
+    the arriving doc 10 is >= 0.9-near one member of EACH — the merge
+    must cascade the relabel so all five documents land in cluster 1,
+    even though doc 3/4 were never compared against doc 1/2."""
+    rows = [
+        # comp A: 2 = T<30>, 1 = T<30, last>  (J(1,2) = 59/61 ~ 0.97)
+        (1, _variant((30, "qa"), (62, "qz1"))),
+        (2, _variant((30, "qa"))),
+        # comp B: 3 = T<40>, 4 = T<40, last>
+        (3, _variant((40, "qb"))),
+        (4, _variant((40, "qb"), (62, "qz4"))),
+        # bridge: 10 = T exactly; J(10,2) = J(10,3) = 57/63 ~ 0.905,
+        # J(2,3) = 54/66 ~ 0.82 (never pairs directly)
+        (10, _variant()),
+    ]
+    _write_docs(tmp_path, rows)
     assert all(i % CC_DELTA_MOD != 0 for i, _ in rows[:4])
     assert rows[4][0] % CC_DELTA_MOD == 0
 
@@ -101,3 +142,37 @@ def test_relabel_cascade_when_delta_bridges_two_components(spark, tmp_path):
         .collect()
     }
     assert out == {i: (1, 5) for i in (1, 2, 3, 4, 10)}
+
+
+def test_chained_merge_contracts_through_earlier_generation(spark, tmp_path):
+    """Generation 2 must contract through generation 1's remap:
+    gen 1's doc 10 merges {1,2} and {3,4} into cluster 1 (remap
+    3 -> 1); gen 2's doc 20 pairs with doc 10 (now labeled 1) and
+    with comp C {5,6} (label 5). If gen 2 contracted against STALE
+    labels it would still work here via doc 10's stored label, so the
+    sharper assertion is the remap CHAIN: 5 -> 1 must land in gen 2's
+    journal and resolve through the fold, giving one global cluster 1
+    for all eight documents."""
+    rows = [
+        (1, _variant((30, "qa"), (62, "qz1"))),
+        (2, _variant((30, "qa"))),
+        (3, _variant((40, "qb"))),
+        (4, _variant((40, "qb"), (62, "qz4"))),
+        # comp C: TWO interior changes so J(10, 5) = 54/66 < 0.9 (gen 1
+        # must NOT absorb it) but J(20, 5) = 57/63 >= 0.9 (gen 2 does)
+        (5, _variant((50, "qc"), (52, "qc2"))),
+        (6, _variant((50, "qc"), (52, "qc2"), (62, "qz6"))),
+        # gen 1 bridge (10 % 20 == 10): T itself
+        (10, _variant()),
+        # gen 2 bridge (20 % 20 == 0): near 10 (one change) and near 5
+        (20, _variant((50, "qc"))),
+    ]
+    _write_docs(tmp_path, rows)
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["n_indexed"])
+        for r in REGISTRY["dedup_cluster_label_compact"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {i: (1, 8) for i in (1, 2, 3, 4, 5, 6, 10, 20)}

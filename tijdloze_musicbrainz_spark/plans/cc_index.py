@@ -16,16 +16,19 @@ Storage layout (the 100 TB story):
 - ``shingles``: (doc_id, sgs) parquet — the verify payload, fetched
   by id only for blk-colliding candidate pairs.
 - ``labels``: (doc_id, cluster_id) parquet — every indexed document's
-  current component label (the component's minimum doc_id).
-- ``remaps``: (old_label, new_label) parquet — the merge journal.
-  A batch that bridges existing components does NOT rewrite the
-  O(corpus) label store; it appends the delta's labels plus the
-  handful of (old → new) label moves, and readers resolve
-  ``coalesce(remap.new_label, cluster_id)``. Periodic compaction
-  folds remap generations back into the base labels (the same
-  scheduled-maintenance role compaction plays for the other two
-  index tiers); within one generation the resolution is a single
-  broadcast-sized join.
+  component label as of the generation it was ingested (the
+  component's minimum doc_id at that time).
+- ``remaps/gen=N``: (old_label, new_label) parquet — the merge
+  journal, one generation per ingested batch. A batch that bridges
+  existing components does NOT rewrite the O(corpus) label store; it
+  appends the batch's labels plus the handful of (old → new) label
+  moves, and readers resolve labels through the remap generations IN
+  ORDER (each generation's domain is the PREVIOUS generation's
+  resolved labels — a chained fold, one broadcast-sized join per
+  generation). ``compact_label_store`` is the scheduled maintenance
+  that folds the chain back into a flat base (the same role
+  compaction plays for the other two index tiers' small files,
+  applied to the journal depth).
 
 Merge correctness: contracting every stored component to its label
 node is a connectivity-preserving homomorphism, so running
@@ -33,9 +36,16 @@ large-star/small-star (plans/dedup.py::connected_components) over
 {contracted pair endpoints} yields exactly the full-corpus
 components; and because a stored label IS the minimum doc_id of its
 subset, the minimum over merged nodes is the global component
-minimum — incremental labels are bit-identical to a from-scratch
-batch run (pinned in tests/test_cc_index.py and by the DuckDB
-recursive-CTE oracle over the whole corpus).
+minimum. A remapped-away label value can never reappear as a later
+label (components only grow, so any component containing that doc
+already has a smaller minimum), which is what makes the in-order
+remap fold exact. Net: incremental labels are bit-identical to a
+from-scratch batch run REGARDLESS of how the delta was batched — the
+same batch-count-independence contract the CDC and streaming-ingest
+tiers pin — verified by the DuckDB recursive-CTE oracle over the
+whole corpus and by tests/test_cc_index.py (including a crafted
+chained-merge corpus where generation 2 must contract through
+generation 1's remap to find the bridge).
 
 No reference twin (extension surface); the lifecycle pattern and the
 O(delta) accounting rule are shared via plans/lifecycle.py.
@@ -59,8 +69,10 @@ from .registry import register
 from .util import t
 
 # Every CC_DELTA_MOD-th document "arrives" after the base clustering —
-# the same deterministic split as the MinHash index lifecycle.
+# the same deterministic split as the MinHash index lifecycle. The
+# two-batch variant splits the arrivals further by CC_BATCH_MOD.
 CC_DELTA_MOD = 10
+CC_BATCH_MOD = 20
 CC_INDEX_BUCKETS = 16
 
 _CC_INC_ORACLE = f"""
@@ -127,15 +139,14 @@ def _pairs_of(payload: DataFrame) -> DataFrame:
     )
 
 
-def _build_and_ingest(
+def _build_base(
     spark: SparkSession, sf_dir: str, name: str
-) -> tuple[str, dict[str, str], int]:
+) -> tuple[str, dict[str, str], DataFrame, DataFrame, int]:
     """Build the base cluster store (bucketed blocks + shingle payload
-    + labels), then append the arriving batch's payload file-level.
-    Returns (blocks_table, paths, n_indexed). ``n_indexed`` follows
-    the shared accounting rule (plans/lifecycle.py): base count at
-    build + delta count at append, from DataFrames in hand — never a
-    re-scan of the store."""
+    + labels) over the non-arriving 90%. Returns (blocks_table, paths,
+    docs_all_ids, payload, n_base). ``n_base`` follows the shared
+    accounting rule (plans/lifecycle.py): counted from the DataFrame
+    in hand at build time, never by re-scanning the store."""
     import shutil  # noqa: PLC0415
 
     from .etl import SINK_ROOT  # noqa: PLC0415
@@ -156,8 +167,7 @@ def _build_and_ingest(
         "shingles": f"{SINK_ROOT}/{name}_shingles_{tag}",
         "labels": f"{SINK_ROOT}/{name}_labels_{tag}",
         "remaps": f"{SINK_ROOT}/{name}_remaps_{tag}",
-        "delta": f"{SINK_ROOT}/{name}_delta_{tag}",
-        "delta_ids": f"{SINK_ROOT}/{name}_delta_ids_{tag}",
+        "stage": f"{SINK_ROOT}/{name}_stage_{tag}",
     }
     for p in paths.values():
         shutil.rmtree(p, ignore_errors=True)
@@ -183,42 +193,51 @@ def _build_and_ingest(
         location=paths["blocks"],
     )
     base_pay.select("doc_id", "sgs").write.parquet(paths["shingles"])
-    n_base = base_ids.count()
+    return t_blocks, paths, docs_all, pay, base_ids.count()
 
-    # -- ingest: stage the arriving batch's payload ONCE, append
-    # file-level under the index's single-writer lock (the same
-    # transaction discipline as the MinHash index ingest).
-    pay.filter(F.col("doc_id") % CC_DELTA_MOD == 0).write.parquet(
-        paths["delta"]
-    )
-    delta_ids = docs_all.filter(F.col("doc_id") % CC_DELTA_MOD == 0)
-    delta_ids.write.parquet(paths["delta_ids"])
-    staged = spark.read.schema("doc_id bigint, blk string, sgs array<string>").parquet(
-        paths["delta"]
-    )
-    with exclusive_append(paths["blocks"], owner=name):
+
+def _ingest_batch(
+    spark: SparkSession,
+    t_blocks: str,
+    paths: dict[str, str],
+    docs_all: DataFrame,
+    pay: DataFrame,
+    batch_pred,
+    gen: int,
+) -> int:
+    """Stage the arriving batch's payload ONCE (both the file-level
+    append and the later probe read the staged files), append blocks +
+    shingle payload under the index's single-writer lock, and return
+    the batch's doc count (the O(delta) accounting term)."""
+    pay.filter(batch_pred).write.parquet(f"{paths['stage']}/delta_{gen}")
+    batch_ids = docs_all.filter(batch_pred)
+    batch_ids.write.parquet(f"{paths['stage']}/delta_ids_{gen}")
+    staged = spark.read.schema(
+        "doc_id bigint, blk string, sgs array<string>"
+    ).parquet(f"{paths['stage']}/delta_{gen}")
+    with exclusive_append(paths["blocks"], owner=f"cc_gen{gen}"):
         staged.select("blk", "doc_id").write.mode("append").format(
             "parquet"
         ).bucketBy(CC_INDEX_BUCKETS, "blk").sortBy("blk").saveAsTable(t_blocks)
         staged.select("doc_id", "sgs").write.mode("append").parquet(
             paths["shingles"]
         )
-        n_delta = delta_ids.count()
-    return t_blocks, paths, n_base + n_delta
+        n_batch = batch_ids.count()
+    return n_batch
 
 
 def _probe_pairs(
-    spark: SparkSession, t_blocks: str, paths: dict[str, str]
+    spark: SparkSession, t_blocks: str, paths: dict[str, str], gen: int
 ) -> DataFrame:
-    """Verified near-dup pairs with at least one arriving endpoint:
-    the staged delta blocks (signed once at ingest) merge-join the
-    bucketed store in place — no shuffle of the index — and exact
-    Jaccard over by-id shingle fetches verifies blk collisions. Pure
-    plan construction (the bucketed-scan + sort-merge shape is pinned
-    in tests/test_cc_index.py)."""
+    """Verified near-dup pairs with at least one generation-``gen``
+    endpoint: the staged delta blocks (signed once at ingest)
+    merge-join the bucketed store in place — no shuffle of the index —
+    and exact Jaccard over by-id shingle fetches verifies blk
+    collisions. Pure plan construction (the bucketed-scan + sort-merge
+    shape is pinned in tests/test_cc_index.py)."""
     probes = (
         spark.read.schema("doc_id bigint, blk string")
-        .parquet(paths["delta"])
+        .parquet(f"{paths['stage']}/delta_{gen}")
         .select(F.col("doc_id").alias("probe_id"), "blk")
     )
     stored_blocks = spark.table(t_blocks)
@@ -248,25 +267,48 @@ def _probe_pairs(
     )
 
 
-def _merge_and_resolve(
-    spark: SparkSession, t_blocks: str, paths: dict[str, str], n_indexed: int
+def _resolve_labels(
+    spark: SparkSession, paths: dict[str, str], gens: list[int]
 ) -> DataFrame:
-    """Pair the arrivals against the stored block index (one
-    co-located merge join), run connected components on the CONTRACTED
-    graph (stored endpoints replaced by their stored labels — node
-    count is O(delta-touched components), not O(corpus)), append the
-    delta's labels plus the (old → new) remap journal, and return the
-    resolved label set read back from the UPDATED store."""
-    new_pairs = _probe_pairs(spark, t_blocks, paths)
+    """Current labels = stored labels folded through the remap
+    generations IN ORDER (each generation's domain is the previous
+    generation's resolved labels). One broadcast-sized join per
+    generation — compact_label_store bounds the chain depth."""
+    cur = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(
+        paths["labels"]
+    )
+    for g in gens:
+        rm = spark.read.schema("old_label bigint, new_label bigint").parquet(
+            f"{paths['remaps']}/gen={g}"
+        )
+        cur = cur.join(
+            F.broadcast(rm), cur.cluster_id == rm.old_label, "left"
+        ).select(
+            "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+        )
+    return cur
 
-    # -- contract: stored endpoints become their stored labels ---------
-    stored_labels = spark.read.schema(
-        "doc_id bigint, cluster_id bigint"
-    ).parquet(paths["labels"])
-    la = stored_labels.select(
+
+def _merge_generation(
+    spark: SparkSession,
+    t_blocks: str,
+    paths: dict[str, str],
+    gens_done: list[int],
+    gen: int,
+) -> None:
+    """Merge generation ``gen`` into the store: pair its arrivals
+    against the stored block index, contract stored endpoints to their
+    CURRENT labels (resolved through the generations already merged —
+    using a stale label here would miss bridges through previously
+    merged components), run connected components on the contracted
+    graph, append the batch's labels, and journal the (old → new)
+    label moves as this generation's remap."""
+    new_pairs = _probe_pairs(spark, t_blocks, paths, gen)
+    current = _resolve_labels(spark, paths, gens_done)
+    la = current.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("lbl_a")
     )
-    lb = stored_labels.select(
+    lb = current.select(
         F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lbl_b")
     )
     contracted = (
@@ -279,31 +321,30 @@ def _merge_and_resolve(
     )
     merged, _ = connected_components(contracted)
 
-    # -- update the store: delta labels append + remap journal ---------
-    delta_ids = spark.read.schema("doc_id bigint").parquet(paths["delta_ids"])
-    delta_ids.join(merged, delta_ids.doc_id == merged.id, "left").select(
+    batch_ids = spark.read.schema("doc_id bigint").parquet(
+        f"{paths['stage']}/delta_ids_{gen}"
+    )
+    batch_ids.join(merged, batch_ids.doc_id == merged.id, "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
     ).write.mode("append").parquet(paths["labels"])
-    merged.filter(
-        (F.col("id") != F.col("label")) & (F.col("id") % CC_DELTA_MOD != 0)
+    # Journal every moved CONTRACTED LABEL — i.e. every merged node
+    # except the current batch's own ids (those get label rows above,
+    # not remap rows). Earlier generations' delta ids ARE stored
+    # labels by now and must stay remappable, so the exclusion is
+    # membership in THIS batch, not an id-shape test (a % CC_DELTA_MOD
+    # filter here once dropped the gen-2 remap of a gen-1 label and
+    # broke batch-count independence).
+    merged.filter(F.col("id") != F.col("label")).join(
+        batch_ids, merged.id == batch_ids.doc_id, "left_anti"
     ).select(
         F.col("id").alias("old_label"), F.col("label").alias("new_label")
-    ).write.parquet(paths["remaps"])
+    ).write.parquet(f"{paths['remaps']}/gen={gen}")
 
-    # -- resolve: current labels = stored labels through the remap -----
-    labels = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(
-        paths["labels"]
-    )
-    remaps = spark.read.schema("old_label bigint, new_label bigint").parquet(
-        paths["remaps"]
-    )
-    return labels.join(
-        F.broadcast(remaps),
-        labels.cluster_id == remaps.old_label,
-        "left",
-    ).select(
+
+def _with_accounting(labels: DataFrame, n_indexed: int) -> DataFrame:
+    return labels.select(
         "doc_id",
-        F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+        "cluster_id",
         F.lit(n_indexed).cast("long").alias("n_indexed"),
     )
 
@@ -325,21 +366,86 @@ def _merge_and_resolve(
     "never the corpus), and the label store is updated by appending "
     "the delta's labels plus an (old_label -> new_label) REMAP "
     "journal instead of rewriting O(corpus) labels; readers resolve "
-    "through one broadcast join, and periodic compaction folds remap "
-    "generations into the base (the other tiers' small-file "
-    "counterweight, applied to labels). Contraction is a "
-    "connectivity-preserving homomorphism and stored labels are "
-    "component minima, so incremental labels are bit-identical to a "
-    "from-scratch batch run: the oracle is the SAME full-corpus "
-    "recursive-CTE closure as dedup_cluster_components, plus the "
-    "incrementally-maintained n_indexed accounting column "
-    "(plans/lifecycle.py rule — counted from batches in hand, never "
-    "by re-scanning the store). At 100 TB this replaces re-clustering "
-    "history+delta (O(corpus) CC per batch, the published CC-over-"
-    "MapReduce cost) with an O(delta) probe + a near-constant merge: "
+    "through one broadcast join per journal generation, and "
+    "dedup_cluster_label_compact is the scheduled maintenance that "
+    "folds the chain. Contraction is a connectivity-preserving "
+    "homomorphism and stored labels are component minima, so "
+    "incremental labels are bit-identical to a from-scratch batch "
+    "run: the oracle is the SAME full-corpus recursive-CTE closure as "
+    "dedup_cluster_components, plus the incrementally-maintained "
+    "n_indexed accounting column (plans/lifecycle.py rule — counted "
+    "from batches in hand, never by re-scanning the store). At "
+    "100 TB this replaces re-clustering history+delta (O(corpus) CC "
+    "per batch) with an O(delta) probe + a near-constant merge: "
     "relabel cascades touch only bridged components. No reference "
     "twin (extension surface).",
 )
 def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t_blocks, paths, n_indexed = _build_and_ingest(spark, sf_dir, "cc_index")
-    return _merge_and_resolve(spark, t_blocks, paths, n_indexed)
+    t_blocks, paths, docs_all, pay, n_base = _build_base(
+        spark, sf_dir, "cc_index"
+    )
+    n_delta = _ingest_batch(
+        spark,
+        t_blocks,
+        paths,
+        docs_all,
+        pay,
+        F.col("doc_id") % CC_DELTA_MOD == 0,
+        gen=1,
+    )
+    _merge_generation(spark, t_blocks, paths, gens_done=[], gen=1)
+    return _with_accounting(
+        _resolve_labels(spark, paths, [1]), n_base + n_delta
+    )
+
+
+@register(
+    "dedup_cluster_label_compact",
+    survey_ids=(),
+    oracle=_CC_INC_ORACLE,
+    doc="MULTI-BATCH ingest + LABEL-STORE COMPACTION for the "
+    "incremental clustering lifecycle: the arrivals land as TWO "
+    "generations (doc_id % 20 == 10, then % 20 == 0), each merged "
+    "against the store with the contracted-graph step of "
+    "dedup_cluster_incremental — generation 2 MUST contract through "
+    "generation 1's remap (a stale label would miss bridges through "
+    "components generation 1 already merged; the chained-merge "
+    "corpus in tests/test_cc_index.py fails exactly there). Reads "
+    "then resolve labels through the remap chain in generation "
+    "order, and the compactor folds the chain: one rewrite of the "
+    "label store with every remap applied, after which resolution is "
+    "a bare read again (the journal-depth analog of the other tiers' "
+    "small-file compaction; results pinned identical, layout not). "
+    "The oracle is the SAME full-corpus closure as the single-batch "
+    "operator — the final state must be INDEPENDENT of how the "
+    "arrivals were batched, the equivalence contract the CDC and "
+    "streaming-ingest tiers pin — and the returned labels are read "
+    "back from the COMPACTED store, so the driver hash proves the "
+    "fold changed nothing. No reference twin (extension surface).",
+)
+def dedup_cluster_label_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+
+    t_blocks, paths, docs_all, pay, n_base = _build_base(
+        spark, sf_dir, "cc_compact"
+    )
+    n_total = n_base
+    gens: list[int] = []
+    for gen, batch_pred in (
+        (1, F.col("doc_id") % CC_BATCH_MOD == CC_DELTA_MOD),
+        (2, F.col("doc_id") % CC_BATCH_MOD == 0),
+    ):
+        n_total += _ingest_batch(
+            spark, t_blocks, paths, docs_all, pay, batch_pred, gen
+        )
+        _merge_generation(spark, t_blocks, paths, gens_done=gens, gen=gen)
+        gens.append(gen)
+
+    # ── COMPACT: fold the remap chain into a flat label store ────────
+    compacted = f"{paths['labels']}_compacted"
+    shutil.rmtree(compacted, ignore_errors=True)
+    _resolve_labels(spark, paths, gens).write.parquet(compacted)
+    flat = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(
+        compacted
+    )
+    return _with_accounting(flat, n_total)
