@@ -176,3 +176,27 @@ def test_chained_merge_contracts_through_earlier_generation(spark, tmp_path):
         .collect()
     }
     assert out == {i: (1, 8) for i in (1, 2, 3, 4, 5, 6, 10, 20)}
+
+
+def test_streaming_restart_labels_equal_batch_clustering(spark, sf_dir):
+    """The cluster tier's restart-under-failure proof: the builder
+    injects a torn commit after micro-batch 1's merge generation and
+    restarts from the checkpoint (raising if the failure does not
+    fire); the final resolved labels must equal the from-scratch batch
+    clustering — the crash and replay changed nothing."""
+    restart = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["streaming_cluster_ingest_restart"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    batch = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_cluster_components"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert restart == batch
+    assert any(k != v for k, v in restart.items()), (
+        "corpus produced no non-trivial clusters — test is vacuous"
+    )

@@ -64,7 +64,7 @@ from .dedup import (
     shingles_col,
     words_col,
 )
-from .lifecycle import sf_tag
+from .lifecycle import index_root, sf_tag
 from .registry import register
 from .util import t
 
@@ -449,3 +449,204 @@ def dedup_cluster_label_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted
     )
     return _with_accounting(flat, n_total)
+
+
+@register(
+    "streaming_cluster_ingest_restart",
+    survey_ids=(),
+    oracle=_CC_INC_ORACLE,
+    doc="Streaming cluster-label ingest under FAILURE + RESTART — the "
+    "exactly-once proof for the CLUSTER tier's streaming maintainer, "
+    "completing the symmetry with streaming_ann_ingest_restart and "
+    "streaming_minhash_ingest_restart: the arrivals land as a staged "
+    "3-file stream (maxFilesPerTrigger=1 -> 3 micro-batches), and "
+    "each micro-batch runs one full MERGE GENERATION — probe its "
+    "blocks against everything stored so far, contract endpoints "
+    "through the remap chain of the generations already merged, run "
+    "connected components on the contracted graph, and write blocks/"
+    "shingles/labels into the batch's OWN ingest_batch=<id> subtree "
+    "plus remaps/gen=<id> — every write an idempotent OVERWRITE of a "
+    "deterministic path, the form a replayed batch can repeat without "
+    "duplicating rows or journal entries. The failure is INJECTED at "
+    "the worst point (batch 1's generation fully merged, offset NOT "
+    "committed — a torn commit); a new writeStream restarts from the "
+    "same checkpoint, batch 1 replays to byte-identical subtrees "
+    "(its inputs — prior subtrees and journals — are untouched by "
+    "the crash), and batch 2 drains. Final labels resolve through "
+    "the remap chain in generation order and are hash-checked "
+    "against the SAME full-corpus recursive-CTE oracle as the batch "
+    "operators: equality proves no document lost or relabeled "
+    "wrongly across the crash, and that the final state is "
+    "independent of the micro-batching AND of the failure. At "
+    "100 TB this is what makes continuous dedup-clustering operable: "
+    "a driver loss costs one re-merged micro-batch, never a "
+    "re-clustering of history (extension surface — no reference "
+    "twin).",
+)
+def streaming_cluster_ingest_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..streaming.restart_harness import (  # noqa: PLC0415
+        ingest_with_injected_restart,
+    )
+
+    root = index_root(sf_dir, "cc_stream")
+    docs_all = t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words_col().alias("ws"))
+    )
+    pay = _payload(docs)
+
+    # -- base build, under the same ingest_batch=<id> subtree layout
+    # as the streamed batches (one consistent partition scheme; the
+    # streaming variant trades the batch operator's bucketed blocks
+    # for per-batch subtrees because idempotent replay needs a
+    # deterministic OVERWRITE unit, which a bucketed append is not).
+    base_pay = pay.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
+    base_labels, _ = connected_components(
+        _pairs_of(base_pay).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    )
+    base_ids = docs_all.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
+    base_ids.join(
+        base_labels, base_ids.doc_id == base_labels.id, "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    ).write.parquet(f"{root}/labels/ingest_batch=base")
+    base_pay.select("blk", "doc_id").write.parquet(
+        f"{root}/blocks/ingest_batch=base"
+    )
+    base_pay.select("doc_id", "sgs").write.parquet(
+        f"{root}/shingles/ingest_batch=base"
+    )
+    n_base = base_ids.count()
+
+    # -- stage the arrivals as 3 files -> 3 micro-batches. The staged
+    # rows are the SIGNED payload (blk + shingles computed once here);
+    # null-text arrivals carry null blk/sgs — they pair with nothing
+    # but still receive their self-label rows.
+    delta_ids = docs_all.filter(F.col("doc_id") % CC_DELTA_MOD == 0)
+    staged = delta_ids.join(pay, "doc_id", "left")
+    n_delta = delta_ids.count()
+    stage = f"{root}/arrivals"
+    staged.repartition(3).write.parquet(stage)
+
+    def _labels_through(gens: list[int]) -> DataFrame:
+        allowed = ["base"] + [f"b{g}" for g in gens]
+        cur = (
+            spark.read.parquet(f"{root}/labels")
+            .filter(F.col("ingest_batch").isin(allowed))
+            .select("doc_id", "cluster_id")
+        )
+        for g in gens:
+            rm = spark.read.schema(
+                "old_label bigint, new_label bigint"
+            ).parquet(f"{root}/remaps/gen={g}")
+            cur = cur.join(
+                F.broadcast(rm), cur.cluster_id == rm.old_label, "left"
+            ).select(
+                "doc_id",
+                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+            )
+        return cur
+
+    def ingest(b: DataFrame, bid: int) -> None:
+        # Idempotent generation merge: every write overwrites this
+        # batch's own deterministic subtree; the inputs (earlier
+        # subtrees + journals) are never touched, so a replay after a
+        # torn commit recomputes byte-identical outputs.
+        signed = b.filter(F.col("blk").isNotNull())
+        with exclusive_append(root, owner=f"cc_stream_b{bid}"):
+            signed.select("blk", "doc_id").write.mode("overwrite").parquet(
+                f"{root}/blocks/ingest_batch=b{bid}"
+            )
+            signed.select("doc_id", "sgs").write.mode("overwrite").parquet(
+                f"{root}/shingles/ingest_batch=b{bid}"
+            )
+            gens_done = list(range(bid))
+            stored_blocks = spark.read.parquet(f"{root}/blocks").select(
+                "blk", "doc_id"
+            )
+            probes = signed.select(
+                F.col("doc_id").alias("probe_id"), "blk"
+            )
+            cand = (
+                probes.join(stored_blocks, "blk")
+                .filter(F.col("probe_id") != F.col("doc_id"))
+                .select(
+                    F.least("probe_id", "doc_id").alias("doc_a"),
+                    F.greatest("probe_id", "doc_id").alias("doc_b"),
+                )
+                .distinct()
+            )
+            stored_sh = spark.read.parquet(f"{root}/shingles").select(
+                "doc_id", "sgs"
+            )
+            sh_a = stored_sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a")
+            )
+            sh_b = stored_sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b")
+            )
+            new_pairs = (
+                cand.join(sh_a, "doc_a")
+                .join(sh_b, "doc_b")
+                .filter(jaccard(F.col("sgs_a"), F.col("sgs_b")) >= 0.9)
+                .select("doc_a", "doc_b")
+            )
+            current = _labels_through(gens_done)
+            la = current.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_id").alias("lbl_a"),
+            )
+            lb = current.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("cluster_id").alias("lbl_b"),
+            )
+            contracted = (
+                new_pairs.join(la, "doc_a", "left")
+                .join(lb, "doc_b", "left")
+                .select(
+                    F.coalesce("lbl_a", "doc_a").alias("u"),
+                    F.coalesce("lbl_b", "doc_b").alias("v"),
+                )
+            )
+            merged, _ = connected_components(contracted)
+            batch_ids = b.select("doc_id")
+            batch_ids.join(
+                merged, batch_ids.doc_id == merged.id, "left"
+            ).select(
+                "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+            ).write.mode("overwrite").parquet(
+                f"{root}/labels/ingest_batch=b{bid}"
+            )
+            merged.filter(F.col("id") != F.col("label")).join(
+                batch_ids, merged.id == batch_ids.doc_id, "left_anti"
+            ).select(
+                F.col("id").alias("old_label"),
+                F.col("label").alias("new_label"),
+            ).write.mode("overwrite").parquet(f"{root}/remaps/gen={bid}")
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("blk", StringType()),
+            StructField("sgs", ArrayType(StringType())),
+        ]
+    )
+    ingest_with_injected_restart(spark, schema, stage, f"{root}/ckpt", ingest)
+
+    return _with_accounting(
+        _labels_through([0, 1, 2]), n_base + n_delta
+    )
