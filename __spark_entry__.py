@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 # Python-datasource closures that reference this package unpickle on
 # workers even when the consuming process started from a foreign cwd.
 # On a real cluster the same contract is `spark-submit --py-files`.
+# DELIBERATE duplicate of session.export_worker_pythonpath: this
+# module must not import the package at module scope (a package-level
+# error would zero the whole driver contract — the round-1 failure
+# class). Keep the two in sync.
 _REPO_ROOT = _os.path.dirname(_os.path.abspath(__file__))
 if _REPO_ROOT not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
     _os.environ["PYTHONPATH"] = (

@@ -200,3 +200,19 @@ def test_streaming_restart_labels_equal_batch_clustering(spark, sf_dir):
     assert any(k != v for k, v in restart.items()), (
         "corpus produced no non-trivial clusters — test is vacuous"
     )
+
+
+def test_streaming_restart_rejects_too_small_corpus(spark, tmp_path):
+    """The restart proof needs >= 2 staged micro-batch files (the torn
+    commit fires after batch 1); a tiny corpus stages fewer (Spark
+    writes no file for an empty repartition slice) and must fail with
+    the loud staging error, not a vacuous 'failure did not fire' deep
+    in the harness or a missing remaps/gen path at resolve."""
+    import pytest
+
+    rows = [(1, _variant((30, "qa"))), (10, _variant())]
+    _write_docs(tmp_path, rows)
+    with pytest.raises(ValueError, match="staged arrival file"):
+        REGISTRY["streaming_cluster_ingest_restart"].builder(
+            spark, str(tmp_path)
+        ).collect()

@@ -226,32 +226,24 @@ def _ingest_batch(
     return n_batch
 
 
-def _probe_pairs(
-    spark: SparkSession, t_blocks: str, paths: dict[str, str], gen: int
+def _verified_pairs(
+    probes: DataFrame, stored_blocks: DataFrame, stored_sh: DataFrame
 ) -> DataFrame:
-    """Verified near-dup pairs with at least one generation-``gen``
-    endpoint: the staged delta blocks (signed once at ingest)
-    merge-join the bucketed store in place — no shuffle of the index —
-    and exact Jaccard over by-id shingle fetches verifies blk
-    collisions. Pure plan construction (the bucketed-scan + sort-merge
-    shape is pinned in tests/test_cc_index.py)."""
-    probes = (
-        spark.read.schema("doc_id bigint, blk string")
-        .parquet(f"{paths['stage']}/delta_{gen}")
-        .select(F.col("doc_id").alias("probe_id"), "blk")
-    )
-    stored_blocks = spark.table(t_blocks)
+    """Verified near-dup pairs with at least one probe endpoint, from
+    whatever store the caller reads: candidates = one equi-join of
+    probe (probe_id, blk) rows against the stored (blk, doc_id) index,
+    verification = exact Jaccard over (doc_id, sgs) shingle sets
+    fetched by id. Shared by the batch path (bucketed table + merge
+    hint) and the streaming path (ingest_batch subtrees) so the merge
+    semantics live once."""
     cand = (
-        probes.join(stored_blocks.hint("merge"), "blk")
+        probes.join(stored_blocks, "blk")
         .filter(F.col("probe_id") != F.col("doc_id"))
         .select(
             F.least("probe_id", "doc_id").alias("doc_a"),
             F.greatest("probe_id", "doc_id").alias("doc_b"),
         )
         .distinct()
-    )
-    stored_sh = spark.read.schema("doc_id bigint, sgs array<string>").parquet(
-        paths["shingles"]
     )
     sh_a = stored_sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a")
@@ -265,6 +257,24 @@ def _probe_pairs(
         .filter(jaccard(F.col("sgs_a"), F.col("sgs_b")) >= 0.9)
         .select("doc_a", "doc_b")
     )
+
+
+def _probe_pairs(
+    spark: SparkSession, t_blocks: str, paths: dict[str, str], gen: int
+) -> DataFrame:
+    """Batch-path probe: the staged delta blocks (signed once at
+    ingest) merge-join the bucketed store in place — no shuffle of the
+    index. Pure plan construction (the bucketed-scan + sort-merge
+    shape is pinned in tests/test_cc_index.py)."""
+    probes = (
+        spark.read.schema("doc_id bigint, blk string")
+        .parquet(f"{paths['stage']}/delta_{gen}")
+        .select(F.col("doc_id").alias("probe_id"), "blk")
+    )
+    stored_sh = spark.read.schema("doc_id bigint, sgs array<string>").parquet(
+        paths["shingles"]
+    )
+    return _verified_pairs(probes, spark.table(t_blocks).hint("merge"), stored_sh)
 
 
 def _resolve_labels(
@@ -305,10 +315,31 @@ def _merge_generation(
     label moves as this generation's remap."""
     new_pairs = _probe_pairs(spark, t_blocks, paths, gen)
     current = _resolve_labels(spark, paths, gens_done)
-    la = current.select(
+    merged = _contract_and_merge(new_pairs, current)
+
+    batch_ids = spark.read.schema("doc_id bigint").parquet(
+        f"{paths['stage']}/delta_ids_{gen}"
+    )
+    batch_ids.join(merged, batch_ids.doc_id == merged.id, "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    ).write.mode("append").parquet(paths["labels"])
+    _journal_moves(merged, batch_ids).write.parquet(
+        f"{paths['remaps']}/gen={gen}"
+    )
+
+
+def _contract_and_merge(
+    new_pairs: DataFrame, current_labels: DataFrame
+) -> DataFrame:
+    """Contract each pair endpoint to its CURRENT label (endpoints
+    without a stored label — the arriving batch — stay themselves) and
+    run connected components over the contracted graph. Returns the
+    merged (id, label) node labels; node count is O(delta-touched
+    components), never the corpus."""
+    la = current_labels.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("lbl_a")
     )
-    lb = current.select(
+    lb = current_labels.select(
         F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("lbl_b")
     )
     contracted = (
@@ -320,25 +351,24 @@ def _merge_generation(
         )
     )
     merged, _ = connected_components(contracted)
+    return merged
 
-    batch_ids = spark.read.schema("doc_id bigint").parquet(
-        f"{paths['stage']}/delta_ids_{gen}"
+
+def _journal_moves(merged: DataFrame, batch_ids: DataFrame) -> DataFrame:
+    """This generation's remap rows: every moved CONTRACTED LABEL —
+    i.e. every merged node except the current batch's own ids (those
+    get label rows, not remap rows). Earlier generations' delta ids
+    ARE stored labels by now and must stay remappable, so the
+    exclusion is membership in THIS batch, not an id-shape test (a
+    % CC_DELTA_MOD filter here once dropped the gen-2 remap of a
+    gen-1 label and broke batch-count independence)."""
+    return (
+        merged.filter(F.col("id") != F.col("label"))
+        .join(batch_ids, merged.id == batch_ids.doc_id, "left_anti")
+        .select(
+            F.col("id").alias("old_label"), F.col("label").alias("new_label")
+        )
     )
-    batch_ids.join(merged, batch_ids.doc_id == merged.id, "left").select(
-        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
-    ).write.mode("append").parquet(paths["labels"])
-    # Journal every moved CONTRACTED LABEL — i.e. every merged node
-    # except the current batch's own ids (those get label rows above,
-    # not remap rows). Earlier generations' delta ids ARE stored
-    # labels by now and must stay remappable, so the exclusion is
-    # membership in THIS batch, not an id-shape test (a % CC_DELTA_MOD
-    # filter here once dropped the gen-2 remap of a gen-1 label and
-    # broke batch-count independence).
-    merged.filter(F.col("id") != F.col("label")).join(
-        batch_ids, merged.id == batch_ids.doc_id, "left_anti"
-    ).select(
-        F.col("id").alias("old_label"), F.col("label").alias("new_label")
-    ).write.parquet(f"{paths['remaps']}/gen={gen}")
 
 
 def _with_accounting(labels: DataFrame, n_indexed: int) -> DataFrame:
@@ -541,6 +571,24 @@ def streaming_cluster_ingest_restart(
     n_delta = delta_ids.count()
     stage = f"{root}/arrivals"
     staged.repartition(3).write.parquet(stage)
+    # A proof needs >= 2 actual micro-batches (the torn commit fires
+    # after batch 1); repartition(3) writes no file for an EMPTY
+    # partition, so a tiny corpus can stage fewer than 3 files — fail
+    # loudly instead of "injected failure did not fire" deep in the
+    # harness, and derive the real generation list from the journal
+    # afterwards rather than assuming [0, 1, 2].
+    import os  # noqa: PLC0415
+
+    n_files = len(
+        [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    )
+    if n_files < 2:
+        raise ValueError(
+            f"streaming_cluster_ingest_restart: only {n_files} staged "
+            f"arrival file(s) at {stage} — the restart proof needs >= 2 "
+            "micro-batches (corpus too small; the batch operators in "
+            "this module handle tiny corpora)"
+        )
 
     def _labels_through(gens: list[int]) -> DataFrame:
         allowed = ["base"] + [f"b{g}" for g in gens]
@@ -574,55 +622,19 @@ def streaming_cluster_ingest_restart(
             signed.select("doc_id", "sgs").write.mode("overwrite").parquet(
                 f"{root}/shingles/ingest_batch=b{bid}"
             )
-            gens_done = list(range(bid))
-            stored_blocks = spark.read.parquet(f"{root}/blocks").select(
-                "blk", "doc_id"
+            # Same merge semantics as the batch path — shared helpers,
+            # only the store IO differs (subtree reads vs bucketed
+            # table; subtree overwrite vs append).
+            new_pairs = _verified_pairs(
+                signed.select(F.col("doc_id").alias("probe_id"), "blk"),
+                spark.read.parquet(f"{root}/blocks").select("blk", "doc_id"),
+                spark.read.parquet(f"{root}/shingles").select(
+                    "doc_id", "sgs"
+                ),
             )
-            probes = signed.select(
-                F.col("doc_id").alias("probe_id"), "blk"
+            merged = _contract_and_merge(
+                new_pairs, _labels_through(list(range(bid)))
             )
-            cand = (
-                probes.join(stored_blocks, "blk")
-                .filter(F.col("probe_id") != F.col("doc_id"))
-                .select(
-                    F.least("probe_id", "doc_id").alias("doc_a"),
-                    F.greatest("probe_id", "doc_id").alias("doc_b"),
-                )
-                .distinct()
-            )
-            stored_sh = spark.read.parquet(f"{root}/shingles").select(
-                "doc_id", "sgs"
-            )
-            sh_a = stored_sh.select(
-                F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a")
-            )
-            sh_b = stored_sh.select(
-                F.col("doc_id").alias("doc_b"), F.col("sgs").alias("sgs_b")
-            )
-            new_pairs = (
-                cand.join(sh_a, "doc_a")
-                .join(sh_b, "doc_b")
-                .filter(jaccard(F.col("sgs_a"), F.col("sgs_b")) >= 0.9)
-                .select("doc_a", "doc_b")
-            )
-            current = _labels_through(gens_done)
-            la = current.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("cluster_id").alias("lbl_a"),
-            )
-            lb = current.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("cluster_id").alias("lbl_b"),
-            )
-            contracted = (
-                new_pairs.join(la, "doc_a", "left")
-                .join(lb, "doc_b", "left")
-                .select(
-                    F.coalesce("lbl_a", "doc_a").alias("u"),
-                    F.coalesce("lbl_b", "doc_b").alias("v"),
-                )
-            )
-            merged, _ = connected_components(contracted)
             batch_ids = b.select("doc_id")
             batch_ids.join(
                 merged, batch_ids.doc_id == merged.id, "left"
@@ -631,12 +643,9 @@ def streaming_cluster_ingest_restart(
             ).write.mode("overwrite").parquet(
                 f"{root}/labels/ingest_batch=b{bid}"
             )
-            merged.filter(F.col("id") != F.col("label")).join(
-                batch_ids, merged.id == batch_ids.doc_id, "left_anti"
-            ).select(
-                F.col("id").alias("old_label"),
-                F.col("label").alias("new_label"),
-            ).write.mode("overwrite").parquet(f"{root}/remaps/gen={bid}")
+            _journal_moves(merged, batch_ids).write.mode("overwrite").parquet(
+                f"{root}/remaps/gen={bid}"
+            )
 
     schema = StructType(
         [
@@ -647,6 +656,9 @@ def streaming_cluster_ingest_restart(
     )
     ingest_with_injected_restart(spark, schema, stage, f"{root}/ckpt", ingest)
 
-    return _with_accounting(
-        _labels_through([0, 1, 2]), n_base + n_delta
+    gens = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{root}/remaps")
+        if d.startswith("gen=")
     )
+    return _with_accounting(_labels_through(gens), n_base + n_delta)

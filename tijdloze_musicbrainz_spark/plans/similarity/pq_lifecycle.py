@@ -722,6 +722,30 @@ def _pq_query_stored(
 # The append itself is still proven through the value hash: the top-k
 # rows come from the STORED pruned read, so a lost or duplicated
 # ingest file changes result rows, not just a counter.
+#
+# ONE deliberate exception: the restart PROOF re-derives the count
+# from the store (below) — there, structural loss detection is the
+# whole point of the query, and a source-side count would stay green
+# even if a replayed batch silently failed to land.
+
+
+def _pq_n_appended_stored(stored: DataFrame) -> int:
+    """STORE-DERIVED delta count (distinct appended vector ids read
+    back from the code lists — PQ_M code rows per vector, hence the
+    distinct). Used ONLY by streaming_ann_ingest_restart: if the
+    crash/replay lost an ingest file, this counter diverges from the
+    oracle's delta count and fails the hash STRUCTURALLY, independent
+    of whether any lost vector would have surfaced in a top-k row.
+    The restart query is excluded from the bench headliners, so the
+    extra full read of the (toy-scale) lists costs no timing evidence;
+    at 100 TB the same structural check is a manifest row-count
+    reconciliation, not a scan."""
+    return (
+        stored.filter(F.col("match_id") >= PQ_APPEND_OFF)
+        .select("match_id")
+        .distinct()
+        .count()
+    )
 
 
 @register(
@@ -1017,7 +1041,6 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents.write.parquet(f"{root}/cents")
 
     delta = _pq_delta(base).select("vec_id", "v")
-    n_appended = delta.count()
     stage = f"{root}/arrivals"
     delta.repartition(3).write.parquet(stage)
 
@@ -1059,7 +1082,10 @@ def streaming_ann_ingest_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = base.select("vec_id", "v").unionByName(delta)
-    topk, _, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    topk, stored, _ = _pq_query_stored(spark, base, subs, root, corpus)
+    # STORE-derived on purpose (the one exception to the incremental
+    # accounting rule): losing a replayed ingest file must fail the
+    # hash structurally — see _pq_n_appended_stored.
     return topk.withColumn(
-        "n_appended", F.lit(n_appended).cast("long")
+        "n_appended", F.lit(_pq_n_appended_stored(stored)).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")

@@ -39,7 +39,12 @@ def export_worker_pythonpath() -> None:
     driver started from a foreign cwd can plan a mapInPandas closure
     the workers then fail to unpickle (``ModuleNotFoundError``). Must
     run BEFORE the JVM starts; on a real cluster the equivalent is
-    ``spark-submit --py-files`` / shipping the package archive."""
+    ``spark-submit --py-files`` / shipping the package archive.
+
+    ``__spark_entry__`` carries a DELIBERATE inline copy of this logic
+    (it cannot import the package at module scope — a package-level
+    error would zero the whole driver contract). Keep the two in
+    sync."""
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo_root not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
         os.environ["PYTHONPATH"] = (
