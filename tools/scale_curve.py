@@ -297,6 +297,22 @@ QUERIES = (
         "replica-local (same argument as dedup_cluster_components), "
         "so every stage and the answer grow m-linearly",
     ),
+    (
+        "dedup_cluster_label_compact",
+        None,
+        True,
+        "two-generation ingest + label-store compaction: each "
+        "generation's probe and contracted merge are delta-linear, "
+        "the remap-chain resolve is one broadcast join per "
+        "generation over the m-linear label store, and the "
+        "compaction fold is one m-linear rewrite of (doc_id, "
+        "cluster_id) rows — generation count is FIXED, so total work "
+        "is m-linear",
+    ),
+    # streaming_cluster_ingest_restart is NOT curved for the same
+    # reason it is not a bench headliner: its runtime is two stream
+    # startups + an injected failure around the same merge work the
+    # batch lifecycle queries already measure.
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
