@@ -285,3 +285,166 @@ def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         location=f"{SINK_ROOT}/{compacted}",
     )
     return _probe_index(spark, compacted, shingle_path, delta_path, n_indexed)
+
+
+_REFRESH_ORACLE = f"""
+WITH delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DEDUP_DELTA_MOD} = 0
+),
+q AS (
+  SELECT doc_id,
+         coalesce(length(text) >= 100 AND length(text) <= 20000
+                  AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                           AS DOUBLE) / nullif(length(text), 0) < 0.1,
+                  false) AS passes_quality
+  FROM delta
+),
+hashed AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h,
+         doc_id % {DEDUP_DELTA_MOD} = 0 AS is_delta
+  FROM documents
+),
+hstats AS (
+  SELECT h,
+         max(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) = 1 AS any_base,
+         min(CASE WHEN is_delta THEN doc_id END) AS min_delta_id
+  FROM hashed GROUP BY h
+),
+ex AS (
+  SELECT d.doc_id, (s.any_base OR s.min_delta_id < d.doc_id) AS exact_dup
+  FROM hashed d JOIN hstats s USING (h) WHERE d.is_delta
+),
+w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE text IS NOT NULL
+),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
+nd_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE (a.doc_id % {DEDUP_DELTA_MOD} = 0 OR b.doc_id % {DEDUP_DELTA_MOD} = 0)
+    AND len(list_intersect(a.sgs, b.sgs)) * 1.0
+        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
+),
+nd_rejected AS (
+  SELECT doc_b AS doc_id FROM nd_pairs WHERE doc_b % {DEDUP_DELTA_MOD} = 0
+  UNION
+  SELECT doc_a FROM nd_pairs
+  WHERE doc_a % {DEDUP_DELTA_MOD} = 0 AND doc_b % {DEDUP_DELTA_MOD} != 0
+)
+SELECT q.doc_id, q.passes_quality, ex.exact_dup,
+       (q.doc_id IN (SELECT doc_id FROM nd_rejected)) AS near_dup,
+       (q.passes_quality AND NOT ex.exact_dup
+        AND q.doc_id NOT IN (SELECT doc_id FROM nd_rejected)) AS accepted
+FROM q JOIN ex USING (doc_id)
+"""
+
+
+@register(
+    "corpus_incremental_refresh_e2e",
+    survey_ids=(),
+    oracle=_REFRESH_ORACLE,
+    doc="The composed DAILY-INCREMENT job — the capstone consumer of "
+    "the index lifecycles: an arriving batch (every 10th doc) flows "
+    "through (1) the Gopher-style quality gate (length window + "
+    "punctuation ratio, text_quality_score semantics; null text "
+    "fails), (2) exact dedup against the STORED corpus — one hash "
+    "aggregate on md5(text) (32-byte shuffle keys): a delta doc is an "
+    "exact dup iff its hash exists in the base or in a SMALLER-id "
+    "arrival (first-wins within the batch), and (3) near-dup "
+    "rejection via the persisted MinHash band index probe "
+    "(dedup_minhash_incremental's bucketed store, built + appended + "
+    "probed in this query): a delta doc is rejected iff it has a "
+    "verified >= 0.8-Jaccard neighbor in the base (any id) or a "
+    "smaller-id arrival. Emits one row per arriving doc with the "
+    "three verdicts and the final accepted flag — the accept/reject "
+    "ledger a production refresh writes. Rejection layers are "
+    "INDEPENDENT tests against the raw corpus (a doc rejected for "
+    "quality still rejects its near-dups), the simplest policy both "
+    "engines can state exactly. The near-dup leg inherits "
+    "dedup_minhash_incremental's oracle-validity argument (LSH miss "
+    "probability <= 3e-4 at s >= 0.8; planted pairs at s ~ 0.97). At "
+    "100 TB this is THE nightly job: O(delta) sign+probe against the "
+    "bucketed store, one 32-byte-keyed hash agg, quality gate "
+    "map-side — history never re-read, composing three engine tiers "
+    "in one driver-hashed result (extension surface; no reference "
+    "twin).",
+)
+def corpus_incremental_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DEDUP_DELTA_MOD == 0
+
+    # (1) quality gate over the arrivals (in hand, map-side)
+    n = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    pq = F.coalesce(
+        (n >= 100)
+        & (n <= 20000)
+        & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < 0.1),
+        F.lit(False),
+    )
+    quality = docs.filter(is_delta).select(
+        "doc_id", pq.alias("passes_quality")
+    )
+
+    # (2) exact dedup on the 32-byte hash key
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        is_delta.alias("is_delta"),
+    )
+    hstats = hashed.groupBy("h").agg(
+        F.max(F.when(~F.col("is_delta"), 1).otherwise(0)).alias("any_base_i"),
+        F.min(F.when(F.col("is_delta"), F.col("doc_id"))).alias(
+            "min_delta_id"
+        ),
+    )
+    ex = (
+        hashed.filter("is_delta")
+        .join(hstats, "h")
+        .select(
+            "doc_id",
+            (
+                (F.col("any_base_i") == 1)
+                | (F.col("min_delta_id") < F.col("doc_id"))
+            ).alias("exact_dup"),
+        )
+    )
+
+    # (3) near-dup via the persisted band index (build + append +
+    # bucket-aligned probe — the dedup_minhash_incremental machinery)
+    t_bands, sh_path, delta_path, n_idx = _build_and_ingest(
+        spark, sf_dir, "mh_refresh"
+    )
+    pairs = _probe_index(spark, t_bands, sh_path, delta_path, n_idx).select(
+        "doc_a", "doc_b"
+    )
+    d_a, d_b = (
+        F.col("doc_a") % DEDUP_DELTA_MOD == 0,
+        F.col("doc_b") % DEDUP_DELTA_MOD == 0,
+    )
+    # pair (a < b): b delta -> b rejected (partner is base or a
+    # smaller arrival either way); a delta with b base -> a rejected
+    nd_rejected = (
+        pairs.filter(d_b)
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionByName(pairs.filter(d_a & ~d_b).select(F.col("doc_a").alias("doc_id")))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+
+    return (
+        quality.join(ex, "doc_id")
+        .join(nd_rejected, "doc_id", "left")
+        .select(
+            "doc_id",
+            "passes_quality",
+            "exact_dup",
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (
+                F.col("passes_quality")
+                & ~F.col("exact_dup")
+                & F.coalesce(~F.col("near_dup"), F.lit(True))
+            ).alias("accepted"),
+        )
+    )

@@ -159,7 +159,15 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # (streaming_tumbling_window -> tail in r9: green since r2; the
     # streaming tier's official row is now the stream-stream interval
     # join, the stateful two-sided-eviction path)
-    "streaming_interval_join",
+    # (streaming_interval_join -> tail in r11 after green r9+r10 rows:
+    # the streaming tier keeps FOUR window rows — minhash restart, ANN
+    # ingest, ANN restart, cluster restart candidates rotate through —
+    # and its survey ids are empty; the slot gives the composed
+    # daily-increment job its first official row — the capstone
+    # consumer of the index lifecycles: quality gate + hash-keyed
+    # exact dedup + persisted-band-index near-dup probe in one
+    # driver-hashed accept/reject ledger)
+    "corpus_incremental_refresh_e2e",
     # -- tier 4: unique-coverage relational / fuzzy ----------------------
     "q1_pricing_summary",
     "p_disjunctive_filter",
