@@ -108,6 +108,9 @@ HEADLINERS = [
     # r11: the cluster tier's lifecycle (base clustering + bucketed
     # block probe + contracted-graph merge + remap-journal relabel)
     "dedup_cluster_incremental",
+    # r11: the composed daily-increment job (quality gate + hash-keyed
+    # exact dedup + persisted-band-index near-dup probe)
+    "corpus_incremental_refresh_e2e",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,

@@ -309,6 +309,18 @@ QUERIES = (
         "cluster_id) rows — generation count is FIXED, so total work "
         "is m-linear",
     ),
+    (
+        "corpus_incremental_refresh_e2e",
+        None,
+        True,
+        "the composed daily-increment job: quality gate is map-side "
+        "over the delta, exact dedup is one hash agg on 32-byte md5 "
+        "keys (m-linear), and the near-dup leg is the band-index "
+        "build (m-linear) + O(delta) probe — replica-salted shingles "
+        "keep candidates m-linear (dedup_minhash_incremental's "
+        "argument); the answer (one row per arriving doc) grows "
+        "exactly m-linearly",
+    ),
     # streaming_cluster_ingest_restart is NOT curved for the same
     # reason it is not a bench headliner: its runtime is two stream
     # startups + an injected failure around the same merge work the
