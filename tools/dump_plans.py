@@ -373,6 +373,16 @@ AUDITED = {
         "(ingest_batch=<id> subtree) + checkpoint replay is the "
         "exactly-once contract proved by the oracle row."
     ),
+    "corpus_incremental_refresh_e2e": (
+        "Audit (r11): the composed daily-increment job. The exact-dedup "
+        "leg is ONE hash aggregate keyed on md5(text) — 32-byte shuffle "
+        "keys regardless of document size; the quality gate is a "
+        "map-side projection over the arrivals; the near-dup leg "
+        "reuses the persisted band index (bucketed build + O(delta) "
+        "probe, built eagerly in the builder). The final plan is three "
+        "delta-sized joins — no corpus-sized shuffle anywhere in the "
+        "accept/reject ledger."
+    ),
     "dedup_cluster_incremental": (
         "Audit (r11): the plan shown is the final label RESOLVE — one "
         "scan of the label store left-joined through the broadcast "
