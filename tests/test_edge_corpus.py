@@ -56,6 +56,18 @@ EDGE_QUERIES = [
     "dedup_jaccard_prefix_filter",
     "dedup_containment_join",
     "text_inverted_index",
+    # r11: the index lifecycles on the same hostile rows — BOTH
+    # arriving docs are degenerate here (doc 0 = empty text, doc 10 =
+    # NULL text), so the probe/merge/refresh paths must handle an
+    # all-degenerate delta batch identically to the oracles (empty
+    # text pairs only with empty text; NULL text pairs with nothing
+    # but still gets its label/ledger row)
+    "dedup_minhash_incremental",
+    "dedup_minhash_index_compact",
+    "dedup_cluster_incremental",
+    "dedup_cluster_label_compact",
+    "corpus_incremental_refresh_e2e",
+    "streaming_cluster_ingest_restart",
 ]
 
 DOCS = [
