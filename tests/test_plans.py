@@ -479,3 +479,27 @@ def test_driver_materialization_sites_are_allowlisted():
         f"allowlist entries whose site no longer exists (drift): "
         f"{sorted(stale)}"
     )
+
+
+def test_quality_gate_single_sourced():
+    """Five operators apply the Gopher-style quality gate; the
+    thresholds and punctuation class live once in textops. Every
+    carrier's ORACLE must embed the same values — change a constant
+    and this test names each stale oracle (the two plain-string
+    oracles cannot interpolate, so this is their sync contract)."""
+    from tijdloze_musicbrainz_spark.plans import REGISTRY, textops
+
+    lo, hi = textops.QUALITY_MIN_CHARS, textops.QUALITY_MAX_CHARS
+    punct, cls = textops.QUALITY_MAX_PUNCT, textops.QUALITY_PUNCT_CLASS
+    carriers = {
+        "text_quality_score": f"n >= {lo} AND n <= {hi}",
+        "corpus_clean_pipeline": f"n >= {lo} AND n <= {hi}",
+        "corpus_training_dataset_e2e": f"n >= {lo} AND n <= {hi}",
+        "corpus_curation_scorecard": f"n >= {lo} AND n <= {hi}",
+        "corpus_incremental_refresh_e2e": f"length(text) >= {lo}",
+    }
+    for name, frag in carriers.items():
+        oracle = REGISTRY[name].oracle
+        assert frag in oracle, f"{name}: length window drifted"
+        assert f"< {punct}" in oracle, f"{name}: punct threshold drifted"
+        assert cls in oracle, f"{name}: punct class drifted"

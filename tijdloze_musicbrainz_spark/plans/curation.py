@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
+from .textops import (
+    QUALITY_MAX_CHARS,
+    QUALITY_MAX_PUNCT,
+    QUALITY_MIN_CHARS,
+    QUALITY_PUNCT_CLASS,
+)
 from .util import t
 
 # Denylist for the redaction pass. Word-boundary alternation works
@@ -394,15 +400,15 @@ WITH per_doc AS (
          length(text) AS n,
          len(string_split(text, ' ')) AS n_tok,
          len(list_distinct(string_split(text, ' '))) AS n_distinct,
-         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '{QUALITY_PUNCT_CLASS}', '', 'g')) AS n_punct,
          len(regexp_extract_all(text, '{DENYLIST_PATTERN}')) AS n_deny,
          md5(lower(trim(text))) AS digest
   FROM documents
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(CAST(sum(CASE WHEN n >= 100 AND n <= 20000
-                            AND CAST(n_punct AS DOUBLE) / n < 0.1
+       round(CAST(sum(CASE WHEN n >= {QUALITY_MIN_CHARS} AND n <= {QUALITY_MAX_CHARS}
+                            AND CAST(n_punct AS DOUBLE) / n < {QUALITY_MAX_PUNCT}
                            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
          AS quality_pass_rate,
        round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE) / count(*), 6)
@@ -445,10 +451,12 @@ def corpus_curation_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_deny.alias("n_deny"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("digest"),
     )
+    # the shared gate's thresholds over this query's precomputed
+    # columns (n/n_punct also feed other scorecard outputs)
     passes = (
-        (F.col("n") >= 100)
-        & (F.col("n") <= 20000)
-        & (F.col("n_punct").cast("double") / F.col("n") < 0.1)
+        (F.col("n") >= QUALITY_MIN_CHARS)
+        & (F.col("n") <= QUALITY_MAX_CHARS)
+        & (F.col("n_punct").cast("double") / F.col("n") < QUALITY_MAX_PUNCT)
     )
     dup_ratio_term = F.round(
         (F.col("n_tok") - F.col("n_distinct")).cast("double") / F.col("n_tok"), 6

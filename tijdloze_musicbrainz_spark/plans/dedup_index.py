@@ -37,6 +37,13 @@ from .dedup import (
     words_col,
 )
 from .registry import register
+from .textops import (
+    QUALITY_MAX_CHARS as Q_MAX,
+    QUALITY_MAX_PUNCT as Q_PUNCT,
+    QUALITY_MIN_CHARS as Q_MIN,
+    QUALITY_PUNCT_CLASS as Q_CLASS,
+    quality_passes,
+)
 from .util import t
 
 # Every DEDUP_DELTA_MOD-th document "arrives" after the base index is
@@ -293,9 +300,9 @@ WITH delta AS (
 ),
 q AS (
   SELECT doc_id,
-         coalesce(length(text) >= 100 AND length(text) <= 20000
-                  AND CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
-                           AS DOUBLE) / nullif(length(text), 0) < 0.1,
+         coalesce(length(text) >= {Q_MIN} AND length(text) <= {Q_MAX}
+                  AND CAST(length(regexp_replace(text, '{Q_CLASS}', '', 'g'))
+                           AS DOUBLE) / nullif(length(text), 0) < {Q_PUNCT},
                   false) AS passes_quality
   FROM delta
 ),
@@ -374,17 +381,12 @@ def corpus_incremental_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     docs = t(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DEDUP_DELTA_MOD == 0
 
-    # (1) quality gate over the arrivals (in hand, map-side)
-    n = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
-    pq = F.coalesce(
-        (n >= 100)
-        & (n <= 20000)
-        & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < 0.1),
-        F.lit(False),
-    )
+    # (1) quality gate over the arrivals (in hand, map-side) — the
+    # shared single-sourced predicate (textops.quality_passes),
+    # coalesced to false because this query EMITS the gate as a column
     quality = docs.filter(is_delta).select(
-        "doc_id", pq.alias("passes_quality")
+        "doc_id",
+        F.coalesce(quality_passes(), F.lit(False)).alias("passes_quality"),
     )
 
     # (2) exact dedup on the 32-byte hash key
@@ -436,15 +438,16 @@ def corpus_incremental_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         quality.join(ex, "doc_id")
         .join(nd_rejected, "doc_id", "left")
+        .withColumn("near_dup", F.coalesce("near_dup", F.lit(False)))
         .select(
             "doc_id",
             "passes_quality",
             "exact_dup",
-            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            "near_dup",
             (
                 F.col("passes_quality")
                 & ~F.col("exact_dup")
-                & F.coalesce(~F.col("near_dup"), F.lit(True))
+                & ~F.col("near_dup")
             ).alias("accepted"),
         )
     )

@@ -36,6 +36,35 @@ def _hits_sql(lang: str) -> str:
     return f"len(list_filter(ws, w -> w IN ({inlist})))"
 
 
+# ── the Gopher-style quality gate, single-sourced ────────────────────
+# Five operators apply the same heuristic (text_quality_score,
+# corpus_clean_pipeline, corpus_training_dataset_e2e,
+# corpus_curation_scorecard, corpus_incremental_refresh_e2e); the
+# thresholds, the punctuation class, and the Spark predicate live HERE
+# so a tweak cannot silently decouple the nightly-job ledger from the
+# scorecards. Oracle strings interpolate the same constants.
+QUALITY_MIN_CHARS = 100
+QUALITY_MAX_CHARS = 20000
+QUALITY_MAX_PUNCT = 0.1
+QUALITY_PUNCT_CLASS = "[a-z0-9 ]"
+
+
+def quality_passes(text: str = "text"):
+    """Boolean quality-gate expression over a text column: length
+    window + punctuation ratio. NULL text yields NULL (fails filters
+    and when() branches); empty text yields NULL via the nullif guard
+    — callers emitting the gate as an output COLUMN coalesce to
+    false themselves."""
+    c = F.col(text)
+    n = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, QUALITY_PUNCT_CLASS, ""))
+    return (
+        (n >= QUALITY_MIN_CHARS)
+        & (n <= QUALITY_MAX_CHARS)
+        & (n_punct.cast("double") / F.nullif(n, F.lit(0)) < QUALITY_MAX_PUNCT)
+    )
+
+
 @register(
     "text_token_stats",
     survey_ids=("F4", "F15"),
@@ -72,11 +101,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality_score",
     survey_ids=("F4", "F15", "P7"),
-    oracle="""
+    oracle=f"""
 WITH q AS (
   SELECT doc_id, lang, length(text) AS n,
          len(string_split(text, ' ')) AS n_tok,
-         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '{QUALITY_PUNCT_CLASS}', '', 'g')) AS n_punct,
          len(list_filter(string_split(text, ' '),
              w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop
   FROM documents
@@ -84,8 +113,8 @@ WITH q AS (
 SELECT doc_id, lang,
        round(CAST(n_punct AS DOUBLE) / nullif(n, 0), 4) AS punct_ratio,
        round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stopword_ratio,
-       (n >= 100 AND n <= 20000
-        AND CAST(n_punct AS DOUBLE) / nullif(n, 0) < 0.1) AS passes_quality
+       (n >= {QUALITY_MIN_CHARS} AND n <= {QUALITY_MAX_CHARS}
+        AND CAST(n_punct AS DOUBLE) / nullif(n, 0) < {QUALITY_MAX_PUNCT}) AS passes_quality
 FROM q
 """,
     doc="Quality scoring: length gate, punctuation ratio, stopword "
@@ -112,7 +141,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
-        ((n >= 100) & (n <= 20000) & (punct_ratio < 0.1)).alias("passes_quality"),
+        quality_passes().alias("passes_quality"),
     )
 
 
@@ -266,11 +295,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import jaccard, shingles_col, words_col  # noqa: PLC0415
 
     docs = t(spark, sf_dir, "documents")
-    n = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
-    quality = docs.filter(
-        (n >= 100) & (n <= 20000) & (n_punct.cast("double") / n < 0.1)
-    ).select("doc_id", "lang", "text", words_col().alias("ws"))
+    quality = docs.filter(quality_passes()).select(
+        "doc_id", "lang", "text", words_col().alias("ws")
+    )
 
     # group by the DIGEST of the normalized text, not the text: the
     # dedup winner set needs only min(doc_id) per identical-text group,
@@ -825,11 +852,9 @@ def corpus_training_dataset_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import jaccard, shingles_col, words_col  # noqa: PLC0415
 
     docs = t(spark, sf_dir, "documents")
-    n = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
-    quality = docs.filter(
-        (n >= 100) & (n <= 20000) & (n_punct.cast("double") / n < 0.1)
-    ).select("doc_id", "source", "text", words_col().alias("ws"))
+    quality = docs.filter(quality_passes()).select(
+        "doc_id", "source", "text", words_col().alias("ws")
+    )
 
     # group by the DIGEST of the normalized text, not the text: the
     # dedup winner set needs only min(doc_id) per identical-text group,
