@@ -78,7 +78,12 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # keeps multimodal_jpeg_decode_real in-window; the slot gives the
     # dedup-index COMPACTION its first official row — r10 verdict
     # item 2)
-    "s_orc_roundtrip",
+    # (s_orc_roundtrip -> tail in r11 after its green r10 row: S1/S4
+    # stay carried by sql_api_q6 + s_stats_skipping_prune + the sink
+    # rows; the slot gives the cluster tier's LABEL COMPACTION its
+    # first official row — two-generation ingest, remap-chain
+    # resolution, chain folded flat, results pinned batch-identical)
+    "dedup_cluster_label_compact",
     "dedup_minhash_index_compact",
     # -- tier 3: LLM-training-data pipeline components -------------------
     # r9 rotation (r8 verdict item 3): etl_incremental_agg_maintenance,
@@ -136,7 +141,13 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # persisted label store with contracted-graph merge + relabel
     # cascade, the r11 marquee addition)
     "dedup_cluster_incremental",
-    "sim_ann_ivf_pq_retrain",
+    # (sim_ann_ivf_pq_retrain -> tail in r11 after its green r10 row:
+    # the ANN tier keeps partitioned_lists + streaming ingest + the
+    # restart proof in-window; the slot gives the cluster tier's
+    # streaming restart proof its first official row, completing the
+    # torn-commit-proof symmetry across all three index tiers inside
+    # the official window)
+    "streaming_cluster_ingest_restart",
     "streaming_ann_index_ingest",
     # (sim_ann_ivf_bucketed rotated to the tail in r8b; sim_ann_ivf_pq
     # -> tail in r9b after its green r8 row — see the append note)
