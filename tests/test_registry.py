@@ -46,6 +46,50 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+def test_pythonpath_export_copies_agree(tmp_path):
+    """__spark_entry__ carries a deliberate inline copy of
+    session.export_worker_pythonpath (it must not import the package
+    at module scope). The foreign-cwd test exercises only the
+    entry-module copy, so drift in the session copy would go uncaught
+    (r11 ADVICE). Run each copy in a fresh process under a scrubbed
+    PYTHONPATH and pin that both export the SAME repo root, and that
+    both are idempotent (no duplicate entry on re-run)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    outs = {}
+    for label, body in {
+        "entry": "import __spark_entry__\n",
+        "session": (
+            "from tijdloze_musicbrainz_spark.session import"
+            " export_worker_pythonpath\n"
+            "export_worker_pythonpath()\n"
+            "export_worker_pythonpath()\n"
+        ),
+    }.items():
+        script = (
+            "import os, sys; sys.path.insert(0, %r)\n" % repo
+            + body
+            + "print('PP::' + os.environ['PYTHONPATH'])\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            cwd=tmp_path,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        outs[label] = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("PP::")
+        ][0].removeprefix("PP::")
+    assert outs["entry"] == outs["session"] == repo
+
+
 def test_python_worker_queries_survive_foreign_cwd(tmp_path):
     """Python WORKERS resolve imports from the env PYTHONPATH the JVM
     inherits, not the driver's sys.path — so a consumer that starts

@@ -315,7 +315,14 @@ def _merge_generation(
     label moves as this generation's remap."""
     new_pairs = _probe_pairs(spark, t_blocks, paths, gen)
     current = _resolve_labels(spark, paths, gens_done)
-    merged = _contract_and_merge(new_pairs, current)
+    # INVARIANT: ``merged`` must be MATERIALIZED before the label
+    # append below — it reads the label store via _resolve_labels, and
+    # a lazy plan would re-resolve labels AFTER the append, journaling
+    # against post-append state. connected_components already
+    # localCheckpoints its fixpoint, but that is an implementation
+    # detail of CC; the explicit checkpoint here makes the ordering
+    # dependency local and regression-proof (r11 ADVICE).
+    merged = _contract_and_merge(new_pairs, current).localCheckpoint()
 
     batch_ids = spark.read.schema("doc_id bigint").parquet(
         f"{paths['stage']}/delta_ids_{gen}"

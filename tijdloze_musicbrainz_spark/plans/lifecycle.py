@@ -65,6 +65,22 @@ def index_root(sf_dir: str, name: str, fresh: bool = True) -> str:
     return root
 
 
+def list_partition_ids(store_dir: str) -> set[int]:
+    """Partition ids of a hive-style ``partitionBy`` store, from the
+    CATALOG (the directory listing) — never a data scan. This is the
+    honest source for parts_total-style accounting at 100 TB: a
+    ``distinct().count()`` over the store reads every file's footer
+    (O(#files) metadata ops against object storage), while the
+    partition listing is one LIST call; on a managed table the same
+    numbers come from manifest / metastore stats
+    (operators/manifest.py records them at commit)."""
+    return {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(store_dir)
+        if "=" in name and not name.startswith((".", "_"))
+    }
+
+
 def compact_partitioned(
     spark: SparkSession, src: str, dst: str, partition_col: str
 ) -> None:

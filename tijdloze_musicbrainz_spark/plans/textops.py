@@ -52,9 +52,12 @@ QUALITY_PUNCT_CLASS = "[a-z0-9 ]"
 def quality_passes(text: str = "text"):
     """Boolean quality-gate expression over a text column: length
     window + punctuation ratio. NULL text yields NULL (fails filters
-    and when() branches); empty text yields NULL via the nullif guard
-    — callers emitting the gate as an output COLUMN coalesce to
-    false themselves."""
+    and when() branches); empty text yields FALSE — the length gate
+    ``n >= QUALITY_MIN_CHARS`` is false at n=0, and ``false AND NULL``
+    is false under Spark's three-valued logic, so the nullif guard
+    (which only protects the punct-ratio division from 0/0) never
+    surfaces. Callers emitting the gate as an output COLUMN coalesce
+    NULL to false themselves."""
     c = F.col(text)
     n = F.length(c)
     n_punct = F.length(F.regexp_replace(c, QUALITY_PUNCT_CLASS, ""))
