@@ -49,6 +49,13 @@ def test_probe_reads_stored_blocks_bucketed(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r11 verdict item 1: the ingest-time key sidecar is pushed into
+    # the stored block scan as a literal In(blk, ...) predicate, so a
+    # small batch reads only matching row groups / bucket files
+    # (the full mechanics are pinned in tests/test_dedup_index.py::
+    # test_small_delta_probe_skips_row_groups; here we pin the cc tier
+    # wires the same sidecar through its probe)
+    assert "In(blk" in plan, plan[:4000]
 
 
 def test_incremental_labels_equal_batch_clustering(spark, sf_dir):

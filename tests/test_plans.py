@@ -428,6 +428,8 @@ DRIVER_MATERIALIZATION_ALLOWLIST = {
         "1-row compaction bounds",
     ("sources/bucketing.py", "desc", "collect"):
         "DESCRIBE TABLE metadata rows",
+    ("plans/lifecycle.py", "write_delta_key_manifest", "collect"):
+        "distinct delta keys, limit(PROBE_PUSHDOWN_MAX_KEYS + 1)",
 }
 
 _DRIVER_METHODS = ("collect", "first", "toPandas", "toLocalIterator")

@@ -64,7 +64,12 @@ from .dedup import (
     shingles_col,
     words_col,
 )
-from .lifecycle import index_root, sf_tag
+from .lifecycle import (
+    index_root,
+    read_delta_key_manifest,
+    sf_tag,
+    write_delta_key_manifest,
+)
 from .registry import register
 from .util import t
 
@@ -215,6 +220,10 @@ def _ingest_batch(
     staged = spark.read.schema(
         "doc_id bigint, blk string, sgs array<string>"
     ).parquet(f"{paths['stage']}/delta_{gen}")
+    # probe-pushdown sidecar: the batch's distinct block keys, so the
+    # later probe can push In(blk, ...) into the stored block scan
+    # without launching a job (plans/lifecycle.py design note)
+    write_delta_key_manifest(staged, "blk", f"{paths['stage']}/delta_{gen}")
     with exclusive_append(paths["blocks"], owner=f"cc_gen{gen}"):
         staged.select("blk", "doc_id").write.mode("append").format(
             "parquet"
@@ -274,7 +283,18 @@ def _probe_pairs(
     stored_sh = spark.read.schema("doc_id bigint, sgs array<string>").parquet(
         paths["shingles"]
     )
-    return _verified_pairs(probes, spark.table(t_blocks).hint("merge"), stored_sh)
+    stored_blocks = spark.table(t_blocks)
+    # small-delta pushdown: the ingest-time key sidecar becomes a
+    # literal In(blk, ...) predicate on the stored scan — identical
+    # results (non-matching blocks cannot join a probe), row groups
+    # and bucket files outside the batch's key set skipped
+    # (see dedup_index._probe_index for the full story)
+    batch_keys = read_delta_key_manifest(
+        f"{paths['stage']}/delta_{gen}", "blk"
+    )
+    if batch_keys:
+        stored_blocks = stored_blocks.filter(F.col("blk").isin(batch_keys))
+    return _verified_pairs(probes, stored_blocks.hint("merge"), stored_sh)
 
 
 def _resolve_labels(

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.bucketing import exclusive_append, write_bucketed
-from .lifecycle import compact_bucketed, sf_tag
+from .lifecycle import (
+    compact_bucketed,
+    read_delta_key_manifest,
+    sf_tag,
+    write_delta_key_manifest,
+)
 from .dedup import (
     _SHINGLES_SQL,
     band_key_cols,
@@ -147,6 +152,14 @@ def _build_and_ingest(
     # (tests/test_dedup_index.py::test_concurrent_append_is_rejected).
     shutil.rmtree(delta_bands_path, ignore_errors=True)
     _bands_of(delta).write.parquet(delta_bands_path)
+    # record the delta's distinct band keys (capped) as the probe's
+    # pushdown sidecar — one bounded job here at ingest so the probe
+    # itself can push an In(band_key, ...) filter into the stored scan
+    # without launching any job (plans/lifecycle.py design note)
+    staged = spark.read.schema("doc_id bigint, band_key bigint").parquet(
+        delta_bands_path
+    )
+    write_delta_key_manifest(staged, "band_key", delta_bands_path)
     with exclusive_append(f"{SINK_ROOT}/{t_bands}", owner=name):
         spark.read.parquet(delta_bands_path).write.mode("append").format(
             "parquet"
@@ -178,6 +191,20 @@ def _probe_index(
     # delta files, so delta-vs-delta pairs in the output prove the
     # append landed in the store being queried.
     stored_bands = spark.table(t_bands)
+    # small-delta row-group skipping: the ingest-time key sidecar
+    # (read here with stdlib json — still zero Spark jobs) becomes a
+    # literal In(band_key, ...) predicate pushed into the stored scan.
+    # Rows whose band_key is not in the delta's key set cannot join,
+    # so results are identical; what changes is IO — parquet skips
+    # row groups whose stats/dictionary miss every delta key and Spark
+    # prunes non-matching bucket files (SelectedBucketsCount), instead
+    # of reading all DEDUP_INDEX_BUCKETS buckets end-to-end
+    # (tests/test_dedup_index.py::test_small_delta_probe_skips_row_groups).
+    delta_keys = read_delta_key_manifest(delta_bands_path, "band_key")
+    if delta_keys:
+        stored_bands = stored_bands.filter(
+            F.col("band_key").isin(delta_keys)
+        )
     # explicit schemas: a schema-inference footer read is a (small)
     # Spark job, and the probe path is pinned to launch NONE
     probes = (

@@ -65,6 +65,69 @@ def index_root(sf_dir: str, name: str, fresh: bool = True) -> str:
     return root
 
 
+# Small-delta probe pushdown: a delta that touches a handful of
+# band/block keys should not force a full scan of the stored index.
+# The ingest records the delta's DISTINCT key set (capped) as a tiny
+# JSON sidecar next to the staged delta files; the probe reads the
+# sidecar driver-side (stdlib json — no Spark job, so probe laziness
+# is preserved) and pushes the key set as a literal In predicate on
+# the stored scan. Because the store is bucket-SORTED on the key,
+# parquet skips whole row groups whose stats/dictionary contain none
+# of the delta's keys, and Spark prunes non-matching BUCKET files
+# outright — the immutable-storage re-expression of the reference's
+# B-tree index probe (sql/2_export_tables.sql:17-18). Above the cap
+# the sidecar records incomplete and the probe falls back to the full
+# bucketed scan — correct, and the right plan anyway: a delta with
+# >PROBE_PUSHDOWN_MAX_KEYS distinct keys touches most row groups, so
+# pushdown would only bloat the plan. At 100 TB the sidecar is the
+# per-commit key-stats entry in the manifest (operators/manifest.py
+# already records per-file stats at commit).
+PROBE_PUSHDOWN_MAX_KEYS = 4096
+_DELTA_KEYS_SIDECAR = "_delta_keys.json"
+
+
+def write_delta_key_manifest(
+    staged_delta, key_col: str, staged_dir: str,
+    cap: int = PROBE_PUSHDOWN_MAX_KEYS,
+) -> None:
+    """Record the staged delta's distinct key set as a ``_``-prefixed
+    JSON sidecar inside the staged directory (Spark's parquet reader
+    ignores underscore files). Runs at INGEST time where jobs are
+    expected; the collect is bounded at cap+1 rows of one column."""
+    import json  # noqa: PLC0415
+
+    rows = staged_delta.select(key_col).distinct().limit(cap + 1).collect()
+    keys = sorted(r[0] for r in rows)
+    complete = len(keys) <= cap
+    with open(os.path.join(staged_dir, _DELTA_KEYS_SIDECAR), "w") as f:
+        json.dump(
+            {
+                "key_col": key_col,
+                "complete": complete,
+                "keys": keys if complete else [],
+                "cap": cap,
+            },
+            f,
+        )
+
+
+def read_delta_key_manifest(staged_dir: str, key_col: str):
+    """The probe-side read: stdlib json, NO Spark job (probe laziness
+    stays pinned). Returns the sorted key list when the sidecar is
+    present, complete, and for the expected column — else None (full
+    bucketed scan, the documented big-delta fallback)."""
+    import json  # noqa: PLC0415
+
+    path = os.path.join(staged_dir, _DELTA_KEYS_SIDECAR)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        m = json.load(f)
+    if not m.get("complete") or m.get("key_col") != key_col:
+        return None
+    return m["keys"]
+
+
 def list_partition_ids(store_dir: str) -> set[int]:
     """Partition ids of a hive-style ``partitionBy`` store, from the
     CATALOG (the directory listing) — never a data scan. This is the
