@@ -206,26 +206,66 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    survey_ids=(),
-    oracle=f"""
+# Exact all-pairs Jaccard >= 0.8 over 3-gram shingle sets, stated
+# with PREFIX FILTERING (Chaudhuri et al. ICDE'06; Xiao et al.
+# PPJoin, WWW'08) instead of the exhaustive O(n^2) pair scan: under
+# any global total order on shingles (here: ascending document
+# frequency, shingle text as tie-break — rare first), two sets with
+# |x ∩ y| >= ceil(t*max(|x|,|y|)) MUST share a shingle within their
+# (|x| - ceil(t*|x|) + 1)-prefixes, and J(x,y) >= t implies exactly
+# that overlap (J <= |∩|/|x| for either side). So joining on prefix
+# shingles only — then verifying candidates with the same exact
+# Jaccard formula — returns the IDENTICAL result set while the
+# candidate join touches only each doc's ~0.2*|sgs| rarest shingles
+# (equivalence pinned against the exhaustive form at sf0.001 and
+# sf0.01 in tests/test_dedup_property.py; this is what retired the
+# sf0.1 sweep skip for every carrier of this oracle, r11 verdict
+# item 2). ceil(0.8*sz) is the exact integer (4*sz + 4) // 5.
+_JACCARD_ALLPAIRS_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.sgs, b.sgs)) * 1.0
-             / len(list_distinct(list_concat(a.sgs, b.sgs))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
-      / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
-""",
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
+ex AS (SELECT doc_id, unnest(sgs) AS s FROM sh),
+freq AS (SELECT s, count(*) AS cnt FROM ex GROUP BY s),
+ranked AS (
+  SELECT e.doc_id, e.s,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.cnt, e.s) AS rn,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ex e JOIN freq f USING (s)
+),
+pref AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(x.sgs, y.sgs)) * 1.0
+             / len(list_distinct(list_concat(x.sgs, y.sgs))), 4) AS jaccard
+FROM cand c
+JOIN sh x ON x.doc_id = c.doc_a
+JOIN sh y ON y.doc_id = c.doc_b
+WHERE len(list_intersect(x.sgs, y.sgs)) * 1.0
+      / len(list_distinct(list_concat(x.sgs, y.sgs))) >= 0.8
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    survey_ids=(),
+    oracle=_JACCARD_ALLPAIRS_ORACLE,
     doc="MinHash(64) + LSH(16x4) banded bucket join, then exact-"
-    "Jaccard verify >= 0.8. The oracle is the exhaustive pair scan — "
-    "valid because miss probability at s>=0.8 is (1-s^4)^16 <= 3e-4 "
-    "and the planted pairs sit at s~0.97 (miss < 1e-17); the Spark "
-    "plan itself NEVER does the O(n^2) scan.",
+    "Jaccard verify >= 0.8. The oracle is the exact all-pairs result "
+    "stated via prefix filtering (see _JACCARD_ALLPAIRS_ORACLE — "
+    "identical rows to the exhaustive pair scan, polynomially "
+    "cheaper, so it sweeps at sf0.1 too); comparing LSH output to an "
+    "exact oracle is valid because miss probability at s>=0.8 is "
+    "(1-s^4)^16 <= 3e-4 and the planted pairs sit at s~0.97 (miss "
+    "< 1e-17); the Spark plan itself NEVER does the O(n^2) scan.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text matches nothing (same policy + reason as the blocked
@@ -1242,29 +1282,35 @@ WITH tok AS (
        unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t(tk)
 ),
 df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
+tokid AS (SELECT tk, row_number() OVER (ORDER BY df, tk) AS tid FROM df),
 ranked AS (
-  SELECT t.doc_id, t.tk,
-         row_number() OVER (
-           PARTITION BY t.doc_id ORDER BY d.df, t.tk) AS pos,
+  SELECT t.doc_id, ti.tid,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY ti.tid) AS pos,
          count(*) OVER (PARTITION BY t.doc_id) AS len
-  FROM tok t JOIN df d USING (tk)
+  FROM tok t JOIN tokid ti USING (tk)
+),
+lists AS (
+  SELECT doc_id, list_sort(list(tid)) AS tl, any_value(len) AS len
+  FROM ranked GROUP BY doc_id
 ),
 prefix AS (
-  SELECT doc_id, tk, len FROM ranked
+  SELECT doc_id, tid, pos, len FROM ranked
   WHERE pos <= len - (({CONT_NUM} * len + {CONT_DEN} - 1) // {CONT_DEN}) + 1
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.len AS len_a
-  FROM prefix a JOIN tok b ON a.tk = b.tk
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.len AS len_a
+  FROM prefix a JOIN ranked b ON a.tid = b.tid
   WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+  HAVING max(least(a.len - a.pos, b.len - b.pos) + 1) * {CONT_DEN}
+         >= {CONT_NUM} * a.len
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b, c.len_a,
-         CAST(count(*) AS BIGINT) AS n_common
+         len(list_intersect(x.tl, y.tl)) AS n_common
   FROM cand c
-  JOIN tok x ON x.doc_id = c.doc_a
-  JOIN tok y ON y.doc_id = c.doc_b AND y.tk = x.tk
-  GROUP BY c.doc_a, c.doc_b, c.len_a
+  JOIN lists x ON x.doc_id = c.doc_a
+  JOIN lists y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        round(CAST(n_common AS DOUBLE) / len_a, 6) AS containment
@@ -1285,7 +1331,15 @@ WHERE {CONT_DEN} * n_common >= {CONT_NUM} * len_a
     "tokens, which is what makes the one-sided prefix viable at "
     "scale; verification is the same composite (doc, token) "
     "equi-join. Exact integer threshold; both directions of a "
-    "mutually-containing pair emit as separate rows.",
+    "mutually-containing pair emit as separate rows. The ORACLE "
+    "states the same result with two exact accelerations so it "
+    "sweeps at sf0.1 (r11 verdict item 2): a PPJoin-style positional "
+    "filter (overlap <= 1 + min(tokens-after-match on either side) "
+    "at the earliest shared prefix token, since both docs rank "
+    "tokens by the same global order) prunes candidates, and the "
+    "verify intersects per-doc sorted integer token-id lists instead "
+    "of a 3-way (doc, token) join — equivalence to the exhaustive "
+    "form pinned in tests/test_dedup_property.py.",
 )
 def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
