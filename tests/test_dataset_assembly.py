@@ -372,3 +372,72 @@ def test_pack_nested_kernel_matches_module_kernel(spark, sf_dir):
         expect = list(next_fit_bins(n, PACK_TOKEN_BUDGET))
         got = [r["seq_in_source"] for r in docs]
         assert got == expect, source
+
+
+def test_pack_streamed_fold_equals_single_frame_across_batches(spark):
+    """r11 verdict item 5 (the de-ceilinged pack): the streaming
+    mapInPandas fold must produce bit-identical bins to folding each
+    source in one frame, INCLUDING when sources span many Arrow
+    batches. Force 7-row batches over corpora with zero-token docs,
+    oversized docs, and exact-fit docs planted at batch boundaries,
+    plus several interleaved sources — every carry transition
+    (open-bin continue, open-bin close-on-overflow, forced oversized
+    singleton after a carried bin, zero-token-only open bin) is
+    crossed."""
+    import numpy as np
+
+    from tijdloze_musicbrainz_spark.plans.textops import (
+        next_fit_bins,
+        pack_sequences_streamed,
+    )
+
+    budget = 10
+    rng = np.random.default_rng(7)
+    corpora = []
+    # adversarial hand-built: oversized at batch edges, zero runs,
+    # exact fills
+    corpora.append(
+        [("a", [3, 3, 3, 3, 25, 0, 0, 1, 10, 10, 0, 25, 25, 2, 8, 1])]
+    )
+    corpora.append(
+        [
+            ("a", [0] * 9 + [12] + [0] * 9 + [5, 5, 5]),
+            ("b", [10] * 8 + [1]),
+            ("c", [1] * 30),
+        ]
+    )
+    # randomized: three sources, sizes mixing 0, tiny, oversized
+    for _ in range(3):
+        corpora.append(
+            [
+                (s, rng.choice([0, 1, 2, 3, 9, 10, 11, 30], size=41).tolist())
+                for s in ("x", "y", "z")
+            ]
+        )
+
+    old_bs = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        for corpus in corpora:
+            rows = [
+                (i + 1000 * si, src, int(tok))
+                for si, (src, toks) in enumerate(corpus)
+                for i, tok in enumerate(toks)
+            ]
+            sized = spark.createDataFrame(
+                rows, "doc_id long, source string, n_tok long"
+            )
+            got = {
+                (r["source"], r["doc_id"]): r["seq_in_source"]
+                for r in pack_sequences_streamed(sized, budget).collect()
+            }
+            for si, (src, toks) in enumerate(corpus):
+                expect = next_fit_bins(np.array(toks, np.int64), budget)
+                for i, e in enumerate(expect):
+                    assert got[(src, i + 1000 * si)] == e, (
+                        src, i, toks, [got[(src, k + 1000 * si)] for k in range(len(toks))], list(expect),
+                    )
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_bs
+        )

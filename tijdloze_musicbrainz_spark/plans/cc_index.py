@@ -65,7 +65,9 @@ from .dedup import (
     words_col,
 )
 from .lifecycle import (
+    current_store,
     index_root,
+    publish_store,
     read_delta_key_manifest,
     sf_tag,
     write_delta_key_manifest,
@@ -499,11 +501,17 @@ def dedup_cluster_label_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         gens.append(gen)
 
     # ── COMPACT: fold the remap chain into a flat label store ────────
+    # write-then-publish: the flat store is fully written BEFORE the
+    # atomic pointer flip, so a reader concurrent with this compaction
+    # resolves either the journal-chain view or the complete flat
+    # store — never a partial one (r11 verdict item 3; race proof in
+    # tests/test_lifecycle_swap.py)
     compacted = f"{paths['labels']}_compacted"
     shutil.rmtree(compacted, ignore_errors=True)
     _resolve_labels(spark, paths, gens).write.parquet(compacted)
+    publish_store(paths["labels"], compacted)
     flat = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(
-        compacted
+        current_store(paths["labels"], compacted)
     )
     return _with_accounting(flat, n_total)
 

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from ..sources.bucketing import exclusive_append, write_bucketed
 from .lifecycle import (
     compact_bucketed,
+    current_store,
+    publish_store,
     read_delta_key_manifest,
     sf_tag,
     write_delta_key_manifest,
@@ -318,7 +320,19 @@ def dedup_minhash_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=DEDUP_INDEX_BUCKETS,
         location=f"{SINK_ROOT}/{compacted}",
     )
-    return _probe_index(spark, compacted, shingle_path, delta_path, n_indexed)
+    # write-then-publish: the pointer flip is atomic, so a probe
+    # concurrent with this compaction resolves either the old or the
+    # new COMPLETE store, never a half-written one (r11 verdict item
+    # 3; race proof in tests/test_lifecycle_swap.py)
+    ptr_root = f"{SINK_ROOT}/{t_bands}"
+    publish_store(ptr_root, compacted)
+    return _probe_index(
+        spark,
+        current_store(ptr_root, t_bands),
+        shingle_path,
+        delta_path,
+        n_indexed,
+    )
 
 
 _REFRESH_ORACLE = f"""

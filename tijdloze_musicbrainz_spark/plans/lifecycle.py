@@ -65,6 +65,46 @@ def index_root(sf_dir: str, name: str, fresh: bool = True) -> str:
     return root
 
 
+# Compaction swap visibility: a compactor writes a FRESH store and
+# then flips one pointer; readers resolve the pointer first, then read
+# the (immutable, fully-written) store it names. The pointer flip is
+# os.replace of a tmp file — atomic on POSIX (rename(2)) — so a reader
+# concurrent with compaction sees the OLD complete store or the NEW
+# complete store, never a half-written one (r11 verdict item 3; the
+# two-thread proof is tests/test_lifecycle_swap.py). At 100 TB the
+# same contract is the manifest version-file commit
+# (operators/manifest.py) or a metastore table-pointer repoint — the
+# file here is the minimal faithful stand-in for bucketed/flat stores
+# that live outside the manifest layer.
+_CURRENT_PTR = "_CURRENT"
+
+
+def publish_store(root: str, target: str) -> None:
+    """Atomically repoint ``root``'s current-store pointer at
+    ``target`` (a table name or a path — the tier's reader knows
+    which). MUST be called only after ``target`` is completely
+    written; the atomic rename is what makes the swap safe, the
+    write-then-publish ordering is what makes the target legal."""
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f"{_CURRENT_PTR}.tmp")
+    with open(tmp, "w") as f:
+        f.write(target)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CURRENT_PTR))
+
+
+def current_store(root: str, default: str) -> str:
+    """Resolve the current-store pointer; ``default`` (the pre-
+    compaction store) when nothing has been published yet. One
+    driver-side read, no Spark job — probe laziness holds."""
+    try:
+        with open(os.path.join(root, _CURRENT_PTR)) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return default
+
+
 # Small-delta probe pushdown: a delta that touches a handful of
 # band/block keys should not force a full scan of the stored index.
 # The ingest records the delta's DISTINCT key set (capped) as a tiny

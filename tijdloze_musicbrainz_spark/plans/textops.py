@@ -1412,18 +1412,27 @@ SELECT doc_id, source, n_tok, seq_in_source FROM pack
     "to fixed-token-budget training sequences, per source in "
     "deterministic doc_id order; an overflowing document always opens "
     "a new sequence, so no example mixes a split document. The fold "
-    "is inherently sequential WITHIN a source — the Spark plan runs "
-    "it as one applyInPandas per source group (sources are the "
-    "parallelism unit, exactly like the shard assigner), and inside "
-    "the group the next-fit is O(#sequences) numpy searchsorted "
-    "calls on the token cumsum, not a per-row Python loop. The "
-    "DuckDB twin is an independent formulation: a recursive CTE "
-    "stepping one row_number at a time.",
+    "is inherently sequential WITHIN a source (each break position "
+    "depends on the previous one — the state is a break-position "
+    "recurrence over the token cumsum, not an additive offset, so a "
+    "parallel chunk+carry decomposition cannot reproduce it exactly). "
+    "What CAN be bounded is memory: the Spark plan repartitions by "
+    "source, sorts within partitions on (source, doc_id), and runs "
+    "ONE STREAMING mapInPandas fold — Arrow batches arrive in order, "
+    "the fold carries (open-bin id, fill, has-docs) per source across "
+    "batch boundaries, and each batch folds with the same vectorized "
+    "numpy-searchsorted loop. Peak executor memory is one Arrow "
+    "batch (spark.sql.execution.arrow.maxRecordsPerBatch), NOT one "
+    "source's whole (id, n_tok) frame — the r11 verdict's "
+    "multi-billion-doc-source ceiling is gone while the output stays "
+    "bit-identical (tests/test_dataset_assembly.py pins the streamed "
+    "fold against the single-group fold, with forced tiny batches, "
+    "zero-token docs and oversized docs at batch boundaries). "
+    "Sources remain the parallelism unit, exactly like the shard "
+    "assigner. The DuckDB twin is an independent formulation: a "
+    "recursive CTE stepping one row_number at a time.",
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
     docs = t(spark, sf_dir, "documents")
     n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
     # coalesce: a NULL document consumes zero budget (NULL n_tok would
@@ -1433,31 +1442,88 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.coalesce(n_tok.cast("long"), F.lit(0)).alias("n_tok"),
     )
+    return pack_sequences_streamed(sized, PACK_TOKEN_BUDGET)
 
-    budget = PACK_TOKEN_BUDGET
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        # self-contained copy of next_fit_bins (see its NOTE): the
-        # closure must not reference this module or workers launched
-        # from a foreign cwd cannot unpickle it
-        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
-        n = pdf["n_tok"].to_numpy(np.int64)
-        cs = np.cumsum(n)
-        bins = np.zeros(len(n), np.int64)
-        start, bin_id, offset = 0, 0, 0
-        while start < len(n):
-            j = int(np.searchsorted(cs, offset + budget, side="right"))
-            if j == start:
-                j = start + 1
-            bins[start:j] = bin_id
-            bin_id += 1
-            offset = int(cs[j - 1])
-            start = j
-        pdf["seq_in_source"] = bins
-        return pdf
+def pack_sequences_streamed(sized: DataFrame, budget: int) -> DataFrame:
+    """Next-fit over (doc_id, source, n_tok) as a streaming fold:
+    hash-partition by source (every source's rows land in one
+    partition, whole sources never split), sort within partitions on
+    (source, doc_id), then fold Arrow batch by Arrow batch carrying
+    the open bin's (id, fill, has_docs) per source. Exact same bins
+    as folding each source in one frame; peak memory one batch."""
 
-    return sized.groupBy("source").applyInPandas(
-        pack, schema="doc_id long, source string, n_tok long, seq_in_source long"
+    def pack_stream(batches):
+        # self-contained closure (no module refs): workers launched
+        # from a foreign cwd must unpickle it without this package
+        import numpy as np  # noqa: PLC0415
+
+        # source -> (next free bin id, open-bin fill, open-bin
+        # has-docs). has_docs distinguishes a genuinely empty new bin
+        # (an oversized doc must be FORCED into it) from an open bin
+        # holding only zero-token docs (fill 0, but an oversized doc
+        # must CLOSE it first — the single-frame fold's searchsorted
+        # semantics).
+        state: dict[str, tuple[int, int, bool]] = {}
+        for pdf in batches:
+            out = np.zeros(len(pdf), np.int64)
+            srcs = pdf["source"].to_numpy()
+            toks = pdf["n_tok"].to_numpy(np.int64)
+            pos = 0
+            while pos < len(pdf):
+                src = srcs[pos]
+                end = pos
+                while end < len(pdf) and srcs[end] == src:
+                    end += 1
+                bin_id, fill, has_docs = state.get(src, (0, 0, False))
+                n = toks[pos:end]
+                # shifted coordinates: the open bin starts at 0 and
+                # already holds `fill` tokens, so doc i's end position
+                # is fill + local-cumsum[i]; a doc fits the bin that
+                # starts at `off` while its end <= off + budget —
+                # exactly the single-frame searchsorted condition
+                cs = fill + np.cumsum(n)
+                total = int(cs[-1]) if len(n) else fill
+                bins = np.empty(len(n), np.int64)
+                start, off, cur_has = 0, 0, has_docs
+                while start < len(n):
+                    j = int(np.searchsorted(cs, off + budget, side="right"))
+                    if j == start:
+                        if cur_has:
+                            # the bin carried from the previous batch
+                            # overflows at this doc: close it (its
+                            # content ends where the carry ends) and
+                            # retry against the fresh bin
+                            bin_id += 1
+                            off = fill if start == 0 else int(cs[start - 1])
+                            cur_has = False
+                            continue
+                        # genuinely empty bin: force the oversized doc
+                        j = start + 1
+                    bins[start:j] = bin_id
+                    cur_has = True
+                    if j < len(n):
+                        bin_id += 1
+                        off = int(cs[j - 1])
+                        cur_has = False
+                    start = j
+                # the bin holding the segment's last doc stays OPEN
+                # across the batch boundary: carry its id, content
+                # size, and non-emptiness
+                state[src] = (bin_id, total - off, cur_has)
+                out[pos:end] = bins
+                pos = end
+            pdf = pdf.copy()
+            pdf["seq_in_source"] = out
+            yield pdf
+
+    return (
+        sized.repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .mapInPandas(
+            pack_stream,
+            schema="doc_id long, source string, n_tok long, seq_in_source long",
+        )
     )
 
 
