@@ -430,6 +430,8 @@ DRIVER_MATERIALIZATION_ALLOWLIST = {
         "DESCRIBE TABLE metadata rows",
     ("plans/lifecycle.py", "write_delta_key_manifest", "collect"):
         "distinct delta keys, limit(PROBE_PUSHDOWN_MAX_KEYS + 1)",
+    ("plans/dedup.py", "dedup_ngram_jaccard_meta_blocked", "first"):
+        "1-row dropped-block accounting aggregate",
 }
 
 _DRIVER_METHODS = ("collect", "first", "toPandas", "toLocalIterator")

@@ -23,40 +23,22 @@ import math
 import sys
 import time
 
-# The only legitimate reasons to skip a query in a sweep: its DuckDB
+# The only legitimate reason to skip a query in a sweep: its DuckDB
 # ORACLE (not the Spark plan) does work that is quadratic-or-worse in
 # corpus size, so at sf0.1 the oracle — the measurement instrument,
 # not the engine — becomes the bottleneck. Every skip must be named
-# here with the reason; an unlisted --skip aborts the run. All four
-# queries below stay fully hash-checked at sf0.01/sf0.001 (the
-# official correctness scale); the r11 measurements are on record:
-# at sf0.1 (5,000 docs) dedup_containment_join's oracle ran >30 min
-# at >40 GB RSS before being killed, dedup_minhash_lsh's exhaustive
-# 12.5M-pair list_intersect scan exceeded a 240 s budget (the
-# restricted arriving-endpoint variant used by dedup_minhash_
-# incremental/_index_compact finishes in ~185 s and is NOT skipped).
-SKIP_REASONS: dict[str, str] = {
-    "dedup_containment_join": (
-        "oracle's prefix-token candidate join explodes on the "
-        "template-heavy corpus (~|docs|^2 candidates, then a "
-        "token-level 3-way join per candidate): killed at sf0.1 "
-        "after 30+ min / 40+ GB RSS; checked at sf0.01"
-    ),
-    "dedup_minhash_lsh": (
-        "oracle is the exhaustive 12.5M-pair shingle-intersect scan "
-        "(O(n^2 * |shingles|)): >240 s at sf0.1, est. ~16 min; "
-        "checked at sf0.01 — the restricted-pair incremental "
-        "lifecycle variants of the same oracle ARE swept at sf0.1"
-    ),
-    "streaming_minhash_index": (
-        "same exhaustive pair-scan oracle as dedup_minhash_lsh "
-        "(>240 s at sf0.1); checked at sf0.01"
-    ),
-    "streaming_minhash_ingest_restart": (
-        "same exhaustive pair-scan oracle as dedup_minhash_lsh "
-        "(>240 s at sf0.1); checked at sf0.01"
-    ),
-}
+# here with the reason; an unlisted --skip aborts the run.
+#
+# The list is EMPTY since r12: the four r11 skips were retired by
+# restating their oracles exactly (prefix filtering for the all-pairs
+# Jaccard family — 13 s at sf0.1 vs the est. ~16 min exhaustive scan;
+# positional filter + int-list intersection for the containment join
+# — 486 s at sf0.1, which is now ANSWER-bound: the sf0.1 result
+# itself is ~11M pairs on the template-heavy corpus, so both engines
+# and the row compare carry that mass, not an oracle blow-up).
+# Equivalence of the restated oracles to the exhaustive forms is
+# pinned in tests/test_dedup_property.py.
+SKIP_REASONS: dict[str, str] = {}
 
 TABLES = (
     "region nation customer supplier part orders lineitem "
