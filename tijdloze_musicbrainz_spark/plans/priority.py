@@ -148,7 +148,14 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # torn-commit-proof symmetry across all three index tiers inside
     # the official window)
     "streaming_cluster_ingest_restart",
-    "streaming_ann_index_ingest",
+    # (streaming_ann_index_ingest -> tail in r12 after green r9-r11
+    # rows: its ingest mechanics are a strict subset of
+    # streaming_ann_ingest_restart, which stays in-window, and the
+    # streaming tier keeps three restart/ingest rows; the slot gives
+    # the capped META-BLOCKING near-dup its first official row — the
+    # executable mega-block lever with the dropped mass inside the
+    # driver-hashed result, r11 verdict item 7)
+    "dedup_ngram_jaccard_meta_blocked",
     # (sim_ann_ivf_bucketed rotated to the tail in r8b; sim_ann_ivf_pq
     # -> tail in r9b after its green r8 row — see the append note)
     # (text_quality_score / text_language_id moved to the tail in r4;
