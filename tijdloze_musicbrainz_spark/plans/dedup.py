@@ -360,36 +360,49 @@ def dedup_ngram_jaccard_meta_blocked(
 # sf0.01 in tests/test_dedup_property.py; this is what retired the
 # sf0.1 sweep skip for every carrier of this oracle, r11 verdict
 # item 2). ceil(0.8*sz) is the exact integer (4*sz + 4) // 5.
+# The reusable CTE chain (pp-prefixed names so it composes into
+# oracles that already use w/sh/ex): requires a prior CTE
+# ``w``(doc_id, ws). ``pppref`` holds each doc's prefix shingles;
+# consumers build their own candidate CTE (optionally restricted,
+# e.g. to arriving-endpoint pairs) and verify against ``ppsh``.
+JACCARD_PREFIX_CTES = f"""
+ppsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
+ppex AS (SELECT doc_id, unnest(sgs) AS s FROM ppsh),
+ppfreq AS (SELECT s, count(*) AS cnt FROM ppex GROUP BY s),
+ppranked AS (
+  SELECT e.doc_id, e.s,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.cnt, e.s) AS rn,
+         count(*) OVER (PARTITION BY e.doc_id) AS sz
+  FROM ppex e JOIN ppfreq f USING (s)
+),
+pppref AS (
+  SELECT doc_id, s FROM ppranked
+  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1
+)"""
+
+# Verified-pair SELECT body shared by the consumers: exact Jaccard
+# over shingle sets fetched by id for the candidate pairs only.
+JACCARD_VERIFY_SQL = """
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(x.sgs, y.sgs)) * 1.0
+             / len(list_distinct(list_concat(x.sgs, y.sgs))), 4) AS jaccard
+FROM ppcand c
+JOIN ppsh x ON x.doc_id = c.doc_a
+JOIN ppsh y ON y.doc_id = c.doc_b
+WHERE len(list_intersect(x.sgs, y.sgs)) * 1.0
+      / len(list_distinct(list_concat(x.sgs, y.sgs))) >= 0.8"""
+
 _JACCARD_ALLPAIRS_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
-ex AS (SELECT doc_id, unnest(sgs) AS s FROM sh),
-freq AS (SELECT s, count(*) AS cnt FROM ex GROUP BY s),
-ranked AS (
-  SELECT e.doc_id, e.s,
-         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.cnt, e.s) AS rn,
-         count(*) OVER (PARTITION BY e.doc_id) AS sz
-  FROM ex e JOIN freq f USING (s)
-),
-pref AS (
-  SELECT doc_id, s FROM ranked
-  WHERE rn <= sz - ((4 * sz + 4) // 5) + 1
-),
-cand AS (
+{JACCARD_PREFIX_CTES},
+ppcand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM pppref a JOIN pppref b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT c.doc_a, c.doc_b,
-       round(len(list_intersect(x.sgs, y.sgs)) * 1.0
-             / len(list_distinct(list_concat(x.sgs, y.sgs))), 4) AS jaccard
-FROM cand c
-JOIN sh x ON x.doc_id = c.doc_a
-JOIN sh y ON y.doc_id = c.doc_b
-WHERE len(list_intersect(x.sgs, y.sgs)) * 1.0
-      / len(list_distinct(list_concat(x.sgs, y.sgs))) >= 0.8
+{JACCARD_VERIFY_SQL}
 """
 
 
@@ -1302,13 +1315,21 @@ cand AS (
   WHERE {PPJ_DEN} * least(a.len, b.len)
         >= {PPJ_NUM} * greatest(a.len, b.len)
 ),
+-- verify by intersecting per-doc sorted integer token-id lists
+-- instead of a 3-way (doc, token) join (r12 — the same exact
+-- acceleration as the containment oracle; identical n_common since
+-- tok is per-doc DISTINCT)
+tokid AS (SELECT tk, row_number() OVER (ORDER BY df, tk) AS tid FROM df),
+lists AS (
+  SELECT t.doc_id, list_sort(list(ti.tid)) AS tl
+  FROM tok t JOIN tokid ti USING (tk) GROUP BY t.doc_id
+),
 verified AS (
   SELECT c.doc_a, c.doc_b, c.len_a, c.len_b,
-         CAST(count(*) AS BIGINT) AS n_common
+         len(list_intersect(x.tl, y.tl)) AS n_common
   FROM cand c
-  JOIN tok x ON x.doc_id = c.doc_a
-  JOIN tok y ON y.doc_id = c.doc_b AND y.tk = x.tk
-  GROUP BY c.doc_a, c.doc_b, c.len_a, c.len_b
+  JOIN lists x ON x.doc_id = c.doc_a
+  JOIN lists y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        round(CAST(n_common AS DOUBLE)

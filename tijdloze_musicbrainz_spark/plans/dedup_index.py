@@ -36,7 +36,8 @@ from .lifecycle import (
     write_delta_key_manifest,
 )
 from .dedup import (
-    _SHINGLES_SQL,
+    JACCARD_PREFIX_CTES,
+    JACCARD_VERIFY_SQL,
     band_key_cols,
     jaccard,
     minhash_agg_exprs,
@@ -60,20 +61,25 @@ DEDUP_DELTA_MOD = 10
 # index each (e.g. ~4096 buckets for a 600 GB band table).
 DEDUP_INDEX_BUCKETS = 16
 
+# The arriving-endpoint-restricted exact pair oracle, stated with the
+# shared prefix-filter CTEs (plans/dedup.py) instead of the exhaustive
+# endpoint-restricted pair scan — identical rows (the restriction
+# lands in the candidate CTE, a superset-preserving cut), ~185 s ->
+# seconds at sf0.1 (r12; the skip-list burn-down's trick applied to
+# the lifecycle oracles too).
 _MH_INC_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE text IS NOT NULL
 ),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         round(len(list_intersect(a.sgs, b.sgs)) * 1.0
-               / len(list_distinct(list_concat(a.sgs, b.sgs))), 4) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE (a.doc_id % {DEDUP_DELTA_MOD} = 0 OR b.doc_id % {DEDUP_DELTA_MOD} = 0)
-    AND len(list_intersect(a.sgs, b.sgs)) * 1.0
-        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
+{JACCARD_PREFIX_CTES},
+ppcand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pppref a JOIN pppref b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {DEDUP_DELTA_MOD} = 0 OR b.doc_id % {DEDUP_DELTA_MOD} = 0
+  GROUP BY 1, 2
+),
+pairs AS ({JACCARD_VERIFY_SQL}
 )
 SELECT doc_a, doc_b, jaccard,
        (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_indexed
@@ -366,13 +372,16 @@ w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE text IS NOT NULL
 ),
-sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sgs FROM w),
-nd_pairs AS (
+{JACCARD_PREFIX_CTES},
+ppcand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE (a.doc_id % {DEDUP_DELTA_MOD} = 0 OR b.doc_id % {DEDUP_DELTA_MOD} = 0)
-    AND len(list_intersect(a.sgs, b.sgs)) * 1.0
-        / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.8
+  FROM pppref a JOIN pppref b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {DEDUP_DELTA_MOD} = 0 OR b.doc_id % {DEDUP_DELTA_MOD} = 0
+  GROUP BY 1, 2
+),
+nd_pairs AS (
+  SELECT doc_a, doc_b FROM ({JACCARD_VERIFY_SQL}
+  )
 ),
 nd_rejected AS (
   SELECT doc_b AS doc_id FROM nd_pairs WHERE doc_b % {DEDUP_DELTA_MOD} = 0
