@@ -31,6 +31,10 @@ EDGE_QUERIES = [
     # broader per-document tier on the same hostile rows
     "dedup_exact_first_wins",
     "dedup_ngram_jaccard_blocked",
+    # r12: the capped meta-blocking variant on the same hostile rows —
+    # every block here is under both caps, so the accounting columns
+    # must read all-zero and the pairs must match the oracle exactly
+    "dedup_ngram_jaccard_meta_blocked",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "dedup_cluster_keep_best",
