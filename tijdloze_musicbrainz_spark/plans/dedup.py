@@ -265,6 +265,11 @@ FROM units a JOIN units b ON a.blk = b.blk AND a.doc_id < b.doc_id
 CROSS JOIN acct
 WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
       / len(list_distinct(list_concat(a.sgs, b.sgs))) >= 0.9
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(NULL AS DOUBLE),
+       acct.n_blocks_reblocked, acct.n_subblocks_dropped,
+       acct.n_docs_dropped
+FROM acct
 """,
     doc="META-BLOCKING with an EXPLICIT cap (Papadakis et al.'s "
     "block-purging/refinement family) — the executable form of "
@@ -274,10 +279,14 @@ WHERE len(list_intersect(a.sgs, b.sgs)) * 1.0
     "blocks above META_BLOCK_CAP=16 members are RE-BLOCKED by the "
     "finer first-2-token key instead of paired quadratically, and "
     "sub-blocks still above META_SUBBLOCK_CAP=8 are DROPPED — with "
-    "the dropped mass surfaced on every output row "
-    "(n_blocks_reblocked / n_subblocks_dropped / n_docs_dropped, "
-    "all inside the driver-hashed result, so the cap can never be "
-    "silent; at sf0.1 that reads 30 mega-blocks re-blocked, 102 "
+    "the dropped mass surfaced on every output row AND on one "
+    "always-present sentinel accounting row (doc_a = doc_b = -1, "
+    "jaccard NULL — mirrored exactly in the oracle), so the counters "
+    "reach the driver-hashed result even when NO pair clears the 0.9 "
+    "threshold; without the sentinel an empty pair set would hide "
+    "the drops entirely (r12 ADVICE) "
+    "(n_blocks_reblocked / n_subblocks_dropped / n_docs_dropped; "
+    "at sf0.1 that reads 30 mega-blocks re-blocked, 102 "
     "sub-blocks dropped, 1019 docs excluded). Within-unit pairing "
     "fan-out is bounded by cap^2 per key, so the plan has NO "
     "quadratic mega-block stage at any scale — the property the "
@@ -327,7 +336,12 @@ def dedup_ngram_jaccard_meta_blocked(
     a = units.alias("a")
     b = units.alias("b")
     jac = jaccard(F.col("a.sgs"), F.col("b.sgs"))
-    return (
+    acct_cols = (
+        F.lit(n_reblocked).cast("long").alias("n_blocks_reblocked"),
+        F.lit(drop_row["nb"]).cast("long").alias("n_subblocks_dropped"),
+        F.lit(drop_row["nd"]).cast("long").alias("n_docs_dropped"),
+    )
+    pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -338,11 +352,20 @@ def dedup_ngram_jaccard_meta_blocked(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
-            F.lit(n_reblocked).cast("long").alias("n_blocks_reblocked"),
-            F.lit(drop_row["nb"]).cast("long").alias("n_subblocks_dropped"),
-            F.lit(drop_row["nd"]).cast("long").alias("n_docs_dropped"),
+            *acct_cols,
         )
     )
+    # sentinel accounting row (mirrored in the oracle): the drop
+    # counters must reach the hashed result even when no pair clears
+    # the threshold — riding only on emitted pairs would make an
+    # empty result silently eat the dropped mass (r12 ADVICE)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_a"),
+        F.lit(-1).cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        *acct_cols,
+    )
+    return pairs.unionByName(sentinel)
 
 
 # Exact all-pairs Jaccard >= 0.8 over 3-gram shingle sets, stated

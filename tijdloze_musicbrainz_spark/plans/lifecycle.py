@@ -133,12 +133,35 @@ def write_delta_key_manifest(
     """Record the staged delta's distinct key set as a ``_``-prefixed
     JSON sidecar inside the staged directory (Spark's parquet reader
     ignores underscore files). Runs at INGEST time where jobs are
-    expected; the collect is bounded at cap+1 rows of one column."""
+    expected; the collect is bounded at cap+1 rows of one column.
+
+    Two guards (r12 verdict item 6 + ADVICE):
+
+    - NULL keys are filtered BEFORE the distinct: a NULL key can never
+      equi-join a probe, so dropping it is semantically free — and
+      ``sorted([None, ...])`` would raise TypeError at ingest if a
+      null-keyed row ever reached staging.
+    - An ``approx_count_distinct`` pre-check skips the exact distinct
+      SHUFFLE when the delta is clearly over-cap: the approximate
+      aggregate is map-side-partial with a constant-size sketch, while
+      the exact pass pays a full distinct shuffle only to throw the
+      key set away. The 1.1x slack absorbs HLL error (rsd ~5%): an
+      over-estimate past the slack with a true count <= cap is a
+      >~2-sigma event, and the only cost of that miss is a lost
+      pushdown, never a wrong answer — an under-estimate falls through
+      to the exact pass, whose limit(cap+1) still decides correctly.
+    """
     import json  # noqa: PLC0415
 
-    rows = staged_delta.select(key_col).distinct().limit(cap + 1).collect()
-    keys = sorted(r[0] for r in rows)
-    complete = len(keys) <= cap
+    non_null = staged_delta.filter(F.col(key_col).isNotNull())
+    approx = non_null.agg(
+        F.approx_count_distinct(key_col).alias("c")
+    ).collect()[0]["c"]
+    if approx > cap * 1.1:
+        keys, complete = [], False
+    else:
+        keys = _exact_key_set(non_null, key_col, cap)
+        complete = len(keys) <= cap
     with open(os.path.join(staged_dir, _DELTA_KEYS_SIDECAR), "w") as f:
         json.dump(
             {
@@ -149,6 +172,15 @@ def write_delta_key_manifest(
             },
             f,
         )
+
+
+def _exact_key_set(non_null, key_col: str, cap: int) -> list:
+    """The exact pass: a distinct SHUFFLE bounded-collected at cap+1
+    rows of one column. Module-level (not inlined) so the over-cap
+    skip is structurally pinned — the guard test monkeypatches this to
+    prove an over-cap delta never reaches it."""
+    rows = non_null.select(key_col).distinct().limit(cap + 1).collect()
+    return sorted(r[0] for r in rows)
 
 
 def read_delta_key_manifest(staged_dir: str, key_col: str):
@@ -176,12 +208,22 @@ def list_partition_ids(store_dir: str) -> set[int]:
     (O(#files) metadata ops against object storage), while the
     partition listing is one LIST call; on a managed table the same
     numbers come from manifest / metastore stats
-    (operators/manifest.py records them at commit)."""
-    return {
-        int(name.split("=", 1)[1])
-        for name in os.listdir(store_dir)
-        if "=" in name and not name.startswith((".", "_"))
-    }
+    (operators/manifest.py records them at commit).
+
+    Non-integer hive artifacts are SKIPPED, not fatal (r12 ADVICE): a
+    ``__HIVE_DEFAULT_PARTITION__`` entry (the null partition value) or
+    any stray ``k=v`` directory with a non-decimal value would
+    otherwise raise ValueError and kill the query; such entries carry
+    no integer partition id by definition, so skipping is the honest
+    reading of the catalog."""
+    ids: set[int] = set()
+    for name in os.listdir(store_dir):
+        if "=" not in name or name.startswith((".", "_")):
+            continue
+        value = name.split("=", 1)[1]
+        if value.lstrip("-").isdigit() and value.lstrip("-"):
+            ids.add(int(value))
+    return ids
 
 
 def compact_partitioned(
