@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from tijdloze_musicbrainz_spark.plans import REGISTRY
 from tijdloze_musicbrainz_spark.plans.cc_index import (
     CC_DELTA_MOD,
+    _block_runs,
     _build_base,
     _ingest_batch,
     _probe_pairs,
@@ -44,7 +45,7 @@ def test_probe_reads_stored_blocks_bucketed(spark, sf_dir):
         F.col("doc_id") % CC_DELTA_MOD == 0,
         gen=1,
     )
-    plan = _plan(_probe_pairs(spark, t_blocks, paths, gen=1))
+    plan = _plan(_probe_pairs(spark, _block_runs(t_blocks, [1]), paths, gen=1))
     assert "Bucketed: true" in plan
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan

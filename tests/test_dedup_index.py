@@ -79,7 +79,7 @@ def test_compaction_collapses_files_preserving_results(spark, sf_dir):
     assert comp == inc
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    loc = f"{SINK_ROOT}/mh_compact_bands_{tag}"
+    root = f"{SINK_ROOT}/mh_compact_{tag}"
 
     def layout(path):
         fs = [f for f in os.listdir(path) if f.endswith(".parquet")]
@@ -94,10 +94,11 @@ def test_compaction_collapses_files_preserving_results(spark, sf_dir):
             per_bucket[m.group(1)] += 1
         return len(fs), max(per_bucket.values())
 
-    n_before, _ = layout(loc)
-    n_after, max_per_bucket = layout(f"{loc}_c")
-    # base write + append leave 2+ files per touched bucket; the
-    # compactor must emit exactly one file per bucket
+    # pre-compaction: TWO runs (base + ingested generation), each with
+    # one-plus file per touched bucket; the compactor folds the run
+    # set into one table with exactly one file per bucket
+    n_before = layout(f"{root}/bands_g0")[0] + layout(f"{root}/bands_g1")[0]
+    n_after, max_per_bucket = layout(f"{root}/bands_c")
     assert n_before > DEDUP_INDEX_BUCKETS
     assert n_after <= DEDUP_INDEX_BUCKETS
     assert max_per_bucket == 1
@@ -125,13 +126,18 @@ def test_probe_is_lazy_and_scans_index_once(spark, sf_dir):
     import re
 
     plan = _plan(df)
-    # exactly one scan NODE of the stored band table: formatted explain
-    # prints each node once as a numbered detail header "(n) Scan ..."
-    # (mh_lazy_delta_bands does not contain the substring
-    # mh_lazy_bands, so the match is unambiguous)
-    scan_nodes = re.findall(r"\(\d+\) Scan parquet \S*mh_lazy_bands", plan)
-    assert len(scan_nodes) == 1, plan
-    assert "mh_lazy_delta_bands" in plan
+    # exactly one scan NODE per stored band RUN (base + one ingested
+    # generation): formatted explain prints each node once as a
+    # numbered detail header "(n) Scan ..."
+    band_runs = args[0]
+    assert isinstance(band_runs, list) and len(band_runs) == 2, band_runs
+    for run in band_runs:
+        scan_nodes = re.findall(
+            rf"\(\d+\) Scan parquet \S*\.{re.escape(run)}\b", plan
+        )
+        assert len(scan_nodes) == 1, (run, plan)
+    # probe side reads the staged delta-signature files, not the index
+    assert "stage/delta_bands" in plan
     # and no aggregate feeds the n_indexed column — it is a literal
     assert df.schema["n_indexed"].dataType.typeName() == "long"
 

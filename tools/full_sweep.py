@@ -40,6 +40,82 @@ import time
 # pinned in tests/test_dedup_property.py.
 SKIP_REASONS: dict[str, str] = {}
 
+# Answer-bound oracles (r12 verdict item 2): these queries' sf0.1
+# answers are ~11M rows, and shipping them through collect + fetchall
+# + a Python row sort twice per sweep made THREE queries ~48% of the
+# whole sf0.1 wall clock — the verification harness, not either
+# engine, was the bottleneck. For these, each engine aggregates its
+# OWN result down to (row_count, two order-insensitive 32-bit-lane
+# checksums over md5 of the canonicalized row string, columns sorted
+# by name) and only those three numbers cross the process boundary.
+# Exactness: the canonical row string is deterministic and identical
+# across engines (bigints/strings cast verbatim; doubles scaled by
+# 1e6 and rounded to integers, well inside the 1e-9 tolerance the
+# row-level canon() already grants), so differing multisets collide
+# only with ~2^-64 probability ON TOP of an exact row-count match.
+# Agreement with the row-level compare is pinned at sf0.001 in
+# tests/test_r13_fixes.py::test_checksum_compare_agrees_with_row_compare.
+CHECKSUM_QUERIES = {
+    "dedup_containment_join",
+    "dedup_jaccard_prefix_filter",
+    "p12_exact_key_match",
+}
+
+_NULL_SENTINEL_SQL = "chr(0) || 'NULL'"
+
+
+def spark_checksum(sdf):
+    """(sorted_cols, (count, sum_lane1, sum_lane2)) computed entirely
+    engine-side — one aggregate job, three numbers to the driver."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(sdf.columns)
+    dtypes = dict(sdf.dtypes)
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        if dtypes[c] in ("double", "float"):
+            col = F.round(col.cast("double") * 1000000.0).cast("long")
+        parts.append(
+            F.coalesce(col.cast("string"), F.concat(F.lit("\x00"), F.lit("NULL")))
+        )
+    s = F.concat_ws("|", *parts)
+    h = F.md5(s)
+    lane1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lane2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    row = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lane1).alias("c1"),
+        F.sum(lane2).alias("c2"),
+    ).collect()[0]
+    return cols, (row["n"], row["c1"] or 0, row["c2"] or 0)
+
+
+def duck_checksum(con, sql):
+    """The DuckDB twin: same canonical row string, same md5 lanes,
+    summed inside the engine."""
+    rel = con.sql(f"SELECT * FROM ({sql})")
+    cols0 = list(rel.columns)
+    types0 = [str(t).upper() for t in rel.types]
+    parts = []
+    for i in sorted(range(len(cols0)), key=lambda i: cols0[i]):
+        expr = f'"{cols0[i]}"'
+        if types0[i] in ("DOUBLE", "FLOAT", "REAL"):
+            expr = f"CAST(round({expr} * 1000000.0) AS BIGINT)"
+        parts.append(
+            f"coalesce(CAST({expr} AS VARCHAR), {_NULL_SENTINEL_SQL})"
+        )
+    s = "concat_ws('|', " + ", ".join(parts) + ")"
+    q = (
+        f"WITH __q AS ({sql}) SELECT count(*), "
+        f"CAST(coalesce(sum(CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT)), 0) AS BIGINT), "
+        f"CAST(coalesce(sum(CAST('0x' || substr(md5({s}), 9, 8) AS BIGINT)), 0) AS BIGINT) "
+        "FROM __q"
+    )
+    n, c1, c2 = con.execute(q).fetchone()
+    return sorted(cols0), (int(n), int(c1), int(c2))
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
@@ -124,26 +200,39 @@ def main() -> int:
         t_q = time.monotonic()
         try:
             sdf = qs[name](spark, sf)
-            scols = sorted(sdf.columns)
-            srows = sorted(
-                [tuple(canon(r[c]) for c in scols) for r in sdf.collect()],
-                key=repr,
-            )
-            rel = con.execute(oracles[name])
-            cols0 = [d[0] for d in rel.description]
-            idx = [cols0.index(c) for c in sorted(cols0)]
-            drows = sorted(
-                [tuple(canon(r[i]) for i in idx) for r in rel.fetchall()],
-                key=repr,
-            )
-            if scols == sorted(cols0) and srows == drows:
+            if name in CHECKSUM_QUERIES:
+                # answer-bound query: engine-side (count, checksum)
+                # compare — see CHECKSUM_QUERIES for the argument
+                scols, ssum = spark_checksum(sdf)
+                dcols, dsum = duck_checksum(con, oracles[name])
+                srows, drows = (ssum,), (dsum,)
+            else:
+                scols = sorted(sdf.columns)
+                srows = sorted(
+                    [
+                        tuple(canon(r[c]) for c in scols)
+                        for r in sdf.collect()
+                    ],
+                    key=repr,
+                )
+                rel = con.execute(oracles[name])
+                cols0 = [d[0] for d in rel.description]
+                dcols = sorted(cols0)
+                idx = [cols0.index(c) for c in dcols]
+                drows = sorted(
+                    [tuple(canon(r[i]) for i in idx) for r in rel.fetchall()],
+                    key=repr,
+                )
+            if scols == dcols and srows == drows:
                 n_ok += 1
             else:
-                why = "cols" if scols != sorted(cols0) else (
+                why = "cols" if scols != dcols else (
                     f"rows {len(srows)}/{len(drows)}"
                     if len(srows) != len(drows)
                     else "values"
                 )
+                if name in CHECKSUM_QUERIES and scols == dcols:
+                    why = f"checksum {srows[0]} != {drows[0]}"
                 bad.append((name, why))
                 print(f"FAIL {name}: {why}", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
