@@ -358,6 +358,45 @@ QUERIES = (
         "capped at 4x to bound harness runtime. See SCALE.md "
         "'Near-dup at scale: the threshold decides the physics'.",
     ),
+    # r13 (VERDICT r12 #5): the three previously-uncurved heavy paths.
+    (
+        "graph_bfs_fixpoint",
+        None,
+        True,
+        "run-to-completion BFS over the co-purchase projection: like "
+        "graph_bfs_hops, replica key strides make the m-times graph "
+        "m disjoint copies while the absolutely-capped seed set "
+        "(mod + id cap) confines traversal to the first replica — "
+        "iterations track that component's diameter (constant in m), "
+        "so the measured growth is the m-linear edge-build scan under "
+        "a constant number of fixpoint rounds",
+    ),
+    (
+        "streaming_interval_join",
+        None,
+        True,
+        "stream-stream interval join over the m-times events table "
+        "(replica-local user_id strides -> joins and answers exactly "
+        "m-linear): timestamps are untouched, so watermark horizons "
+        "and per-key state RETENTION are constant in m — total state "
+        "grows m-linearly with the keys, the property that makes the "
+        "join operable at scale; micro-batch count fixed (availableNow "
+        "over one staged file set)",
+    ),
+    (
+        "dedup_containment_join",
+        4,
+        True,
+        "engine side of the one-sided containment join (PPJoin prefix "
+        "+ positional filter): replica-salted tokens kill every "
+        "cross-replica candidate, so candidates AND answers grow "
+        "exactly m-linearly — but the answer is OUTPUT-BOUND like its "
+        "sibling dedup_jaccard_prefix_filter (~11M genuinely-"
+        "qualifying pairs per replica on the template-heavy corpus; "
+        "any correct algorithm pays Omega(answer)), so the curve is "
+        "capped at 4x to bound harness runtime and the expectation is "
+        "linear-in-m output production, not sublinear index magic",
+    ),
 )
 
 DERIVED_ROOT = "/tmp/spark_graft_scale"
@@ -510,6 +549,41 @@ def derive_tpch(spark, base_dir: str, m: int) -> None:
         f.write("ok")
 
 
+def derive_events(base_dir: str, m: int) -> None:
+    """m-times events table for the streaming curves, replica-local:
+    event_id/user_id strides make cross-replica joins impossible (the
+    interval join is per-user), so answers and per-key stream state
+    grow exactly m-linearly while timestamps — hence watermarks and
+    state-retention horizons — are untouched.
+
+    Written with DuckDB as ONE FILE literally named ``events.parquet``:
+    the streaming readers select the table with
+    ``pathGlobFilter=events.parquet``, a LEAF-file filter that a
+    directory-shaped derived table would silently fail to match
+    (the documents.parquet directory lesson, r12)."""
+    import duckdb  # noqa: PLC0415
+
+    out = f"{DERIVED_ROOT}/m{m}/events.parquet"
+    marker = f"{DERIVED_ROOT}/m{m}/_EVENTS_DONE"
+    if os.path.exists(marker):
+        return
+    os.makedirs(f"{DERIVED_ROOT}/m{m}", exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+COPY (
+  SELECT e.event_id + r.k * {ID_STRIDE} AS event_id, e.ts,
+         e.user_id + r.k * 1000000 AS user_id,
+         e.event_type, e.value, e.props
+  FROM read_parquet('{base_dir}/events.parquet') e
+  CROSS JOIN (SELECT unnest(range({m})) AS k) r
+) TO '{out}' (FORMAT parquet)
+"""
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 def fit_exponent(points: list[tuple[int, float]]) -> float:
     """Least-squares slope of log(t) vs log(m)."""
     xs = [math.log(m) for m, _ in points]
@@ -549,6 +623,7 @@ def main() -> None:
         t0 = time.monotonic()
         dirs[m] = derive(spark, args.base, m)
         derive_tpch(spark, args.base, m)
+        derive_events(args.base, m)
         print(
             f"[scale] derived m={m} in {time.monotonic() - t0:.1f}s",
             file=sys.stderr,
