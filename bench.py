@@ -114,6 +114,10 @@ HEADLINERS = [
     # r12: capped meta-blocking (two blocking aggregates + capped
     # hierarchical self-join + dropped-mass accounting in one DAG)
     "dedup_ngram_jaccard_meta_blocked",
+    # r13: crash-recovery ingest (base build + dead-writer debris +
+    # stale-lock takeover + generation replay + orphan-manifest
+    # reclaim + post-recovery probe in one DAG)
+    "dedup_minhash_ingest_recovery",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,

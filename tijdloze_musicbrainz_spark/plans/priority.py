@@ -84,7 +84,15 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # first official row — two-generation ingest, remap-chain
     # resolution, chain folded flat, results pinned batch-identical)
     "dedup_cluster_label_compact",
-    "dedup_minhash_index_compact",
+    # (dedup_minhash_index_compact -> tail in r13 after green r10-r12
+    # rows: the compaction contract keeps an in-window carrier in
+    # dedup_cluster_label_compact and the band tier keeps its
+    # incremental row; the slot gives the r13 marquee its official
+    # row — CRASH-RECOVERY ingest: manufactured dead-writer debris
+    # (band run without payload, orphan manifest, stale dead-pid
+    # lock), stale-lock takeover, generation replay, orphan reclaim,
+    # hashed against the SAME oracle as the uncrashed ingest)
+    "dedup_minhash_ingest_recovery",
     # -- tier 3: LLM-training-data pipeline components -------------------
     # r9 rotation (r8 verdict item 3): etl_incremental_agg_maintenance,
     # dedup_minhash_lsh, graph_copurchase_lift, sim_ann_lsh_bucketed,

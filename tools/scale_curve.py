@@ -338,6 +338,10 @@ QUERIES = (
     # reason it is not a bench headliner: its runtime is two stream
     # startups + an injected failure around the same merge work the
     # batch lifecycle queries already measure.
+    # dedup_minhash_ingest_recovery (r13) is NOT curved either: it is
+    # dedup_minhash_incremental's ingest plus constant-size crash
+    # debris (one orphan manifest, one lock file) and one extra
+    # signing pass — its scaling IS the incremental query's curve.
     # dedup_jaccard_prefix_filter is deliberately NOT curved: the
     # exact all-pairs join is OUTPUT-BOUND — any correct algorithm
     # pays Omega(answer), and the template-heavy synthetic corpus
