@@ -253,14 +253,24 @@ def test_ivf_pq_compaction_collapses_files_preserving_results(
                 )
         return out
 
+    # pre-compaction: TWO runs (base lists + the ingested generation's
+    # lists_g1), each partitioned by cent_id — the r13 crash-atomic
+    # layout's version of fragmentation is per-partition file counts
+    # SUMMED ACROSS RUNS; the compactor folds the run set into one
+    # store with exactly one file per partition
     frag = files_per_part(f"{root}/lists")
+    for part, n in files_per_part(f"{root}/lists_g1").items():
+        frag[part] = frag.get(part, 0) + n
     comp = files_per_part(f"{root}/lists_compacted")
     assert set(comp) == set(frag)  # same partitions survive
     assert all(n == 1 for n in comp.values()), comp
     assert any(n > 1 for n in frag.values()), (
-        "append should have fragmented at least one partition"
+        "ingest should have fragmented at least one partition"
     )
-    rows_frag = spark.read.parquet(f"{root}/lists").count()
+    rows_frag = (
+        spark.read.parquet(f"{root}/lists").count()
+        + spark.read.parquet(f"{root}/lists_g1").count()
+    )
     rows_comp = spark.read.parquet(f"{root}/lists_compacted").count()
     assert rows_frag == rows_comp
 

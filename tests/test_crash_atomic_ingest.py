@@ -232,3 +232,64 @@ def test_cc_kill_mid_merge_leaves_old_snapshot_then_recovery_converges(
         .collect()
     }
     assert recovered == expected and recovered
+
+
+def test_ann_kill_mid_ingest_leaves_old_snapshot_then_recovery_converges(
+    spark, sf_dir, monkeypatch
+):
+    """ANN tier (r13 symmetry): the injected crash fires AFTER the
+    generation's code-list run is written but BEFORE the snapshot
+    commit — under the old in-place partitioned append this window
+    exposed a half-applied batch (some centroid partitions with the
+    delta's files, readers mid-listing seeing a torn subset). Readers
+    must resolve the base-only snapshot; recovery replays the
+    generation under the taken-over lock and converges to the
+    uncrashed append operator's exact top-k."""
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        pq_lifecycle as pq,
+    )
+
+    base = pq._pq_vecs(spark, sf_dir)
+    subs = pq._pq_subs(base)
+    root = pq._pq_index_root(sf_dir, "ivfpq_crash")
+    pq._pq_write_index(
+        base, subs, pq._pq_seed_codebook(base, subs), pq._ivf_cents(base), root
+    )
+    delta = pq._pq_delta(base)
+    cb = spark.read.parquet(f"{root}/codebook")
+    cents = spark.read.parquet(f"{root}/cents")
+
+    real_commit = pq.commit_snapshot
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before snapshot commit")
+
+    monkeypatch.setattr(pq, "commit_snapshot", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pq._pq_ingest_batch(delta, cb, cents, root)
+    monkeypatch.setattr(pq, "commit_snapshot", real_commit)
+
+    # reader view: base-only snapshot, the dead writer's run invisible
+    snap = current_snapshot(root)
+    assert snap["list_dirs"] == ["lists"]
+    assert os.path.exists(f"{root}/lists_g1"), "crash fired too early"
+
+    # hard-kill debris + recovery replay
+    lock = os.path.join(root, "_APPEND_LOCK")
+    with open(lock, "w") as f:
+        f.write(f"pid={_dead_pid()} owner=pq_crashed\n")
+    pq._pq_ingest_batch(delta, cb, cents, root)
+    assert not os.path.exists(lock)
+    assert current_snapshot(root)["list_dirs"] == ["lists", "lists_g1"]
+
+    corpus = base.select("vec_id", "v").unionByName(delta.select("vec_id", "v"))
+    topk, _, _, _ = pq._pq_query_stored(spark, base, subs, root, corpus)
+    recovered = {
+        (r["query_id"], r["match_id"], r["pq_adc"], r["cosine"])
+        for r in topk.collect()
+    }
+    expected = {
+        (r["query_id"], r["match_id"], r["pq_adc"], r["cosine"])
+        for r in REGISTRY["sim_ann_ivf_pq_append"].builder(spark, sf_dir).collect()
+    }
+    assert recovered == expected and recovered

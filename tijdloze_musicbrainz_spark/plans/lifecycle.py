@@ -299,15 +299,23 @@ def list_partition_ids(store_dir: str) -> set[int]:
 
 
 def compact_partitioned(
-    spark: SparkSession, src: str, dst: str, partition_col: str
+    spark: SparkSession, src: str | list[str], dst: str, partition_col: str
 ) -> None:
-    """Rewrite a partitionBy parquet store with exactly ONE file per
+    """Rewrite one-or-more partitionBy parquet stores (an index's
+    per-generation run set) into ONE store with exactly ONE file per
     partition directory: ``repartition(partition_col)`` aligns each
     output task to one partition value, so every ``partition_col=v``
-    directory collapses from one-plus file per ingested batch back to
-    a single file. Layout changes, results must not — callers pin that
-    by running the same probe against ``dst`` under the same oracle."""
-    spark.read.parquet(src).repartition(partition_col).write.partitionBy(
+    directory collapses from one-plus file per ingested generation
+    back to a single file. Layout changes, results must not — callers
+    pin that by running the same probe against ``dst`` under the same
+    oracle. Multiple source roots are read separately and unioned
+    (each root carries its own hive partition discovery; a single
+    multi-root read would reject the 'conflicting' structures)."""
+    srcs = [src] if isinstance(src, str) else list(src)
+    merged = spark.read.parquet(srcs[0])
+    for s in srcs[1:]:
+        merged = merged.unionByName(spark.read.parquet(s))
+    merged.repartition(partition_col).write.partitionBy(
         partition_col
     ).parquet(dst)
 

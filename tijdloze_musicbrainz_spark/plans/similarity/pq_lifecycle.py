@@ -13,7 +13,13 @@ import pandas as pd  # noqa: F401,TC002  (pandas_udf resolves 'pd.Series' hints 
 from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
-from ..lifecycle import compact_partitioned, index_root, list_partition_ids
+from ..lifecycle import (
+    commit_snapshot,
+    compact_partitioned,
+    current_snapshot,
+    index_root,
+    list_partition_ids,
+)
 from ..registry import register
 from ..util import t  # noqa: F401
 
@@ -633,7 +639,11 @@ def _pq_write_index(
 ) -> None:
     """The ONE corpus-linear build pass: centroid-partitioned code
     lists (one file per partition via repartition), plus the tiny
-    codebook and centroid tables as their own parquets."""
+    codebook and centroid tables as their own parquets — committed as
+    the index's first snapshot (r13: the ANN twin of the band/block
+    tiers' crash-atomic layout; readers resolve only committed run
+    dirs, so a writer dying mid-ingest can never expose a
+    half-applied batch)."""
     lists = _nearest_cent(base, cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
@@ -642,6 +652,7 @@ def _pq_write_index(
     ).write.partitionBy("cent_id").parquet(f"{root}/lists")
     cb.write.parquet(f"{root}/codebook")
     cents.write.parquet(f"{root}/cents")
+    commit_snapshot(root, {"list_dirs": ["lists"]})
 
 
 def _pq_delta(base: DataFrame) -> DataFrame:
@@ -659,14 +670,23 @@ def _pq_ingest_batch(
     stored_cb: DataFrame,
     stored_cents: DataFrame,
     root: str,
+    gen: str = "g1",
 ) -> None:
-    """The Faiss add() contract: encode a batch against the STORED
-    codebook, assign against the STORED centroids, append one file
-    per touched centroid partition. Existing files untouched. The
-    append runs under the index's single-writer lock (r10 verdict
-    item 7): a second concurrent ingest errors explicitly instead of
-    interleaving files; streaming micro-batches are sequential within
-    one query, so each acquires and releases in turn."""
+    """The Faiss add() contract, crash-atomic (r13): encode a batch
+    against the STORED codebook, assign against the STORED centroids,
+    land the generation's code-list run at its own ``lists_{gen}``
+    dir (a deterministic-path OVERWRITE — invisible to readers, who
+    resolve only snapshot-committed dirs; idempotent on replay), then
+    publish it with one snapshot commit. Existing runs untouched. A
+    writer dying between the run write and the commit leaves readers
+    on the previous snapshot — never a half-applied batch (the
+    partial-partition exposure the old in-place partitioned append
+    had). Runs under the index's single-writer lock (r10 verdict item
+    7): a LIVE concurrent ingest errors explicitly, a DEAD holder's
+    lock is taken over (stale-pid policy); streaming micro-batches
+    are sequential within one query, each acquiring in turn, and a
+    REPLAYED micro-batch rewrites its own dir and re-commits without
+    duplicating the snapshot entry."""
     from ...sources.bucketing import exclusive_append  # noqa: PLC0415
 
     b = batch_df
@@ -679,10 +699,16 @@ def _pq_ingest_batch(
         F.col("vec_id").alias("match_id"), "cent_id"
     )
     enc = _pq_encode(_pq_subs(b), stored_cb).join(b_lists, "match_id")
-    with exclusive_append(f"{root}/lists", owner="pq_ingest"):
-        enc.repartition("cent_id").write.mode("append").partitionBy(
+    sub = f"lists_{gen}"
+    with exclusive_append(root, owner=f"pq_ingest_{gen}"):
+        enc.repartition("cent_id").write.mode("overwrite").partitionBy(
             "cent_id"
-        ).parquet(f"{root}/lists")
+        ).parquet(f"{root}/{sub}")
+        snap = current_snapshot(root)
+        dirs = snap["list_dirs"]
+        if sub not in dirs:  # replay re-commits without duplicating
+            dirs = [*dirs, sub]
+        commit_snapshot(root, {**snap, "list_dirs": dirs})
 
 
 def _pq_query_stored(
@@ -697,10 +723,16 @@ def _pq_query_stored(
     probed ids (bounded collect, <= MAX_QUERIES * N_PROBE) become the
     partition-pruning IN filter on the code lists, the re-read
     codebook builds the broadcast ADC tables, and exact vectors are
-    fetched from ``corpus`` only for the shortlist re-rank. Returns
-    (topk, stored, pruned, probed_ids) — accounting columns are the
-    caller's (probed_ids so callers can account parts_read against
-    the catalog listing without re-scanning anything)."""
+    fetched from ``corpus`` only for the shortlist re-rank. The code
+    lists are resolved through the index's COMMITTED SNAPSHOT when
+    one exists (the run-dir set the crash-atomic ingest publishes;
+    each run scanned with its own PartitionFilters, candidates
+    unioned) — ``lists_dir`` is the fallback for stores laid out
+    outside the snapshot protocol (the restart proof's two-level
+    tree). Returns (topk, stored, pruned, probed_ids) — accounting
+    columns are the caller's (probed_ids so callers can account
+    parts_read against the catalog listing without re-scanning
+    anything)."""
     stored_cb = spark.read.parquet(f"{root}/codebook")
     stored_cents = spark.read.parquet(f"{root}/cents")
     probes = _nearest_cent(
@@ -715,7 +747,11 @@ def _pq_query_stored(
     probed_ids = sorted(
         {r["cent_id"] for r in probes.select("cent_id").distinct().collect()}
     )
-    stored = spark.read.parquet(f"{root}/{lists_dir}")
+    snap = current_snapshot(root)
+    dirs = snap["list_dirs"] if snap else [lists_dir]
+    stored = spark.read.parquet(f"{root}/{dirs[0]}")
+    for d in dirs[1:]:
+        stored = stored.unionByName(spark.read.parquet(f"{root}/{d}"))
     pruned = stored.filter(F.col("cent_id").isin(probed_ids))
     coded_cand = (
         probes.join(pruned, "cent_id")
@@ -767,10 +803,12 @@ def _pq_n_appended_stored(stored: DataFrame) -> int:
     "Faiss add() contract): a delta batch (every 7th base vector, "
     "id-shifted and reversed — a deterministic stand-in for newly "
     "arrived documents) is encoded against the STORED codebook, "
-    "assigned against the STORED centroids, and appended as new "
-    "parquet files inside the centroid-partitioned code lists — no "
-    "rebuild, no touch of existing files; the query path is the "
-    "identical pruned read and now sees base+delta (the delta-sourced "
+    "assigned against the STORED centroids, and landed as its own "
+    "centroid-partitioned run published by ONE snapshot commit (r13 "
+    "crash-atomic ingest — no rebuild, no touch of existing runs, and "
+    "a writer dying mid-ingest can never expose a half-applied "
+    "batch); the query path is the identical pruned read over the "
+    "committed run set and now sees base+delta (the delta-sourced "
     "top-k rows prove it through the value hash; n_appended is the "
     "incrementally-maintained counter, plans/lifecycle.py). Codebook "
     "and "
@@ -842,17 +880,24 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
     )
 
-    # ── COMPACT: one file per centroid partition ─────────────────────
+    # ── COMPACT: fold the snapshot's run set (base + ingested
+    # generation) into one store with one file per centroid partition,
+    # then publish the replacement as a NEW snapshot — write-then-
+    # publish, so a concurrent pruned read resolves the multi-run or
+    # the compacted COMPLETE run set, never a half-written one
+    snap = current_snapshot(root)
     compact_partitioned(
-        spark, f"{root}/lists", f"{root}/lists_compacted", "cent_id"
+        spark,
+        [f"{root}/{d}" for d in snap["list_dirs"]],
+        f"{root}/lists_compacted",
+        "cent_id",
     )
+    commit_snapshot(root, {**snap, "list_dirs": ["lists_compacted"]})
 
     corpus = base.select("vec_id", "v").unionByName(
         delta.select("vec_id", "v")
     )
-    topk, _, _, _ = _pq_query_stored(
-        spark, base, subs, root, corpus, lists_dir="lists_compacted"
-    )
+    topk, _, _, _ = _pq_query_stored(spark, base, subs, root, corpus)
     return topk.withColumn(
         "n_appended", F.lit(n_appended).cast("long")
     ).select("query_id", "match_id", "pq_adc", "n_appended", "cosine")
@@ -916,7 +961,9 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
         .writeStream.foreachBatch(
-            lambda b, _id: _pq_ingest_batch(b, stored_cb, stored_cents, root)
+            lambda b, bid: _pq_ingest_batch(
+                b, stored_cb, stored_cents, root, gen=f"b{bid}"
+            )
         )
         .option("checkpointLocation", f"{root}/ckpt")
         .trigger(availableNow=True)
