@@ -61,6 +61,30 @@ class FakeConditionalPutStore:
         with self._mutex:
             return self.objs.pop(path, None) is not None
 
+    # the If-Match pair (r14): object stores give these natively
+    # (S3 conditional DELETE/PUT, GCS ifGenerationMatch); the fake's
+    # one-mutex implementation is the semantic contract call sites
+    # may rely on — compare and mutate in one atomic step
+    def delete_if_match(self, path: str, expected: str) -> bool:
+        with self._mutex:
+            if self.objs.get(path) != expected:
+                return False
+            del self.objs[path]
+            return True
+
+    def replace_if_match(self, path: str, expected: str, new: str) -> bool:
+        with self._mutex:
+            if self.objs.get(path) != expected:
+                return False
+            self.objs[path] = new
+            return True
+
+    def delete_prefix(self, dir_path: str) -> None:
+        prefix = dir_path.rstrip("/") + "/"
+        with self._mutex:
+            for k in [p for p in self.objs if p.startswith(prefix)]:
+                del self.objs[k]
+
 
 @pytest.fixture()
 def fake_io():

@@ -1304,7 +1304,38 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard threshold as an exact rational: t = PPJ_NUM/PPJ_DEN = 3/5.
 # Every bound below is integer arithmetic, so both engines agree
 # bit-for-bit with no float ceil/round hazards.
-PPJ_NUM, PPJ_DEN = 3, 5
+
+
+def _ratio_env(var: str, num: int, den: int) -> tuple[int, int]:
+    """Threshold override for the OUTPUT-BOUND similarity joins, as an
+    exact rational ``"N/D"`` (r13 verdict item 5): at sf0.1 the two
+    prefix-filter joins' ANSWERS are ~11M pairs on the template-heavy
+    corpus, so the verification sweep's cost is Ω(answer) — correct
+    but the dominant tax on every round's gate. The remedy the verdict
+    prescribes is to cut the ANSWER, not the check: the sweep harness
+    (tools/full_sweep.py) raises the thresholds at sf0.1 via these env
+    vars BEFORE importing the registry, and because BOTH the Spark
+    plan and the DuckDB oracle f-string are built from the same
+    constants at import time, any override is engine-symmetric BY
+    CONSTRUCTION — there is no code path where the two engines see
+    different thresholds. Unset (every other context: the driver's
+    sf0.01 correctness gate, bench, curves, tests, default sweeps) the
+    canonical defaults apply, and the default-threshold equivalence /
+    sensitivity proofs in tests/test_dedup_property.py and
+    tests/test_r13_fixes.py pin those."""
+    import os  # noqa: PLC0415
+
+    raw = os.environ.get(var)
+    if not raw:
+        return num, den
+    n_s, d_s = raw.split("/", 1)
+    n, d = int(n_s), int(d_s)
+    if not (0 < n <= d):
+        raise ValueError(f"{var}={raw!r}: need a rational in (0, 1]")
+    return n, d
+
+
+PPJ_NUM, PPJ_DEN = _ratio_env("SPARK_GRAFT_PPJOIN_T", 3, 5)
 
 
 @register(
@@ -1452,7 +1483,8 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Containment threshold as an exact rational: |A ∩ B| >= 4/5 * |A|.
-CONT_NUM, CONT_DEN = 4, 5
+# Sweep-time override (engine-symmetric by construction): _ratio_env.
+CONT_NUM, CONT_DEN = _ratio_env("SPARK_GRAFT_CONTAINMENT_T", 4, 5)
 
 
 @register(

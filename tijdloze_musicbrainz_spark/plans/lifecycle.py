@@ -122,30 +122,55 @@ class SnapshotConflict(RuntimeError):
     as operators/manifest.py's version-file race)."""
 
 
-def commit_snapshot(root: str, snap: dict) -> int:
+def commit_snapshot(root: str, snap: dict, lease=None) -> int:
     """Commit ``snap`` as the next snapshot version and publish it.
 
     The manifest file is created with a conditional put — a lockless
     concurrent committer loses explicitly (SnapshotConflict), never
     silently. A version file BEYOND the committed pointer is an orphan
-    from a writer that died between manifest write and pointer flip;
-    since writers hold the tier's exclusive append lock, a conflict on
-    an orphan version can only be our own predecessor's debris, so it
-    is safely overwritten (the recovery re-ingest path)."""
+    from a writer that died between manifest write and pointer flip —
+    reclaimed by overwrite, but ONLY after re-reading the pointer and
+    confirming it has not advanced to ``v`` meanwhile (r13 ADVICE: the
+    old ``v > committed`` check was computed from the same pre-put
+    read and therefore a tautology; a concurrent committer that lost
+    the conditional put would have silently overwritten the winner's
+    manifest and republished the pointer — the exact lost-commit the
+    conditional put exists to prevent).
+
+    ``lease`` (the :class:`~..sources.bucketing.Lease` yielded by
+    ``exclusive_append``) adds the FENCING check: the commit verifies
+    the lock still carries this writer's exact payload before touching
+    the manifest AND again immediately before the pointer flip, so a
+    zombie writer whose lease was taken over (expiry recovery on
+    another host, dead-pid recovery here) raises FencedOut instead of
+    publishing over its successor. Writers that mutate committed
+    state — ingest generations, compactions — MUST pass their lease;
+    only first-build commits into a root no other writer can know
+    about may omit it."""
     import json  # noqa: PLC0415
 
     io = get_store_io()
+    if lease is not None:
+        lease.assert_held("snapshot manifest write")
     committed = current_snapshot_version(root)
     v = committed + 1
     path = os.path.join(root, _SNAPSHOT_DIR, f"v{v}.json")
     text = json.dumps(snap, sort_keys=True)
     if not io.put_if_absent(path, text):
-        if v > committed:  # orphan of a crashed predecessor: reclaim
-            io.put_atomic(path, text)
-        else:  # pragma: no cover - guarded by the exclusive lock
+        if current_snapshot_version(root) >= v:
+            # the pointer advanced past our read: a concurrent writer
+            # committed v first — OUR work is stale, never overwrite
             raise SnapshotConflict(
-                f"{root}: snapshot v{v} already committed by another writer"
+                f"{root}: snapshot v{v} already committed by another "
+                "writer — re-read the current snapshot and retry"
             )
+        # pointer still behind v: the manifest is an orphan of a
+        # crashed predecessor (we hold the lease; a live competitor
+        # would have advanced the pointer) — reclaim by overwrite,
+        # the recovery re-ingest path
+        io.put_atomic(path, text)
+    if lease is not None:
+        lease.assert_held("snapshot pointer flip")
     publish_store(root, f"v{v}")
     return v
 
@@ -173,6 +198,101 @@ def current_snapshot(root: str) -> dict | None:
         os.path.join(root, _SNAPSHOT_DIR, f"v{v}.json")
     )
     return None if text is None else json.loads(text)
+
+
+def vacuum_unreferenced(
+    root: str,
+    children_of,
+    protected: tuple[str, ...] = ("stage",),
+    keep_snapshots: int = 2,
+) -> dict:
+    """Garbage-collect a snapshot-tier index root (r13 verdict item 2
+    — the ``_snapshots`` twin of operators/manifest.py's vacuum): the
+    LSM-shaped generation layout accumulates run dirs that no committed
+    manifest references — a crashed-and-never-retried writer's debris,
+    and superseded runs after a compaction rewrote them into one store.
+    Recovery replay reclaims the FIRST kind only when the ingest is
+    retried; nothing reclaimed the second kind — the classic LSM
+    operability tax at 100 TB.
+
+    The walk: resolve the committed pointer, retain the last
+    ``keep_snapshots`` manifests (the time-travel window — a reader
+    holding any retained snapshot keeps every store it names), union
+    the root-relative store paths each retained manifest references
+    (``children_of(snap) -> set[str]``, the tier's store-name → dir
+    mapping; entries may be nested like ``shingles/gen=1``), then
+    delete (a) every non-internal root entry outside that live set —
+    recursing into an entry only when some live path lives UNDER it —
+    and (b) every manifest outside the retention window, including
+    orphans ABOVE the pointer (safe: vacuum runs under the tier's
+    exclusive lease, so an above-pointer manifest cannot belong to a
+    live in-flight committer; a future retry simply rewrites it).
+
+    Runs under :func:`~..sources.bucketing.exclusive_append` — vacuum
+    is a WRITER (it deletes files), and holding the lease is exactly
+    what makes above-pointer orphans provably dead. Underscore/dot
+    entries (``_snapshots``, ``_CURRENT``, ``_APPEND_LOCK``,
+    ``_FENCE``, CAS guards) are never touched; ``protected`` names the
+    tier's non-manifest-tracked dirs (the staged probe files). Deletes
+    go through ``StoreIO.delete_prefix`` (LIST + batched DELETE on an
+    object store). Returns ``{"deleted": [...], "retained_versions":
+    [...]}`` for the caller's accounting. Readers stay safe throughout:
+    they resolve pointer → manifest → stores, every store a retained
+    manifest names survives, and the pointer never moves — proven by
+    the concurrent-reader test in tests/test_r14_fixes.py.
+
+    Metastore note: band-run TABLE entries whose files are vacuumed
+    remain in the session catalog until the next ``write_bucketed``
+    (which drops stale tables); at production scale the catalog entry
+    IS the manifest, so this is a local-session artifact only."""
+    import json  # noqa: PLC0415
+
+    from ..sources.bucketing import exclusive_append  # noqa: PLC0415
+
+    io = get_store_io()
+    with exclusive_append(root, owner="vacuum") as lease:
+        cur = current_snapshot_version(root)
+        if cur < 0:
+            return {"deleted": [], "retained_versions": []}
+        retained = list(range(max(0, cur - keep_snapshots + 1), cur + 1))
+        live: set[str] = set(protected)
+        for v in retained:
+            text = io.get_text(
+                os.path.join(root, _SNAPSHOT_DIR, f"v{v}.json")
+            )
+            if text is not None:
+                live |= {p.strip("/") for p in children_of(json.loads(text))}
+
+        deleted: list[str] = []
+
+        def sweep(rel: str) -> None:
+            base = os.path.join(root, rel) if rel else root
+            for name in io.list_names(base):
+                if name.startswith(("_", ".")):
+                    continue
+                child = f"{rel}/{name}" if rel else name
+                if child in live:
+                    continue
+                if any(p.startswith(child + "/") for p in live):
+                    sweep(child)  # something live below: descend
+                    continue
+                path = os.path.join(root, child)
+                io.delete_prefix(path)
+                io.delete(path)  # plain-file entry (no-op after rmtree)
+                deleted.append(child)
+
+        sweep("")
+        for mname in io.list_names(os.path.join(root, _SNAPSHOT_DIR)):
+            if not (mname.startswith("v") and mname.endswith(".json")):
+                continue
+            try:
+                mv = int(mname[1:-5])
+            except ValueError:
+                continue
+            if mv not in retained:
+                io.delete(os.path.join(root, _SNAPSHOT_DIR, mname))
+        lease.assert_held("vacuum completion")
+        return {"deleted": sorted(deleted), "retained_versions": retained}
 
 
 # Small-delta probe pushdown: a delta that touches a handful of

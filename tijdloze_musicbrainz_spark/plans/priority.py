@@ -83,7 +83,19 @@ _DRIVER_WINDOW_ALL: tuple[str, ...] = (
     # rows; the slot gives the cluster tier's LABEL COMPACTION its
     # first official row — two-generation ingest, remap-chain
     # resolution, chain folded flat, results pinned batch-identical)
-    "dedup_cluster_label_compact",
+    # (dedup_cluster_label_compact -> tail in r14 after green r11-r13
+    # rows: its survey-id set is empty, the cluster tier keeps
+    # dedup_cluster_incremental + streaming_cluster_ingest_restart
+    # in-window, and the compaction-then-flip contract keeps an
+    # in-window carrier in dedup_minhash_vacuum below, which compacts
+    # the band tier under the same lease before vacuuming; the slot
+    # gives the r14 marquee its official row — SNAPSHOT-TIER GARBAGE
+    # COLLECTION: build + ingest + compact, manufacture an abandoned
+    # writer's debris (partial run, orphan manifest, expired lease),
+    # vacuum under the taken-over lease with hard-asserted deletion
+    # scope, then hash the post-GC probe against the SAME oracle as
+    # the uncrashed incremental ingest)
+    "dedup_minhash_vacuum",
     # (dedup_minhash_index_compact -> tail in r13 after green r10-r12
     # rows: the compaction contract keeps an in-window carrier in
     # dedup_cluster_label_compact and the band tier keeps its

@@ -700,7 +700,7 @@ def _pq_ingest_batch(
     )
     enc = _pq_encode(_pq_subs(b), stored_cb).join(b_lists, "match_id")
     sub = f"lists_{gen}"
-    with exclusive_append(root, owner=f"pq_ingest_{gen}"):
+    with exclusive_append(root, owner=f"pq_ingest_{gen}") as lease:
         enc.repartition("cent_id").write.mode("overwrite").partitionBy(
             "cent_id"
         ).parquet(f"{root}/{sub}")
@@ -708,7 +708,7 @@ def _pq_ingest_batch(
         dirs = snap["list_dirs"]
         if sub not in dirs:  # replay re-commits without duplicating
             dirs = [*dirs, sub]
-        commit_snapshot(root, {**snap, "list_dirs": dirs})
+        commit_snapshot(root, {**snap, "list_dirs": dirs}, lease=lease)
 
 
 def _pq_query_stored(
@@ -884,15 +884,22 @@ def sim_ann_ivf_pq_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generation) into one store with one file per centroid partition,
     # then publish the replacement as a NEW snapshot — write-then-
     # publish, so a concurrent pruned read resolves the multi-run or
-    # the compacted COMPLETE run set, never a half-written one
-    snap = current_snapshot(root)
-    compact_partitioned(
-        spark,
-        [f"{root}/{d}" for d in snap["list_dirs"]],
-        f"{root}/lists_compacted",
-        "cent_id",
-    )
-    commit_snapshot(root, {**snap, "list_dirs": ["lists_compacted"]})
+    # the compacted COMPLETE run set, never a half-written one. Under
+    # the tier's lease like every committed-state writer (r13 ADVICE:
+    # lockless compaction commits left the reclaim branch unguarded).
+    from ...sources.bucketing import exclusive_append  # noqa: PLC0415
+
+    with exclusive_append(root, owner="pq_compact") as lease:
+        snap = current_snapshot(root)
+        compact_partitioned(
+            spark,
+            [f"{root}/{d}" for d in snap["list_dirs"]],
+            f"{root}/lists_compacted",
+            "cent_id",
+        )
+        commit_snapshot(
+            root, {**snap, "list_dirs": ["lists_compacted"]}, lease=lease
+        )
 
     corpus = base.select("vec_id", "v").unionByName(
         delta.select("vec_id", "v")

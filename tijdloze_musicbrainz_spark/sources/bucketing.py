@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import contextlib
 import os
+import socket
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,81 +39,251 @@ class ConcurrentAppendError(RuntimeError):
     paths did not)."""
 
 
-def _lock_holder_alive(lock_text: str) -> bool:
-    """Whether the process named in an ``_APPEND_LOCK`` payload still
-    exists. Unparseable payloads are treated as ALIVE — a lock we
-    cannot attribute is never stolen."""
+class FencedOut(RuntimeError):
+    """This writer's lease was taken over while its work was in
+    flight: the lock no longer carries its exact payload. The commit
+    MUST NOT proceed — a new holder owns the index now, and publishing
+    stale work would be the split-brain the lease exists to prevent.
+    The reference gets this from Postgres row locks + transactions
+    (src/main.py:357); on immutable shared storage the equivalent is
+    the fencing-token check at every commit boundary."""
+
+
+# Lease duration: long enough that no legitimate single ingest
+# transaction on this engine approaches it without heartbeating, short
+# enough that a lost-writer index is recoverable within minutes. A
+# production deployment tunes this per tier and runs a renewal
+# heartbeat at ~lease/3 (Lease.renew is the primitive).
+DEFAULT_LEASE_S = 900.0
+
+
+def _now() -> float:
+    """Wall-clock seconds (module-level so lease race tests can pin a
+    fake clock). Leases compare wall time ACROSS hosts, so the skew
+    tolerance is the lease duration itself — at 900 s, NTP-grade skew
+    (<1 s) is noise; do not shrink the lease below ~100x expected
+    skew."""
+    return time.time()
+
+
+def _host() -> str:
+    return socket.gethostname()
+
+
+def lock_payload(
+    pid: int, owner: str, fence: int, expires_at: float, host: str | None = None
+) -> str:
+    """The ``_APPEND_LOCK`` payload: flat ``key=value`` tokens so a
+    human (and the legacy parser) can read it. Public because debris
+    manufacture (the recovery operator, crash tests) must write
+    byte-faithful dead-writer locks."""
+    return (
+        f"pid={pid} host={host or _host()} owner={owner} "
+        f"fence={fence} expires={expires_at:.3f}\n"
+    )
+
+
+def _parse_lock(lock_text: str) -> dict:
+    """Tolerant ``key=value`` token parse. Unknown tokens are ignored;
+    missing keys are absent from the dict — legacy ``pid=N owner=X``
+    payloads (pre-lease format) parse as pid-only, which the policy
+    treats as a local single-host lock (exactly what they were)."""
+    info: dict = {}
     for token in lock_text.split():
-        if token.startswith("pid="):
+        if "=" not in token:
+            continue
+        k, v = token.split("=", 1)
+        if k in ("pid", "fence"):
             try:
-                pid = int(token[4:])
+                info[k] = int(v)
             except ValueError:
-                return True
+                pass
+        elif k == "expires":
             try:
-                os.kill(pid, 0)
-            except ProcessLookupError:
-                return False
-            except PermissionError:  # pragma: no cover - exists, not ours
-                return True
-            return True
+                info[k] = float(v)
+            except ValueError:
+                pass
+        elif k in ("owner", "host"):
+            info[k] = v
+    return info
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - exists, not ours
+        return True
     return True
 
 
+def _takeover_allowed(info: dict, now: float) -> bool:
+    """The single takeover policy (r13 verdict item 1 — multi-host
+    correct):
+
+    1. An EXPIRED lease may be taken over regardless of where (or
+       whether) its holder is alive — the holder failed to heartbeat,
+       and the fencing token rejects any commit it still attempts.
+       This is the only clause a multi-host deployment relies on.
+    2. The pid-liveness fast path applies ONLY to locks attributable
+       to THIS host (``host=`` matches, or absent — the legacy local
+       format): a dead pid here is proof of writer death, so recovery
+       need not wait out the lease. A pid on ANOTHER host is
+       unknowable locally and is never used to steal.
+    3. Anything else — live local holder, unexpired remote holder,
+       unattributable payload — is never stolen."""
+    expires = info.get("expires")
+    if expires is not None and now > expires:
+        return True
+    pid = info.get("pid")
+    holder_host = info.get("host")
+    if pid is not None and (holder_host is None or holder_host == _host()):
+        return not _pid_alive(pid)
+    return False
+
+
+_FENCE_FILE = "_FENCE"
+
+
+class Lease:
+    """A held append lease: the fencing handle the lock-holder carries
+    through its transaction. ``assert_held`` is the commit-time fence:
+    it re-reads the lock and demands OUR exact payload — after any
+    takeover (expiry-based or pid-based) the payload differs (new pid/
+    owner/fence), so a zombie writer's commit raises :class:`FencedOut`
+    instead of publishing over the new holder's work. ``renew`` is the
+    heartbeat: a conditional replace (StoreIO.replace_if_match — PUT
+    ``If-Match`` at object-store scale) extending the expiry; a failed
+    renewal IS the fence firing early."""
+
+    def __init__(self, io, path: str, payload: str, fence: int, lease_s: float):
+        self._io = io
+        self.path = path
+        self.payload = payload
+        self.fence = fence
+        self.lease_s = lease_s
+
+    def renew(self, lease_s: float | None = None) -> None:
+        info = _parse_lock(self.payload)
+        fresh = lock_payload(
+            info["pid"],
+            info.get("owner", ""),
+            self.fence,
+            _now() + (lease_s or self.lease_s),
+            host=info.get("host"),
+        )
+        if not self._io.replace_if_match(self.path, self.payload, fresh):
+            raise FencedOut(
+                f"{self.path}: lease renewal lost — the lock no longer "
+                f"carries fence={self.fence}; this writer was taken over"
+            )
+        self.payload = fresh
+
+    def assert_held(self, action: str = "commit") -> None:
+        if self._io.get_text(self.path) != self.payload:
+            raise FencedOut(
+                f"{self.path}: {action} rejected — lease fence="
+                f"{self.fence} no longer held (taken over after expiry "
+                "or writer-death recovery); this writer must abandon "
+                "its transaction"
+            )
+
+    def release(self) -> None:
+        # conditional release: if we were fenced out, the lock is the
+        # NEW holder's — deleting it unconditionally would re-open the
+        # very split-brain the fence closed
+        self._io.delete_if_match(self.path, self.payload)
+
+
+def _read_fence_floor(io, location: str) -> int:
+    text = io.get_text(os.path.join(location, _FENCE_FILE))
+    try:
+        return int(text.strip()) if text else 0
+    except ValueError:  # pragma: no cover - hand-damaged file
+        return 0
+
+
 @contextlib.contextmanager
-def exclusive_append(location: str, owner: str = ""):
-    """Single-writer mutex over an index location for the duration of
+def exclusive_append(
+    location: str, owner: str = "", lease_s: float = DEFAULT_LEASE_S
+):
+    """Single-writer LEASE over an index location for the duration of
     one append transaction (data files + sibling stores + accounting).
+    Yields the :class:`Lease` so the transaction can heartbeat
+    (``lease.renew()``) and so the snapshot commit can fence
+    (``commit_snapshot(..., lease=lease)``).
 
     Acquisition is a conditional create of ``_APPEND_LOCK`` inside the
     location (StoreIO.put_if_absent — ``O_CREAT|O_EXCL`` on the local
     default, atomic on POSIX and HDFS; S3 ``If-None-Match`` at object-
     store scale) — the loser gets an explicit
-    :class:`ConcurrentAppendError`, never a silent lost update. The
-    lock is held for the whole ``with`` body so multi-store ingests
-    (band table + shingle payload + maintained count) stay mutually
-    consistent.
+    :class:`ConcurrentAppendError`, never a silent lost update.
 
-    Stale-lock recovery (r12 verdict item 1): a lock whose recorded
-    pid no longer exists belongs to a writer that DIED mid-append.
-    Taking it over is safe because ingest transactions became
-    crash-atomic in the same change — the dead writer's partial store
-    writes are invisible (readers resolve only snapshot-committed
-    stores, plans/lifecycle.py commit_snapshot) and every per-
-    generation write is a deterministic-path overwrite, so the
-    recovering writer simply redoes the generation and commits. A lock
-    whose holder is ALIVE is never stolen. An in-process failure
-    (exception, not process death) releases the lock in ``finally``,
-    so stale locks arise only from hard kills. At production scale the
-    pid-liveness check becomes a lease (lock payload carries an expiry
-    the holder heartbeats; S3/GCS conditional put on the renewal) —
-    the policy, dead-holder-else-reject, is the same."""
+    The payload carries ``host``, ``pid``, a monotonically increasing
+    FENCE token, and a heartbeated EXPIRY (:func:`lock_payload`).
+    Stale-lock recovery (r13 verdict item 1, multi-host form): a lock
+    is taken over only per :func:`_takeover_allowed` — lease expired,
+    or provably-dead SAME-HOST pid — and the takeover itself is a
+    conditional ``delete_if_match`` on the exact observed payload
+    (r13 ADVICE: an unconditional delete had a TOCTOU where a second
+    recoverer's completed takeover, or a fresh live acquirer, could be
+    deleted). Taking over is safe because ingest transactions are
+    crash-atomic — the dead writer's partial store writes are
+    invisible (readers resolve only snapshot-committed stores,
+    plans/lifecycle.py commit_snapshot), every per-generation write is
+    a deterministic-path overwrite, and an in-flight ZOMBIE holder
+    (alive but expired — e.g. a GC-paused driver) is rejected at its
+    commit by the fencing check. An in-process failure (exception, not
+    process death) releases the lease in ``finally``; the release is
+    itself conditional, so a fenced-out writer cannot delete its
+    successor's lock."""
     io = get_store_io()
     lock = os.path.join(location, "_APPEND_LOCK")
     os.makedirs(location, exist_ok=True)
-    payload = f"pid={os.getpid()} owner={owner}\n"
 
-    def _reject() -> ConcurrentAppendError:
+    def _reject(held: str | None) -> ConcurrentAppendError:
         return ConcurrentAppendError(
-            f"{location}: another writer holds {lock} — concurrent "
-            "file-level appends to a bucketed index would interleave "
-            "silently; retry after the holder commits, or use "
-            "operators.manifest for optimistic concurrency"
+            f"{location}: another writer holds {lock} "
+            f"({(held or '').strip()!r}) — concurrent file-level "
+            "appends to a bucketed index would interleave silently; "
+            "retry after the holder commits or its lease expires, or "
+            "use operators.manifest for optimistic concurrency"
         )
 
+    fence = _read_fence_floor(io, location) + 1
+    payload = lock_payload(os.getpid(), owner, fence, _now() + lease_s)
     if not io.put_if_absent(lock, payload):
         held = io.get_text(lock)
-        if held is not None and _lock_holder_alive(held):
-            raise _reject()
-        # dead holder (or released between our two calls): one
-        # takeover attempt; losing the re-create race means another
-        # recoverer won — reject, they hold it now
-        io.delete(lock)
-        if not io.put_if_absent(lock, payload):
-            raise _reject()
+        if held is None:
+            # released between our two calls: one clean retry
+            if not io.put_if_absent(lock, payload):
+                raise _reject(io.get_text(lock))
+        else:
+            info = _parse_lock(held)
+            if not _takeover_allowed(info, _now()):
+                raise _reject(held)
+            # fence past BOTH the floor and the dead holder's token
+            fence = max(fence, info.get("fence", 0) + 1)
+            payload = lock_payload(
+                os.getpid(), owner, fence, _now() + lease_s
+            )
+            # conditional takeover: remove exactly the lock we
+            # attributed; any interleaved takeover/acquire changes the
+            # payload and we lose explicitly
+            if not io.delete_if_match(lock, held):
+                raise _reject(io.get_text(lock))
+            if not io.put_if_absent(lock, payload):
+                raise _reject(io.get_text(lock))
+    # persist the fence high-water AFTER winning, so fences stay
+    # monotonic across clean release/re-acquire cycles (a zombie from
+    # any earlier epoch always carries a smaller token)
+    io.put_atomic(os.path.join(location, _FENCE_FILE), str(fence))
+    lease = Lease(io, lock, payload, fence, lease_s)
     try:
-        yield
+        yield lease
     finally:
-        io.delete(lock)
+        lease.release()
 
 
 def write_bucketed(

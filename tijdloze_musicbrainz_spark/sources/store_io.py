@@ -3,7 +3,7 @@ leans on, behind one small interface (r12 verdict item 3).
 
 The engine's persisted-index tiers (plans/lifecycle.py,
 plans/dedup_index.py, plans/cc_index.py, operators/manifest.py) need
-exactly four primitives beyond bulk parquet IO, and each has a
+exactly these primitives beyond bulk parquet IO, and each has a
 well-defined object-store equivalent:
 
 ===================  =========================  ======================
@@ -19,6 +19,13 @@ file create)                                    GCS precondition
 ``list_names``       os.listdir                 LIST (one call per
 (partition catalog)                             prefix, paginated)
 ``delete``           os.remove                  DELETE
+``delete_if_match``  flock'd read-verify-unlink DELETE with ``If-Match``
+(lease takeover)                                (S3 conditional delete /
+                                                GCS ``ifGenerationMatch``)
+``replace_if_match`` flock'd read-verify-       PUT with ``If-Match``
+(lease renewal)      replace                    (compare-and-swap)
+``delete_prefix``    shutil.rmtree              LIST + batched DELETE
+(snapshot vacuum)                               (paginated, idempotent)
 ===================  =========================  ======================
 
 Data files themselves (parquet) stay on Spark's own Hadoop-FS layer —
@@ -95,12 +102,64 @@ class LocalStoreIO:
             return []
 
     def delete(self, path: str) -> bool:
-        """Remove one object; False when it was already gone."""
+        """Remove one object; False when it was already gone — or when
+        the path is a local DIRECTORY (an object store has no dirs, so
+        "not a single object" maps to the same no-op False; tree
+        removal is ``delete_prefix``)."""
         try:
             os.remove(path)
-        except FileNotFoundError:
+        except (FileNotFoundError, IsADirectoryError):
             return False
         return True
+
+    # ── compare-and-swap pair (r13 ADVICE: the stale-lock takeover
+    # had a delete/recreate TOCTOU — between observing a dead payload
+    # and the unconditional delete, a second recoverer could complete
+    # its own takeover and the delete would remove the LIVE winner's
+    # lock). Both primitives mutate ``path`` only if its CURRENT
+    # content equals ``expected`` — the If-Match contract. Locally the
+    # read-verify-mutate window is closed with flock(2) on a sibling
+    # guard file: the kernel releases flock on process death, so a
+    # crashed CAS can never wedge future takeovers (an O_EXCL guard
+    # file would). Object stores provide the real thing: S3
+    # conditional DELETE/PUT with ``If-Match: <etag>``, GCS
+    # ``ifGenerationMatch`` — no guard object needed there.
+    def _cas(self, path: str, expected: str, mutate) -> bool:
+        import fcntl  # noqa: PLC0415
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(f"{path}.caslock", "a") as guard:
+            try:
+                fcntl.flock(guard, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False  # another CAS in flight: caller lost
+            if self.get_text(path) != expected:
+                return False
+            mutate()
+            return True
+
+    def delete_if_match(self, path: str, expected: str) -> bool:
+        """Delete ``path`` iff its current content is exactly
+        ``expected``; False when the content changed or another CAS is
+        in flight (the caller lost — it must re-observe, never
+        retry blindly)."""
+        return self._cas(path, expected, lambda: os.remove(path))
+
+    def replace_if_match(self, path: str, expected: str, new: str) -> bool:
+        """Atomically replace ``path``'s content with ``new`` iff the
+        current content is exactly ``expected`` (lease renewal /
+        fencing heartbeat). False = lost the swap."""
+        return self._cas(path, expected, lambda: self.put_atomic(path, new))
+
+    def delete_prefix(self, dir_path: str) -> None:
+        """Remove every object under the prefix (idempotent; absent
+        prefix is a no-op). Local FS: rmtree. Object stores: LIST the
+        prefix + batched DELETEs — the vacuum primitive. Used ONLY by
+        garbage collection of stores no committed manifest references;
+        consistency-critical paths never call it."""
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(dir_path, ignore_errors=True)
 
 
 _IO: LocalStoreIO = LocalStoreIO()

@@ -55,10 +55,41 @@ SKIP_REASONS: dict[str, str] = {}
 # only with ~2^-64 probability ON TOP of an exact row-count match.
 # Agreement with the row-level compare is pinned at sf0.001 in
 # tests/test_r13_fixes.py::test_checksum_compare_agrees_with_row_compare.
+#
+# Known conservatism (r13 ADVICE, accepted): the fixed 1e-6 double
+# quantization has no tolerance band — two engine values that agree
+# within the row-level 1e-9 canon tolerance but straddle an exact
+# x.5e-6 rounding boundary would hash to different lanes and FAIL the
+# sweep (never falsely pass; half-away-from-zero rounding itself
+# matches between Spark HALF_UP and DuckDB — verified). The three
+# checksum queries' doubles are single IEEE divisions of agreed
+# integers pre-rounded to 6 dp in BOTH engines, so a boundary straddle
+# requires the round(x, 6) results to differ — which the row-level
+# compare would flag too. If a spurious boundary mismatch ever shows
+# up in a sweep, widen by hashing both floor/ceil-adjacent
+# quantizations instead of loosening the check.
 CHECKSUM_QUERIES = {
     "dedup_containment_join",
     "dedup_jaccard_prefix_filter",
     "p12_exact_key_match",
+}
+
+# Output-bound threshold relief (r13 verdict item 5): at sf0.1 the two
+# prefix-filter joins are Ω(answer) at their canonical thresholds
+# (~11M-pair answers = ~30% of the 1077 s r13 sweep) — so the sf0.1
+# sweep raises the similarity thresholds, shrinking the ANSWER both
+# engines must produce while exercising the identical plan shape
+# (prefix generation, positional filter, verify join). Symmetry is by
+# construction: plans/dedup.py builds BOTH the Spark plan and the
+# DuckDB oracle from the same env-resolved rational at import, so
+# there is no code path where the engines disagree on the threshold.
+# The canonical-threshold runs stay in the driver's sf0.01 correctness
+# gate, the bench tier, and the scale curves — this override applies
+# only where the measurement instrument (the dual-engine sweep) was
+# the bottleneck. setdefault: an explicit caller override wins.
+SF01_THRESHOLD_OVERRIDES = {
+    "SPARK_GRAFT_PPJOIN_T": "4/5",
+    "SPARK_GRAFT_CONTAINMENT_T": "9/10",
 }
 
 _NULL_SENTINEL_SQL = "chr(0) || 'NULL'"
@@ -173,6 +204,13 @@ def main() -> int:
     sf = argv[0] if argv else "/root/testdata/sf0.01"
     sys.argv = [sys.argv[0], sf, *argv[1:]]
 
+    overrides: dict[str, str] = {}
+    if os.path.basename(os.path.normpath(sf)) == "sf0.1":
+        for var, val in SF01_THRESHOLD_OVERRIDES.items():
+            os.environ.setdefault(var, val)
+            overrides[var] = os.environ[var]
+        print(f"sf0.1 threshold overrides: {overrides}", file=sys.stderr)
+
     import duckdb
 
     import __spark_entry__ as entry
@@ -256,6 +294,7 @@ def main() -> int:
                     "checked": len(oracles),
                     "fail": [list(b) for b in bad],
                     "skipped": skip,
+                    "threshold_overrides": overrides,
                     "per_query_sec": per_query_sec,
                 },
                 f,
