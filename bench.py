@@ -118,6 +118,10 @@ HEADLINERS = [
     # stale-lock takeover + generation replay + orphan-manifest
     # reclaim + post-recovery probe in one DAG)
     "dedup_minhash_ingest_recovery",
+    # r14: snapshot-tier vacuum (build + ingest + leased compaction +
+    # abandoned-writer debris + GC under the taken-over lease +
+    # post-GC probe in one DAG)
+    "dedup_minhash_vacuum",
     # (streaming_interval_join_left_outer is NOT a headliner: ~29s of
     # its runtime is the bounded-replay harness — staging writes, 3+
     # micro-batches, state-store setup — which times the test rig,

@@ -409,3 +409,66 @@ def test_sweep_threshold_override_engine_symmetric():
 
     assert (dedup.PPJ_NUM, dedup.PPJ_DEN) == (3, 5)
     assert (dedup.CONT_NUM, dedup.CONT_DEN) == (4, 5)
+
+
+# ── 6. tier-level fencing: a real ingest taken over mid-transaction ──
+
+
+def test_mh_ingest_fenced_after_mid_transaction_takeover(
+    spark, sf_dir, monkeypatch, fake_clock
+):
+    """End-to-end zombie proof on the REAL MinHash tier: writer A's
+    ingest stalls mid-transaction past its (shortened) lease; another
+    writer takes the lease over and releases; A's snapshot commit must
+    raise FencedOut, readers must still see the BASE snapshot (no torn
+    publish), and a clean re-ingest must converge to the uncrashed
+    operator's exact result."""
+    from tijdloze_musicbrainz_spark.plans import REGISTRY, dedup_index as di
+
+    name = "mh_fence"
+    root, tag, _base, delta = di._build_base_index(spark, sf_dir, name)
+    base_snap = current_snapshot(root)
+
+    # shorten the tier's lease without touching the default
+    monkeypatch.setattr(
+        di,
+        "exclusive_append",
+        lambda loc, owner="": exclusive_append(loc, owner=owner, lease_s=30.0),
+    )
+    real_write = di._write_gen_shingles
+
+    def stall_and_lose(sh, path):
+        real_write(sh, path)
+        monkeypatch.setattr(di, "_write_gen_shingles", real_write)
+        fake_clock["t"] += 31.0  # A's lease expires mid-transaction
+        with exclusive_append(root, owner="usurper", lease_s=600.0):
+            pass  # takeover + clean release — A's payload is gone
+
+    monkeypatch.setattr(di, "_write_gen_shingles", stall_and_lose)
+    with pytest.raises(FencedOut):
+        di._ingest_generation(spark, root, name, tag, delta)
+
+    # the fence held: readers still on the complete BASE snapshot
+    assert current_snapshot(root) == base_snap
+
+    # clean retry converges to the uncrashed operator bit-for-bit
+    monkeypatch.setattr(di, "exclusive_append", exclusive_append)
+    di._ingest_generation(spark, root, name, tag, delta)
+    snap = current_snapshot(root)
+    got = {
+        tuple(r)
+        for r in di._probe_index(
+            spark,
+            snap["bands"],
+            snap["shingle_dirs"],
+            f"{root}/stage/delta_bands",
+            snap["n_indexed"],
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["dedup_minhash_incremental"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and got

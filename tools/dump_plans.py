@@ -417,6 +417,21 @@ AUDITED = {
         "CONTRACTED graph — stored labels + delta ids, never the "
         "corpus (measured exponent 0.216 over 1-8x)."
     ),
+    "dedup_minhash_vacuum": (
+        "Audit (r14): the plan shown is the SAME O(delta) probe as "
+        "dedup_minhash_incremental, read from the post-GC snapshot — "
+        "one bucket-aligned scan of the COMPACTED band table (the "
+        "only run the retained manifest names) with the sidecar key "
+        "set as PushedFilters In(band_key, ...), the staged delta as "
+        "the probe side, n_indexed a literal. Vacuum itself launches "
+        "ZERO Spark jobs: the retained-manifest walk, the "
+        "unreferenced-entry sweep, and the manifest trim are "
+        "driver-side StoreIO metadata calls (LIST + batched DELETE at "
+        "object-store scale) under the tier lease — GC cost is "
+        "O(#root entries + #deleted files), never a data scan; the "
+        "heavy steps in the builder (base build, ingest, leased "
+        "compaction) are the other lifecycle queries' audited shapes."
+    ),
 }
 
 

@@ -232,6 +232,20 @@ QUERIES = (
         "m-linear pass over the band table (2 longs + key per row) "
         "clustered to one file per bucket; probe unchanged",
     ),
+    # r14: the GC'd lifecycle — compaction plus snapshot vacuum.
+    (
+        "dedup_minhash_vacuum",
+        None,
+        True,
+        "compaction lifecycle + snapshot-tier GC: build/ingest/"
+        "leased-compact are dedup_minhash_index_compact's m-linear "
+        "stages; vacuum itself is driver-side metadata only "
+        "(retained-manifest walk, unreferenced-entry deletes, "
+        "manifest trim — O(#root entries + #deleted files), zero "
+        "Spark jobs), so the curve must track the compaction "
+        "query's; a data-scan regression in GC would surface as a "
+        "new m-linear term here",
+    ),
     # r11 (VERDICT r10 #5): the uncurved expensive headliners.
     (
         "benchmark_golden_real_e2e",
