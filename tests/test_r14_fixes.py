@@ -472,3 +472,37 @@ def test_mh_ingest_fenced_after_mid_transaction_takeover(
         .collect()
     }
     assert got == want and got
+
+
+# ── 7. probe-side pushdown cost bound ────────────────────────────────
+
+
+def test_pushdown_keys_cost_bound(tmp_path, spark):
+    """The r13 '16x steal spike' diagnosis (r14): a near-cap key set
+    pushed as a literal In made the cc probe ~9x slower than the full
+    bucketed scan. pushdown_keys returns the set only below the
+    measured break-even (PROBE_PUSHDOWN_MAX_IN); the sidecar itself
+    still records larger sets for the manifest key-stats entry."""
+    from tijdloze_musicbrainz_spark.plans.lifecycle import (
+        PROBE_PUSHDOWN_MAX_IN,
+        pushdown_keys,
+        read_delta_key_manifest,
+        write_delta_key_manifest,
+    )
+
+    n_over = PROBE_PUSHDOWN_MAX_IN + 1
+    small = spark.createDataFrame(
+        [(i, i % 7) for i in range(50)], "doc_id bigint, band_key bigint"
+    )
+    big = spark.createDataFrame(
+        [(i, i) for i in range(n_over)], "doc_id bigint, band_key bigint"
+    )
+    d_small, d_big = str(tmp_path / "s"), str(tmp_path / "b")
+    write_delta_key_manifest(small, "band_key", d_small)
+    write_delta_key_manifest(big, "band_key", d_big)
+    # small set: pushed (and equals the sidecar record)
+    assert pushdown_keys(d_small, "band_key") == sorted(range(7))
+    # over-break-even: NOT pushed — even though the sidecar is
+    # complete and the accounting read still returns it in full
+    assert pushdown_keys(d_big, "band_key") is None
+    assert len(read_delta_key_manifest(d_big, "band_key")) == n_over

@@ -78,6 +78,7 @@ from .lifecycle import (
     current_store,
     index_root,
     publish_store,
+    pushdown_keys,
     read_delta_key_manifest,
     sf_tag,
     write_delta_key_manifest,
@@ -362,10 +363,11 @@ def _probe_pairs(
     # literal In(blk, ...) predicate on every stored run's scan —
     # identical results (non-matching blocks cannot join a probe), row
     # groups and bucket files outside the batch's key set skipped
-    # (see dedup_index._probe_index for the full story)
-    batch_keys = read_delta_key_manifest(
-        f"{paths['stage']}/delta_{gen}", "blk"
-    )
+    # (see dedup_index._probe_index for the full story). COST-BOUNDED
+    # (r14): pushed only below the measured break-even key count —
+    # a near-cap In list made this probe ~9x slower than the full
+    # bucketed scan (plans/lifecycle.py PROBE_PUSHDOWN_MAX_IN).
+    batch_keys = pushdown_keys(f"{paths['stage']}/delta_{gen}", "blk")
 
     def _run_cand(table: str) -> DataFrame:
         stored = spark.table(table)

@@ -39,6 +39,7 @@ from .lifecycle import (
     commit_snapshot,
     current_snapshot,
     index_root,
+    pushdown_keys,
     read_delta_key_manifest,
     sf_tag,
     write_delta_key_manifest,
@@ -300,7 +301,11 @@ def _probe_index(
     # (SelectedBucketsCount), instead of reading all
     # DEDUP_INDEX_BUCKETS buckets end-to-end
     # (tests/test_dedup_index.py::test_small_delta_probe_skips_row_groups).
-    delta_keys = read_delta_key_manifest(delta_bands_path, "band_key")
+    # COST-BOUNDED (r14): pushed only below the measured break-even
+    # key count — near-cap In lists cost more in optimizer + per-row-
+    # group evaluation than they prune (plans/lifecycle.py
+    # PROBE_PUSHDOWN_MAX_IN; the diagnosed r13 label-compact spike)
+    delta_keys = pushdown_keys(delta_bands_path, "band_key")
     # explicit schemas: a schema-inference footer read is a (small)
     # Spark job, and the probe path is pinned to launch NONE
     probes = (

@@ -375,10 +375,11 @@ def _exact_key_set(non_null, key_col: str, cap: int) -> list:
 
 
 def read_delta_key_manifest(staged_dir: str, key_col: str):
-    """The probe-side read: stdlib json, NO Spark job (probe laziness
+    """The sidecar read: stdlib json, NO Spark job (probe laziness
     stays pinned). Returns the sorted key list when the sidecar is
-    present, complete, and for the expected column — else None (full
-    bucketed scan, the documented big-delta fallback)."""
+    present, complete, and for the expected column — else None. This
+    is the ACCOUNTING read (manifest key-stats); probes must go
+    through :func:`pushdown_keys`, which adds the cost bound."""
     import json  # noqa: PLC0415
 
     text = get_store_io().get_text(
@@ -390,6 +391,36 @@ def read_delta_key_manifest(staged_dir: str, key_col: str):
     if not m.get("complete") or m.get("key_col") != key_col:
         return None
     return m["keys"]
+
+
+# Probe-side pushdown bound (r14 — the diagnosed cause of the r13
+# label-compact "16x steal spike", which reproduced on a provably idle
+# box and was NOT steal): the sidecar records up to
+# PROBE_PUSHDOWN_MAX_KEYS keys for the manifest's key-stats entry, but
+# PUSHING a literal In that large is a net loss — the predicate's cost
+# (optimizer + per-row-group stats evaluation + codegen'd set tests,
+# paid again on every reuse of the scan inside a bigger DAG) grows
+# LINEARLY with the key count, while the pruning benefit SATURATES
+# once the key set covers most row groups anyway. Measured on the cc
+# block probe at the 16x corpus: In(3984 string keys) made the whole
+# probe ~9x slower than the unfiltered bucketed scan (10.5 s vs 1.1 s,
+# identical 416 pairs), In(1024) ~1.4x, while In(128)/In(256) were
+# FASTER than unfiltered (0.60/0.62 s vs 0.79 s — pruning winning).
+# 256 is the measured break-even; above it the probe falls back to the
+# full bucketed scan, which was always the documented big-delta plan.
+PROBE_PUSHDOWN_MAX_IN = 256
+
+
+def pushdown_keys(
+    staged_dir: str, key_col: str, limit: int = PROBE_PUSHDOWN_MAX_IN
+):
+    """Keys to push as a literal In predicate on the stored scan, or
+    None when pushing would cost more than it prunes (key set absent,
+    incomplete, or larger than the measured break-even)."""
+    keys = read_delta_key_manifest(staged_dir, key_col)
+    if keys is None or len(keys) > limit:
+        return None
+    return keys
 
 
 def list_partition_ids(store_dir: str) -> set[int]:

@@ -603,14 +603,18 @@ COPY (
 
 
 def fit_exponent(points: list[tuple[int, float]]) -> float:
-    """Least-squares slope of log(t) vs log(m)."""
+    """Least-squares slope of log(t) vs log(m). A single-multiplier
+    point set (the --only --mult M re-measure flow, where the real fit
+    happens after the per-point-MIN merge with the committed curve)
+    has zero variance in log(m) — return 0.0 rather than divide by it;
+    the merge path refits over the union."""
     xs = [math.log(m) for m, _ in points]
     ys = [math.log(t) for _, t in points]
     n = len(xs)
     mx, my = sum(xs) / n, sum(ys) / n
     num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
     den = sum((x - mx) ** 2 for x in xs)
-    return num / den
+    return num / den if den else 0.0
 
 
 def main() -> None:
