@@ -506,3 +506,152 @@ def test_pushdown_keys_cost_bound(tmp_path, spark):
     # complete and the accounting read still returns it in full
     assert pushdown_keys(d_big, "band_key") is None
     assert len(read_delta_key_manifest(d_big, "band_key")) == n_over
+
+
+# ── 8. vacuum generalizes across the index tiers ────────────────────
+
+
+def test_vacuum_ann_tier_after_compaction(spark, sf_dir):
+    """The ANN tier's manifests name root-relative run dirs
+    (list_dirs), so vacuum_unreferenced works with the identity
+    mapping: after append + compaction, keep-last-1 vacuum must delete
+    the superseded 'lists' and 'lists_g1' runs and the stored query
+    must answer identically from the compacted snapshot."""
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans.lifecycle import current_snapshot
+    from tijdloze_musicbrainz_spark.plans.similarity import (
+        pq_lifecycle as pq,
+    )
+
+    base = pq._pq_vecs(spark, sf_dir)
+    subs = pq._pq_subs(base)
+    root = pq._pq_index_root(sf_dir, "ivfpq_vac")
+    pq._pq_write_index(
+        base, subs, pq._pq_seed_codebook(base, subs), pq._ivf_cents(base),
+        root,
+    )
+    delta = pq._pq_delta(base)
+    pq._pq_ingest_batch(
+        delta,
+        spark.read.parquet(f"{root}/codebook"),
+        spark.read.parquet(f"{root}/cents"),
+        root,
+    )
+    corpus = base.select("vec_id", "v").unionByName(
+        delta.select("vec_id", "v")
+    )
+    topk, _, _, _ = pq._pq_query_stored(spark, base, subs, root, corpus)
+    before = {tuple(r) for r in topk.collect()}
+
+    from tijdloze_musicbrainz_spark.plans.lifecycle import (
+        commit_snapshot,
+        compact_partitioned,
+        vacuum_unreferenced,
+    )
+    from tijdloze_musicbrainz_spark.sources.bucketing import (
+        exclusive_append,
+    )
+
+    with exclusive_append(root, owner="pq_vac_compact") as lease:
+        snap = current_snapshot(root)
+        compact_partitioned(
+            spark,
+            [f"{root}/{d}" for d in snap["list_dirs"]],
+            f"{root}/lists_compacted",
+            "cent_id",
+        )
+        commit_snapshot(
+            root, {**snap, "list_dirs": ["lists_compacted"]}, lease=lease
+        )
+
+    report = vacuum_unreferenced(
+        root,
+        lambda s: set(s["list_dirs"]),
+        protected=("codebook", "cents"),
+        keep_snapshots=1,
+    )
+    assert report["deleted"] == ["lists", "lists_g1"], report
+    assert not os.path.exists(f"{root}/lists")
+    assert not os.path.exists(f"{root}/lists_g1")
+    assert os.path.exists(f"{root}/lists_compacted")
+
+    topk2, _, _, _ = pq._pq_query_stored(spark, base, subs, root, corpus)
+    after = {tuple(r) for r in topk2.collect()}
+    assert after == before and after
+
+
+def test_vacuum_cc_tier_after_label_compaction(spark, sf_dir):
+    """The cluster tier's mapping covers bucketed block-run TABLES
+    (name → dir), hive label/remap/shingle subtrees, and the pointer-
+    published flat label store: after two generations + the label
+    compaction, keep-last-1 vacuum must drop the pre-merge label
+    chain's unreferenced entries while the compacted flat store keeps
+    resolving identically."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tijdloze_musicbrainz_spark.plans import cc_index as cc
+    from tijdloze_musicbrainz_spark.plans.lifecycle import (
+        current_snapshot,
+        current_store,
+        publish_store,
+        vacuum_unreferenced,
+    )
+    from tijdloze_musicbrainz_spark.sources.bucketing import (
+        exclusive_append,
+    )
+    from tijdloze_musicbrainz_spark.sources.store_io import get_store_io
+
+    name = "cc_vac"
+    t_blocks, paths, docs_all, pay, _ = cc._build_base(spark, sf_dir, name)
+    root = paths["root"]
+    for gen, pred in (
+        (1, F.col("doc_id") % cc.CC_BATCH_MOD == cc.CC_DELTA_MOD),
+        (2, F.col("doc_id") % cc.CC_BATCH_MOD == 0),
+    ):
+        cc._ingest_and_merge_generation(
+            spark, t_blocks, paths, docs_all, pay, pred, gen
+        )
+    snap = current_snapshot(root)
+    gens = snap["gens"]
+    compacted = f"{paths['labels']}_compacted_g{gens[-1]}"
+    with exclusive_append(root, owner="cc_vac_compact") as lease:
+        cc._resolve_labels(spark, paths, gens).write.parquet(compacted)
+        lease.assert_held("label-store publish")
+        publish_store(paths["labels"], compacted)
+    flat_before = {
+        tuple(r)
+        for r in spark.read.schema("doc_id bigint, cluster_id bigint")
+        .parquet(current_store(paths["labels"], ""))
+        .collect()
+    }
+
+    def children(s: dict) -> set[str]:
+        live = {"shingles", "stage"}
+        for run in s["blocks"]:
+            m = re.search(r"_g(\d+)$", run)
+            live.add(f"blocks_g{m.group(1)}" if m else "blocks_g0")
+        # the remap chain and per-gen labels of the COMMITTED gens,
+        # plus the pointer-published flat store
+        live |= {f"remaps/gen={g}" for g in s["gens"]}
+        live |= {f"labels/gen={g}" for g in (0, *s["gens"])}
+        live.add(os.path.relpath(current_store(paths["labels"], ""), root))
+        return live
+
+    report = vacuum_unreferenced(root, children, keep_snapshots=1)
+    # nothing a committed manifest or the label pointer names is gone
+    assert report["deleted"] == [], report
+    # an abandoned orphan label generation IS collected
+    get_store_io().put_atomic(f"{root}/labels/gen=9/part-0.parquet", "x")
+    report = vacuum_unreferenced(root, children, keep_snapshots=1)
+    assert report["deleted"] == ["labels/gen=9"], report
+
+    flat_after = {
+        tuple(r)
+        for r in spark.read.schema("doc_id bigint, cluster_id bigint")
+        .parquet(current_store(paths["labels"], ""))
+        .collect()
+    }
+    assert flat_after == flat_before and flat_after
