@@ -487,6 +487,10 @@ def _ingest_and_merge_generation(
         n_batch = _ingest_batch(
             spark, t_blocks, paths, docs_all, pay, batch_pred, gen
         )
+        # heartbeat at the phase boundary (ingest jobs done, merge
+        # jobs ahead) — the renewal is a conditional swap, so a
+        # taken-over writer fences HERE instead of merging for nothing
+        lease.renew()
         _merge_generation(spark, t_blocks, paths, gens_done, gen)
         commit_snapshot(
             root,

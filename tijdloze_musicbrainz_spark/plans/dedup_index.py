@@ -174,6 +174,12 @@ def _ingest_generation(
         snap = current_snapshot(root)
         t_gen = f"{name}_bands_{tag}_g{gen}"
         _write_gen_bands(staged, t_gen, f"{root}/bands_g{gen}")
+        # heartbeat between store writes: each phase runs Spark jobs
+        # of data-dependent length, so the lease is renewed at phase
+        # boundaries — margin stays >= lease_s however long the
+        # previous write took (a failed renewal IS the fence firing
+        # early, before any further work)
+        lease.renew()
         _write_gen_shingles(
             _shingle_sets(delta), f"{root}/shingles/gen={gen}"
         )
