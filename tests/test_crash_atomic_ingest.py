@@ -75,7 +75,9 @@ def test_orphan_snapshot_manifest_is_reclaimed_on_recovery(tmp_path):
     """Crash BETWEEN manifest write and pointer flip: the orphan
     version file beyond _CURRENT is a dead predecessor's debris (the
     exclusive lock guarantees no live second writer) and is reclaimed
-    by the recovery commit instead of blocking it forever."""
+    by the recovery commit instead of blocking it forever. The
+    recovery MUST hold the tier lease (r14 ADVICE): only the lease
+    proves there is no live competitor mid-publish."""
     root = str(tmp_path / "idx")
     assert commit_snapshot(root, {"state": "base"}) == 0
     # crashed writer wrote v1.json but never flipped the pointer
@@ -84,8 +86,10 @@ def test_orphan_snapshot_manifest_is_reclaimed_on_recovery(tmp_path):
         f.write(json.dumps({"state": "orphan-debris"}))
     assert current_snapshot_version(root) == 0
     assert current_snapshot(root) == {"state": "base"}
-    # recovery replays the ingest and commits: the orphan is overwritten
-    assert commit_snapshot(root, {"state": "recovered"}) == 1
+    # recovery replays the ingest and commits under the lease: the
+    # orphan is overwritten
+    with exclusive_append(root, owner="recovery") as lease:
+        assert commit_snapshot(root, {"state": "recovered"}, lease=lease) == 1
     assert current_snapshot(root) == {"state": "recovered"}
 
 

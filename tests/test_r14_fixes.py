@@ -252,14 +252,17 @@ def test_lockless_concurrent_commit_conflicts_instead_of_overwriting(
 def test_orphan_reclaim_still_works_when_pointer_never_advanced(tmp_path):
     """The legitimate branch the fix must preserve: a predecessor died
     between manifest write and pointer flip; the pointer never
-    advanced, so recovery overwrites the orphan and publishes."""
+    advanced, so recovery — holding the tier lease, which is what
+    proves the orphan's writer is dead (r14 ADVICE) — overwrites the
+    orphan and publishes."""
     root = str(tmp_path / "idx")
     commit_snapshot(root, {"state": "base"})
     io = get_store_io()
     io.put_if_absent(
         f"{root}/_snapshots/v1.json", json.dumps({"state": "orphan"})
     )
-    assert commit_snapshot(root, {"state": "recovered"}) == 1
+    with exclusive_append(root, owner="recovery") as lease:
+        assert commit_snapshot(root, {"state": "recovered"}, lease=lease) == 1
     assert current_snapshot(root) == {"state": "recovered"}
 
 

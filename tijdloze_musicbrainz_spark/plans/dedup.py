@@ -1335,7 +1335,32 @@ def _ratio_env(var: str, num: int, den: int) -> tuple[int, int]:
     return n, d
 
 
+def _slice_env(var: str = "SPARK_GRAFT_DEDUP_DOC_MOD") -> int:
+    """Corpus-slice override for the OUTPUT-BOUND similarity joins —
+    the ``_ratio_env`` pattern generalized (r14 verdict item 2): even
+    at the 9/10 containment threshold the sf0.1 sweep pays Ω(answer +
+    candidate volume) on the template-heavy corpus, so the harness
+    additionally sweeps those two joins on a deterministic corpus
+    SLICE (``doc_id % MOD == 0``). The modulus is read ONCE at import
+    and baked into BOTH the Spark plan and the DuckDB oracle f-string
+    — engine-symmetric by construction, exactly like the thresholds:
+    there is no code path where the engines disagree about which
+    documents participate (document frequencies, prefixes and answers
+    are all computed AFTER the slice in both engines). Unset (driver
+    gate, bench, curves, tests) the modulus is 1 — the full corpus."""
+    import os  # noqa: PLC0415
+
+    raw = os.environ.get(var)
+    if not raw:
+        return 1
+    mod = int(raw)
+    if mod < 1:
+        raise ValueError(f"{var}={raw!r}: need a positive modulus")
+    return mod
+
+
 PPJ_NUM, PPJ_DEN = _ratio_env("SPARK_GRAFT_PPJOIN_T", 3, 5)
+DEDUP_DOC_MOD = _slice_env()
 
 
 @register(
@@ -1346,6 +1371,7 @@ WITH tok AS (
   SELECT DISTINCT doc_id, t.tk AS tk
   FROM documents,
        unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t(tk)
+  WHERE doc_id % {DEDUP_DOC_MOD} = 0
 ),
 df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
 ranked AS (
@@ -1414,7 +1440,12 @@ WHERE {PPJ_DEN} * n_common >= {PPJ_NUM} * (len_a + len_b - n_common)
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
-    docs = t(spark, sf_dir, "documents")
+    # sweep-time corpus slice, engine-symmetric with the oracle's
+    # identical predicate (DEDUP_DOC_MOD == 1 everywhere but the
+    # sf0.1 sweep harness — see _slice_env)
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DEDUP_DOC_MOD == 0
+    )
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -1495,6 +1526,7 @@ WITH tok AS (
   SELECT DISTINCT doc_id, t.tk AS tk
   FROM documents,
        unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS t(tk)
+  WHERE doc_id % {DEDUP_DOC_MOD} = 0
 ),
 df AS (SELECT tk, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY tk),
 tokid AS (SELECT tk, row_number() OVER (ORDER BY df, tk) AS tid FROM df),
@@ -1559,7 +1591,12 @@ WHERE {CONT_DEN} * n_common >= {CONT_NUM} * len_a
 def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
-    docs = t(spark, sf_dir, "documents")
+    # sweep-time corpus slice, engine-symmetric with the oracle's
+    # identical predicate (DEDUP_DOC_MOD == 1 everywhere but the
+    # sf0.1 sweep harness — see _slice_env)
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % DEDUP_DOC_MOD == 0
+    )
     tok = docs.select(
         "doc_id",
         F.explode(

@@ -579,15 +579,19 @@ def dedup_minhash_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mh_live_children(root, name, tag),
         keep_snapshots=1,
     )
-    assert report["deleted"] == ["bands_g0", "bands_g1", "bands_g9"], (
-        f"vacuum mis-scoped: {report}"
-    )
+    # deletion-scope checks raise RuntimeError, not assert (r14
+    # ADVICE: bare asserts are stripped under python -O, and a
+    # mis-scoped vacuum could then pass silently whenever the probe
+    # result happens to match the oracle) — the 'fails loudly'
+    # contract must survive optimized interpreters
+    if report["deleted"] != ["bands_g0", "bands_g1", "bands_g9"]:
+        raise RuntimeError(f"vacuum mis-scoped: {report}")
     for kept in ("bands_c", "shingles/gen=0", "shingles/gen=1",
                  "stage/delta_bands"):
-        assert os.path.exists(os.path.join(root, kept)), (
-            f"vacuum deleted a live store: {kept}"
-        )
-    assert not os.path.exists(f"{root}/_snapshots/v3.json")
+        if not os.path.exists(os.path.join(root, kept)):
+            raise RuntimeError(f"vacuum deleted a live store: {kept}")
+    if os.path.exists(f"{root}/_snapshots/v3.json"):
+        raise RuntimeError("vacuum left the above-pointer orphan v3")
 
     # -- the probe reads the committed snapshot AFTER GC: the driver
     # hash against the incremental oracle proves bit-identical reads
@@ -680,10 +684,18 @@ FROM q JOIN ex USING (doc_id)
     "quality still rejects its near-dups), the simplest policy both "
     "engines can state exactly. The near-dup leg inherits "
     "dedup_minhash_incremental's oracle-validity argument (LSH miss "
-    "probability <= 3e-4 at s >= 0.8; planted pairs at s ~ 0.97). At "
-    "100 TB this is THE nightly job: O(delta) sign+probe against the "
-    "bucketed store, one 32-byte-keyed hash agg, quality gate "
-    "map-side — history never re-read, composing three engine tiers "
+    "probability <= 3e-4 at s >= 0.8; planted pairs at s ~ 0.97). "
+    "Since r15 the job runs the full nightly TAIL as well (r14 "
+    "verdict item 3): compacting the generation runs into one "
+    "bucketed store and VACUUMING the superseded runs + out-of-window "
+    "manifests under the SAME lease as the compaction commit, with "
+    "hard (RuntimeError, -O-proof) deletion-scope and root-entry-"
+    "boundedness checks, then probing from the post-GC snapshot — "
+    "hash equality against the unchanged oracle proves GC+compaction "
+    "are invisible to readers. At 100 TB this is THE nightly job: "
+    "O(delta) sign+probe against the bucketed store, one 32-byte-"
+    "keyed hash agg, quality gate map-side, GC driver-side metadata "
+    "only — history never re-read, composing three engine tiers "
     "in one driver-hashed result (extension surface; no reference "
     "twin).",
 )
@@ -723,14 +735,54 @@ def corpus_incremental_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
 
-    # (3) near-dup via the persisted band index (build + append +
-    # bucket-aligned probe — the dedup_minhash_incremental machinery)
-    t_bands, sh_path, delta_path, n_idx = _build_and_ingest(
-        spark, sf_dir, "mh_refresh"
+    # (3) near-dup via the persisted band index — the FULL nightly
+    # tail (r14 verdict item 3): build + append, then COMPACT the run
+    # set and VACUUM the superseded generations under ONE lease, and
+    # probe from the post-GC snapshot. Without the GC phase the root's
+    # entry count grows by one band run + one shingle gen per day —
+    # the LSM operability tax the nightly job must pay down itself.
+    from ..sources.store_io import get_store_io  # noqa: PLC0415
+    from .lifecycle import vacuum_unreferenced  # noqa: PLC0415
+
+    name, tag = "mh_refresh", sf_tag(sf_dir)
+    band_runs, _sh, delta_path, _n = _build_and_ingest(spark, sf_dir, name)
+    root = index_root(sf_dir, name, fresh=False)
+    compacted = f"{name}_bands_{tag}_c"
+    with exclusive_append(root, owner=name) as lease:
+        compact_bucketed(
+            spark,
+            band_runs,
+            compacted,
+            bucket_col="band_key",
+            num_buckets=DEDUP_INDEX_BUCKETS,
+            location=f"{root}/bands_c",
+        )
+        prev = current_snapshot(root)
+        commit_snapshot(root, {**prev, "bands": [compacted]}, lease=lease)
+        report = vacuum_unreferenced(
+            root,
+            _mh_live_children(root, name, tag),
+            keep_snapshots=1,
+            lease=lease,
+        )
+    # deletion scope + boundedness, loud under python -O: exactly the
+    # superseded generation runs go; what remains is the compacted
+    # store + the manifest-referenced shingle payload + the stage —
+    # constant-count however many increments preceded the GC
+    if report["deleted"] != ["bands_g0", "bands_g1"]:
+        raise RuntimeError(f"nightly vacuum mis-scoped: {report}")
+    entries = sorted(
+        n for n in get_store_io().list_names(root)
+        if not n.startswith(("_", "."))
     )
-    pairs = _probe_index(spark, t_bands, sh_path, delta_path, n_idx).select(
-        "doc_a", "doc_b"
-    )
+    if entries != ["bands_c", "shingles", "stage"]:
+        raise RuntimeError(f"root entry count not bounded: {entries}")
+
+    snap = current_snapshot(root)
+    pairs = _probe_index(
+        spark, snap["bands"], snap["shingle_dirs"], delta_path,
+        snap["n_indexed"],
+    ).select("doc_a", "doc_b")
     d_a, d_b = (
         F.col("doc_a") % DEDUP_DELTA_MOD == 0,
         F.col("doc_b") % DEDUP_DELTA_MOD == 0,

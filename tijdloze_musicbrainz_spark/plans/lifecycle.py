@@ -122,6 +122,13 @@ class SnapshotConflict(RuntimeError):
     as operators/manifest.py's version-file race)."""
 
 
+# Minimum lease runway required to BEGIN the two-step publish
+# (manifest write + pointer flip). Renewing first makes expiry-based
+# takeover impossible for the whole window; capped at half the lease
+# inside Lease.ensure_margin so short test leases behave.
+COMMIT_MARGIN_S = 30.0
+
+
 def commit_snapshot(root: str, snap: dict, lease=None) -> int:
     """Commit ``snap`` as the next snapshot version and publish it.
 
@@ -143,14 +150,19 @@ def commit_snapshot(root: str, snap: dict, lease=None) -> int:
     the manifest AND again immediately before the pointer flip, so a
     zombie writer whose lease was taken over (expiry recovery on
     another host, dead-pid recovery here) raises FencedOut instead of
-    publishing over its successor. Writers that mutate committed
-    state — ingest generations, compactions — MUST pass their lease;
-    only first-build commits into a root no other writer can know
-    about may omit it."""
+    publishing over its successor. The commit also refuses to BEGIN
+    unless the lease has a safety margin left (``Lease.ensure_margin``
+    — renew-first), so expiry-based takeover cannot land between the
+    manifest write and the pointer flip (r14 verdict item 8: the fence
+    re-check narrows that gap but a descheduled zombie could still
+    straddle it). Writers that mutate committed state — ingest
+    generations, compactions — MUST pass their lease; only first-build
+    commits into a root no other writer can know about may omit it."""
     import json  # noqa: PLC0415
 
     io = get_store_io()
     if lease is not None:
+        lease.ensure_margin(COMMIT_MARGIN_S)
         lease.assert_held("snapshot manifest write")
     committed = current_snapshot_version(root)
     v = committed + 1
@@ -164,10 +176,23 @@ def commit_snapshot(root: str, snap: dict, lease=None) -> int:
                 f"{root}: snapshot v{v} already committed by another "
                 "writer — re-read the current snapshot and retry"
             )
-        # pointer still behind v: the manifest is an orphan of a
-        # crashed predecessor (we hold the lease; a live competitor
-        # would have advanced the pointer) — reclaim by overwrite,
-        # the recovery re-ingest path
+        if lease is None:
+            # orphan reclaim is safe ONLY under the exclusive lease: a
+            # lease-less committer that lost the conditional put could
+            # re-read the pointer BEFORE the winner flips it, conclude
+            # 'orphan', and overwrite the winner's manifest — a silent
+            # lost commit (r14 ADVICE). Without the lease we cannot
+            # distinguish a crashed predecessor's debris from a live
+            # competitor's in-flight commit, so lose explicitly.
+            raise SnapshotConflict(
+                f"{root}: manifest v{v} exists and no lease is held — "
+                "a concurrent committer may be mid-publish; acquire "
+                "the tier lease (exclusive_append) to reclaim orphans"
+            )
+        # pointer still behind v AND we hold the lease: the manifest
+        # is an orphan of a crashed predecessor (a live competitor
+        # would hold the lease and have advanced the pointer) —
+        # reclaim by overwrite, the recovery re-ingest path
         io.put_atomic(path, text)
     if lease is not None:
         lease.assert_held("snapshot pointer flip")
@@ -205,6 +230,7 @@ def vacuum_unreferenced(
     children_of,
     protected: tuple[str, ...] = ("stage",),
     keep_snapshots: int = 2,
+    lease=None,
 ) -> dict:
     """Garbage-collect a snapshot-tier index root (r13 verdict item 2
     — the ``_snapshots`` twin of operators/manifest.py's vacuum): the
@@ -230,16 +256,31 @@ def vacuum_unreferenced(
 
     Runs under :func:`~..sources.bucketing.exclusive_append` — vacuum
     is a WRITER (it deletes files), and holding the lease is exactly
-    what makes above-pointer orphans provably dead. Underscore/dot
+    what makes above-pointer orphans provably dead. Pass an already-
+    held ``lease`` to run as a phase of a bigger leased transaction
+    (the nightly ingest+compact+vacuum job, r14 verdict item 3) —
+    the vacuum then fences on THAT lease instead of acquiring its
+    own. Underscore/dot
     entries (``_snapshots``, ``_CURRENT``, ``_APPEND_LOCK``,
     ``_FENCE``, CAS guards) are never touched; ``protected`` names the
     tier's non-manifest-tracked dirs (the staged probe files). Deletes
     go through ``StoreIO.delete_prefix`` (LIST + batched DELETE on an
     object store). Returns ``{"deleted": [...], "retained_versions":
-    [...]}`` for the caller's accounting. Readers stay safe throughout:
-    they resolve pointer → manifest → stores, every store a retained
-    manifest names survives, and the pointer never moves — proven by
-    the concurrent-reader test in tests/test_r14_fixes.py.
+    [...]}`` for the caller's accounting.
+
+    Reader-safety contract (r14 ADVICE — stated precisely): readers of
+    any RETAINED snapshot stay safe throughout — they resolve pointer
+    → manifest → stores, every store a retained manifest names
+    survives, and the pointer never moves (proven by the concurrent-
+    reader test in tests/test_r14_fixes.py). The retention window is
+    the ONLY reader grace: a reader still scanning a snapshot that has
+    fallen OUT of the window (e.g. resolved the previous version just
+    before a commit+vacuum with ``keep_snapshots=1``) can have its
+    stores deleted mid-scan — size ``keep_snapshots`` to cover the
+    longest reader, exactly as lakehouse table formats size their
+    snapshot-expiry age floor. ``keep_snapshots < 1`` would delete the
+    currently-published manifest out from under ``_CURRENT`` (a
+    bricked index) and is rejected with ValueError.
 
     Metastore note: band-run TABLE entries whose files are vacuumed
     remain in the session catalog until the next ``write_bucketed``
@@ -249,8 +290,15 @@ def vacuum_unreferenced(
 
     from ..sources.bucketing import exclusive_append  # noqa: PLC0415
 
+    if keep_snapshots < 1:
+        raise ValueError(
+            f"keep_snapshots={keep_snapshots}: must retain at least "
+            "the currently-published snapshot — 0 would delete the "
+            "manifest and stores _CURRENT still points at"
+        )
     io = get_store_io()
-    with exclusive_append(root, owner="vacuum") as lease:
+
+    def _walk(lease) -> dict:
         cur = current_snapshot_version(root)
         if cur < 0:
             return {"deleted": [], "retained_versions": []}
@@ -293,6 +341,12 @@ def vacuum_unreferenced(
                 io.delete(os.path.join(root, _SNAPSHOT_DIR, mname))
         lease.assert_held("vacuum completion")
         return {"deleted": sorted(deleted), "retained_versions": retained}
+
+    if lease is not None:
+        lease.assert_held("vacuum start")
+        return _walk(lease)
+    with exclusive_append(root, owner="vacuum") as own:
+        return _walk(own)
 
 
 # Small-delta probe pushdown: a delta that touches a handful of
@@ -408,7 +462,18 @@ def read_delta_key_manifest(staged_dir: str, key_col: str):
 # FASTER than unfiltered (0.60/0.62 s vs 0.79 s — pruning winning).
 # 256 is the measured break-even; above it the probe falls back to the
 # full bucketed scan, which was always the documented big-delta plan.
-PROBE_PUSHDOWN_MAX_IN = 256
+#
+# The break-even is a property of the STORE SHAPE (files x row groups
+# the list could prune vs per-row-group/per-row eval cost), not a
+# universal constant (r14 verdict item 5) — so it is a CONF, with the
+# measured decision curve committed next to it: tools/probe_cap_ab.py
+# re-measures In(k)-vs-unfiltered scan cost at two corpus shapes and
+# writes PROBE_CAP_AB.json; tests/test_probe_cap_ab.py pins that the
+# committed curve actually supports the default (k<=cap at-or-under
+# the unfiltered scan; the near-sidecar-cap list is the measured
+# cliff). A deployment whose stores are wider/coarser re-runs the
+# tool and sets SPARK_GRAFT_PROBE_MAX_IN accordingly.
+PROBE_PUSHDOWN_MAX_IN = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_IN", "256"))
 
 
 def pushdown_keys(

@@ -189,19 +189,77 @@ class Lease:
                 "its transaction"
             )
 
+    def remaining(self) -> float:
+        """Seconds of lease left per OUR payload's expiry (a renewal
+        updates it). +inf for legacy payloads without an expiry."""
+        expires = _parse_lock(self.payload).get("expires")
+        return float("inf") if expires is None else expires - _now()
+
+    def ensure_margin(self, margin_s: float) -> None:
+        """Refuse to BEGIN a multi-step publish on a nearly-expired
+        lease (r14 verdict item 8): a commit that starts with <1 s left
+        can straddle expiry BETWEEN the manifest write and the pointer
+        flip — takeover-past-expiry lands in that gap, and the fence
+        re-check before the flip narrows but cannot close it (the
+        zombie can be descheduled after the check passes). Renewing
+        up-front makes the lease provably unexpired for ``margin_s``,
+        so expiry-based takeover is impossible for the whole two-step
+        window; a renewal that fails IS the fence firing before any
+        state was touched. The margin is capped at half the lease so
+        short test leases do not renew on every commit."""
+        if self.remaining() < min(margin_s, self.lease_s / 2.0):
+            self.renew()
+
     def release(self) -> None:
         # conditional release: if we were fenced out, the lock is the
         # NEW holder's — deleting it unconditionally would re-open the
-        # very split-brain the fence closed
-        self._io.delete_if_match(self.path, self.payload)
+        # very split-brain the fence closed. The local CAS can also
+        # lose to transient flock CONTENTION (another process probing
+        # the lock) with the payload still OURS — in that outcome a
+        # single give-up would strand a valid lock nobody holds for up
+        # to the full lease (r14 ADVICE), so retry while a re-read
+        # still shows our exact payload; any other content means a real
+        # takeover and leaving the lock is correct.
+        for _ in range(8):
+            if self._io.delete_if_match(self.path, self.payload):
+                return
+            if self._io.get_text(self.path) != self.payload:
+                return  # fenced out: the lock is the new holder's
+            time.sleep(0.02)
 
 
-def _read_fence_floor(io, location: str) -> int:
-    text = io.get_text(os.path.join(location, _FENCE_FILE))
-    try:
-        return int(text.strip()) if text else 0
-    except ValueError:  # pragma: no cover - hand-damaged file
-        return 0
+def _reserve_fence(io, location: str, floor: int = 0) -> int:
+    """Reserve the next fence token via compare-and-swap on the
+    ``_FENCE`` high-water file, BEFORE attempting the lock (r14
+    ADVICE: the old scheme read the floor first and persisted it only
+    after winning, so a fresh acquirer winning ``put_if_absent`` in
+    the window between a recoverer's conditional delete and re-create
+    — or before a prior holder wrote ``_FENCE`` — could mint a token
+    <= the dead holder's, and 'zombie carries a smaller token' held
+    only via the full-payload compare). With the reservation CAS'd up
+    FIRST, every acquirer's token comes from a successful strictly-
+    increasing swap, so numeric fence ordering is a real invariant:
+    any zombie from an earlier epoch carries a strictly smaller token
+    than every later reservation. ``floor`` lets a takeover reserve
+    past a dead holder whose payload pre-dates reserved fences."""
+    path = os.path.join(location, _FENCE_FILE)
+    for _ in range(100):
+        cur_text = io.get_text(path)
+        try:
+            cur = int(cur_text.strip()) if cur_text else 0
+        except ValueError:  # hand-damaged file: restart the counter
+            cur = 0
+        fence = max(cur, floor) + 1
+        if cur_text is None:
+            if io.put_if_absent(path, str(fence)):
+                return fence
+        elif io.replace_if_match(path, cur_text, str(fence)):
+            return fence
+        time.sleep(0.01)  # CAS contention: re-observe and retry
+    raise ConcurrentAppendError(
+        f"{location}: could not reserve a fence token after 100 "
+        "attempts — persistent CAS contention on _FENCE"
+    )
 
 
 @contextlib.contextmanager
@@ -251,7 +309,11 @@ def exclusive_append(
             "use operators.manifest for optimistic concurrency"
         )
 
-    fence = _read_fence_floor(io, location) + 1
+    # reserve the fence BEFORE attempting the lock (CAS on _FENCE —
+    # see _reserve_fence): tokens are strictly increasing across every
+    # acquisition attempt, so numeric fence ordering is a real
+    # invariant, not just a payload-compare artifact (r14 ADVICE)
+    fence = _reserve_fence(io, location)
     payload = lock_payload(os.getpid(), owner, fence, _now() + lease_s)
     if not io.put_if_absent(lock, payload):
         held = io.get_text(lock)
@@ -263,8 +325,11 @@ def exclusive_append(
             info = _parse_lock(held)
             if not _takeover_allowed(info, _now()):
                 raise _reject(held)
-            # fence past BOTH the floor and the dead holder's token
-            fence = max(fence, info.get("fence", 0) + 1)
+            if info.get("fence", 0) >= fence:
+                # dead holder's token pre-dates reserved fences (or
+                # out-of-band damage): reserve past it so the zombie
+                # still carries the strictly smaller token
+                fence = _reserve_fence(io, location, floor=info["fence"])
             payload = lock_payload(
                 os.getpid(), owner, fence, _now() + lease_s
             )
@@ -275,10 +340,6 @@ def exclusive_append(
                 raise _reject(io.get_text(lock))
             if not io.put_if_absent(lock, payload):
                 raise _reject(io.get_text(lock))
-    # persist the fence high-water AFTER winning, so fences stay
-    # monotonic across clean release/re-acquire cycles (a zombie from
-    # any earlier epoch always carries a smaller token)
-    io.put_atomic(os.path.join(location, _FENCE_FILE), str(fence))
     lease = Lease(io, lock, payload, fence, lease_s)
     try:
         yield lease
@@ -329,6 +390,39 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    columns: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    location: str | None = None,
+) -> None:
+    """ATTACH an existing bucketed store to THIS session's catalog as
+    an EXTERNAL table (metadata-only DDL — no data is read or moved).
+
+    The multi-host complement of :func:`write_bucketed`: catalog
+    entries are per-session (locally a per-process Derby metastore; on
+    a cluster whatever metastore the session mounts), while the store
+    itself — files + the snapshot manifest that names it — lives on
+    shared storage. A second driver process that takes over a tier
+    (lease expiry / writer death) re-registers the committed runs from
+    the manifest with this DDL and probes on, which is exactly what
+    the two-process race e2e exercises (tests/test_two_process_race.py).
+    ``columns`` is the DDL column spec (``"doc_id BIGINT, band_key
+    BIGINT"``); the bucket spec MUST match the writer's or bucketed
+    joins would co-locate wrongly — at production scale the spec is
+    read from the manifest, never hand-typed."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sort = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({columns}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort}"
+        f"INTO {num_buckets} BUCKETS LOCATION '{location}'"
+    )
 
 
 def bucketed_join_ready(spark: SparkSession, table_a: str, table_b: str) -> bool:

@@ -90,6 +90,16 @@ CHECKSUM_QUERIES = {
 SF01_THRESHOLD_OVERRIDES = {
     "SPARK_GRAFT_PPJOIN_T": "4/5",
     "SPARK_GRAFT_CONTAINMENT_T": "9/10",
+    # r15 (r14 verdict item 2): even at 9/10 the containment join was
+    # 162 s — 16% of the 998 s r14 sweep — because the CANDIDATE
+    # volume (rare-token collisions against the full token index) is
+    # corpus-bound, not only answer-bound. The generalized remedy:
+    # sweep the two output-bound joins on a deterministic HALF-SCALE
+    # corpus slice (doc_id % 2 = 0), applied by the same
+    # import-time-symmetric mechanism as the thresholds
+    # (plans/dedup.py _slice_env — document frequencies, prefixes and
+    # answers are all computed after the slice in BOTH engines).
+    "SPARK_GRAFT_DEDUP_DOC_MOD": "2",
 }
 
 _NULL_SENTINEL_SQL = "chr(0) || 'NULL'"

@@ -676,6 +676,25 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # r15 (r14 verdict item 7): recall@5 ON the scale curve for the
+    # two ANN probe curves — IVF/PQ recall can degrade silently as n
+    # grows at fixed nprobe/list count, and a single-scale measurement
+    # (bench.py's ann_recall_at_5) cannot see it. Recomputed per
+    # multiplier against the exact top-k on the SAME derived corpus
+    # (untimed — quality, not cost). tests/test_ann_recall.py asserts
+    # the committed floor.
+    RECALL_CURVES = ("sim_ann_ivf_pq_persisted", "sim_ann_ivf_partitioned_lists")
+
+    def recall_at_5(name: str, sf_dir: str) -> float:
+        def pairs(q):
+            return {
+                (r["query_id"], r["match_id"])
+                for r in REGISTRY[q].builder(spark, sf_dir).collect()
+            }
+
+        exact = pairs("sim_cosine_topk_exact")
+        return round(len(exact & pairs(name)) / len(exact), 4)
+
     queries = QUERIES
     if args.only:
         only = set(args.only.split(","))
@@ -708,6 +727,10 @@ def main() -> None:
             "exponent": exp,
             "expected_linear": expected_linear,
         }
+        if name in RECALL_CURVES:
+            results[name]["recall_at_5"] = {
+                str(m): recall_at_5(name, dirs[m]) for m in q_mults
+            }
         if note:
             results[name]["note"] = note
         print(f"[scale] {name}: {results[name]}", file=sys.stderr)
