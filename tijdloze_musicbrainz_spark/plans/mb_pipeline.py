@@ -86,7 +86,18 @@ def mb_scale_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
 
-    empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
+    # a provably-empty relation: the trailing filter(false) lets
+    # Catalyst's PruneFilters fold the subtree to an empty
+    # LocalRelation and PropagateEmptyRelation then collapses every
+    # join/union/aggregate over it at optimization time. A bare
+    # createDataFrame([], schema) is parallelize-backed — Spark cannot
+    # see it is empty, so each of the 12 empty relation tables kept a
+    # full 32-task exchange + join in the plan (measured r15: the
+    # scale pipeline's plan dropped from 61 Exchanges to a third of
+    # that; same results by join semantics).
+    empty = lambda schema: (  # noqa: E731
+        spark.createDataFrame([], schema).where(F.lit(False))
+    )
 
     # recording id = partkey * 10^7 + suppkey: suppkey < 10M up to
     # sf~1000, so ids cannot collide across parts in any reachable sf

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.normalize import search_key
 from .fuzzy import _search_over, fuzzy_key_join
 from .registry import register
+from .util import values_df
 
 # Golden workload (mirrors benchmark/default.csv's columns):
 # row_id, artist_name, title, db_album_mb_id (the expected answer).
@@ -165,13 +166,17 @@ SELECT * FROM (VALUES
 )
 def benchmark_accuracy_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden = _golden_csv(spark)
-    songs = spark.createDataFrame(
+    # values_df, not createDataFrame: zero-task JVM LocalRelations for
+    # the literal catalog/alias tables (plans/util.values_df — the
+    # Python-evaluated parallelize scans were the replay's main cost)
+    songs = values_df(
+        spark,
         _SONGS,
         "song_id INT, artist_id INT, title STRING, mb_id STRING, "
         "recording_score INT, is_single_from BOOLEAN, is_main_album BOOLEAN, "
         "release_year BIGINT",
     ).withColumn("alias_key", search_key(F.col("title")))
-    aliases = spark.createDataFrame(_ALIASES, "artist_id INT, name STRING").select(
+    aliases = values_df(spark, _ALIASES, "artist_id INT, name STRING").select(
         "artist_id", search_key(F.col("name")).alias("akey")
     )
 

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from ..plans.dedup import _JACCARD_ALLPAIRS_ORACLE
 from ..plans.registry import register
+from ..plans.util import values_df
 
 # Explicit source schema (streaming sources cannot infer). The driver
 # testdata has shipped events.ts both as TIMESTAMP(NANOS) (rounds 1-3)
@@ -1011,7 +1012,7 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     b2 = ev.filter(F.col("event_id") % 3 == 0).select(
         "event_type", F.timestamp_seconds(base_s + off2 * 60).alias("ts")
     )
-    sentinel = spark.createDataFrame([("sentinel",)], "event_type string").select(
+    sentinel = values_df(spark, [("sentinel",)], "event_type string").select(
         "event_type", F.timestamp_seconds(base_s + 14400 * 60).alias("ts")
     )
 
@@ -1104,7 +1105,8 @@ def _staged_events_with_flush(spark: SparkSession, sf_dir: str, tag: str) -> str
     max_ts = ev.agg(F.max("ts")).first()[0]
     base = time.time()
     for i, days in enumerate((10, 20), start=1):
-        sent = spark.createDataFrame(
+        sent = values_df(
+            spark,
             [(-1, -1, "click"), (-1, -1, "purchase")],
             "event_id long, user_id long, event_type string",
         ).select(
