@@ -168,6 +168,11 @@ def _build_base(
     time, never by re-scanning the store — and since r13 it lives in
     the snapshot manifest (the commit stats the rule always named)."""
     docs_all = t(spark, sf_dir, "documents").select("doc_id")
+    # NO fan_out here (unlike the minhash lifecycle): this pipeline
+    # issues ~40 separate write/count actions per run, each re-running
+    # the payload subtree — an injected repartition exchange + its
+    # local sort is paid per ACTION, and the payload compute is light
+    # (measured r15: 8.4 s -> 10.6 s WITH fan_out, reverted)
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
@@ -732,6 +737,11 @@ def streaming_cluster_ingest_restart(
 
     root = index_root(sf_dir, "cc_stream")
     docs_all = t(spark, sf_dir, "documents").select("doc_id")
+    # NO fan_out here (unlike the minhash lifecycle): this pipeline
+    # issues ~40 separate write/count actions per run, each re-running
+    # the payload subtree — an injected repartition exchange + its
+    # local sort is paid per ACTION, and the payload compute is light
+    # (measured r15: 8.4 s -> 10.6 s WITH fan_out, reverted)
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .util import t
+from .util import fan_out, t
 
 N_PERMS = 64
 N_BANDS = 16
@@ -97,10 +97,19 @@ def minhash_agg_exprs() -> list:
     transform(64) x transform(#shingles) formulation of MinHash runs
     ~100x slower than this flat form, where each permutation is a
     literal-constant arithmetic expression inside a codegen'd hash
-    aggregate with map-side partial min."""
-    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_P))
+    aggregate with map-side partial min.
+
+    r15: one ``F.expr`` SQL string per permutation instead of nested
+    Column operators — the operator form cost ~8 Python->JVM round
+    trips per permutation (~0.4 s of pure driver latency PER CALL,
+    and lifecycle builds call this twice per run); one parse call per
+    column is ~15x cheaper and the analyzed plan is value-identical
+    (typed long literals vs fold-away casts)."""
     return [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"m{k}")
+        F.expr(
+            f"min(pmod(pmod(xxhash64(shingle), {_P}) * {a}L + {b}L, {_P}))"
+            f" as m{k}"
+        )
         for k, (a, b) in enumerate(_PERMS)
     ]
 
@@ -108,12 +117,16 @@ def minhash_agg_exprs() -> list:
 def band_key_cols() -> list:
     """16 band keys from the m0..m63 signature columns: band b hashes
     its 4 slots plus the band index (buckets from different bands can
-    never collide). Plain codegen expressions."""
+    never collide). Plain codegen expressions (one parse call per
+    band — same driver-latency rationale as minhash_agg_exprs)."""
     return [
-        F.xxhash64(
-            F.lit(b),
-            *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-        ).alias(f"band{b}")
+        F.expr(
+            f"xxhash64({b}, "
+            + ", ".join(
+                f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            )
+            + f") as band{b}"
+        )
         for b in range(N_BANDS)
     ]
 
@@ -445,7 +458,10 @@ ppcand AS (
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text matches nothing (same policy + reason as the blocked
     # Jaccard tier; pinned by the NULL-text edge-corpus row)
-    docs = (
+    # fan_out: the sign aggregate below is the CPU-heavy stage and the
+    # single-file scan would run it as one task (plans/util.fan_out —
+    # no-op at production partition counts)
+    docs = fan_out(
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
@@ -591,7 +607,11 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 3
     "segment-count x pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    # fan_out: the vote aggregate is the CPU-heavy stage over a
+    # single-file scan (plans/util.fan_out — no-op at scale)
+    docs = fan_out(
+        t(spark, sf_dir, "documents").select("doc_id", words_col().alias("ws"))
+    )
     # (doc, token) rows; bit k of the fingerprint = majority vote of
     # the universal-hash bit over the doc's distinct tokens. 64 flat
     # vote aggregates in one codegen'd groupBy (same flat-over-nested-
@@ -599,22 +619,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct("ws")).alias("token")
     ).withColumn("h", F.expr(_TOKEN_BASE))
+    # one F.expr parse per vote/term instead of nested Column
+    # operators: the operator form cost ~0.6 s of Python->JVM
+    # round-trip latency per invocation (same rationale — and
+    # measured equivalence check — as minhash_agg_exprs, r15)
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_P)) % 2 == 1, 1
-                ).otherwise(-1)
-            ).alias(f"v{bit}")
+            F.expr(
+                f"sum(CASE WHEN pmod(h * {a}L + {b}L, {_P}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END) as v{bit}"
+            )
             for bit, (a, b) in enumerate(_SIM_BITS)
         ]
     )
-    fp_expr = None
-    for bit in range(64):
-        term = F.when(
-            F.col(f"v{bit}") > 0, F.lit(1 << bit if bit < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp_expr = term if fp_expr is None else fp_expr + term
+    fp_expr = F.expr(
+        " + ".join(
+            f"CASE WHEN v{bit} > 0 THEN "
+            + (
+                f"{1 << bit}L"
+                if bit < 63
+                else "(-9223372036854775807L - 1L)"
+            )
+            + " ELSE 0L END"
+            for bit in range(64)
+        )
+    )
     # Materialize the fingerprint table (16 B/doc): the self-join below
     # would otherwise execute the vote aggregation once PER SIDE (no
     # common-subexpression elimination across join inputs).

@@ -61,7 +61,7 @@ from .textops import (
     QUALITY_PUNCT_CLASS as Q_CLASS,
     quality_passes,
 )
-from .util import t
+from .util import fan_out, t
 
 # Every DEDUP_DELTA_MOD-th document "arrives" after the base index is
 # built — a deterministic split both engines can state.
@@ -244,7 +244,10 @@ def _build_base_index(
     """The base build: the ONE corpus-linear pass over the non-
     arriving 90%, committed as the index's first snapshot. Returns
     (root, tag, base_docs, delta_docs)."""
-    docs = (
+    # fan_out: the minhash sign aggregate is the build's CPU-heavy
+    # stage and the single-file scan would run it as one task
+    # (plans/util.fan_out — no-op at production partition counts)
+    docs = fan_out(
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))

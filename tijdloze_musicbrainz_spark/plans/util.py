@@ -101,6 +101,27 @@ def values_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise map-side parallelism of a CPU-heavy narrow pipeline when
+    the upstream scan has FEWER partitions than the cluster has slots.
+    The driver testdata ships each table as one single-row-group
+    parquet file, so every scan-rooted stage runs as ONE task while
+    the other cores idle — minhash signing, simhash voting, BPE
+    tokenization all serialize. The repartition is gated on the actual
+    partition count, so at production scale (inputs >> slots) it is a
+    provable no-op and no corpus-sized shuffle is ever injected; the
+    shuffled bytes locally are the projected columns only (call this
+    AFTER projecting, guide: shuffle fewer bytes). Deterministic:
+    round-robin repartition sorts locally first (SPARK-23207), and
+    every consumer here is an aggregate/join whose result is
+    row-order independent."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """EAGER checkpoint for a DataFrame that is consumed by several
     sibling sub-trees (self-joins, iterative rounds): without it every

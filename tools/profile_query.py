@@ -129,6 +129,31 @@ def main() -> int:
         s["sw"] = t_.get("internal.metrics.shuffle.write.bytesWritten", 0)
         s["inp"] = t_.get("internal.metrics.input.bytesRead", 0)
 
+    # -- job timeline: where the DRIVER spends time between jobs ------
+    job_times = {}  # jid -> [start, end]
+    with open(path) as f:
+        for line in f:
+            ev = json.loads(line)
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                job_times[ev["Job ID"]] = [ev["Submission Time"], None]
+            elif e == "SparkListenerJobEnd":
+                if ev["Job ID"] in job_times:
+                    job_times[ev["Job ID"]][1] = ev["Completion Time"]
+    timeline = sorted(
+        (v[0], v[1] or v[0], k) for k, v in job_times.items()
+    )
+    print("\njob timeline (gap = driver-side time since previous job end):")
+    prev_end = None
+    for start, end, jid in timeline:
+        gap = (start - prev_end) / 1000.0 if prev_end else 0.0
+        prev_end = max(prev_end or end, end)
+        mark = " <== DRIVER GAP" if gap > 0.15 else ""
+        print(
+            f"  job {jid:>3} gap={gap:6.2f}s dur={(end - start) / 1000.0:6.2f}s"
+            f"  {jobs.get(jid, '')[:80]}{mark}"
+        )
+
     rows = sorted(stages.items(), key=lambda kv: -kv[1]["run"])
     print(f"\nbest trial: {best:.3f}s   stages: {len(stages)}")
     print(
