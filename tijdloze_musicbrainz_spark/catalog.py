@@ -141,6 +141,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst's parquet pushdown/pruning applies, but validate the field
     names against the registry to fail fast on drift.
 
+    The resolved DataFrame (a lazy PLAN — no rows are materialized,
+    every action still computes from the parquet files) is cached on
+    the session object: footer schema-inference + analysis +
+    name-validation cost ~107 ms per call (measured r15, warm), and
+    builders call this several times per bench trial. The cache dies
+    with the session; source tables are immutable inputs."""
+    cache = getattr(spark, "_tmb_table_plan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._tmb_table_plan_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The real read (see load_table's docstring).
+
     Timestamp normalization: the driver has shipped ``events.ts`` both
     as parquet TIMESTAMP(NANOS) (rounds 1-3) and as naive
     TIMESTAMP(MICROS) (round 4). Handle both: nanos are read as long
