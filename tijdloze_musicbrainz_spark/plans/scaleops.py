@@ -33,6 +33,16 @@ N_BUCKETS = 8
 # the oracle so both engines derive the identical skew.
 _HOT_KEY_SQL = "CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE l_partkey END"
 
+# Broadcast budget for the oriented edge list in the triangle closure
+# join (two long columns). 48 bytes/row covers the UnsafeRow plus
+# hash-relation overhead of the built side; the cap is sized to a
+# production executor's broadcast share, env-overridable so a cluster
+# with more headroom can raise it (or a constrained one lower it).
+_EDGE_BCAST_ROW_BYTES = 48
+_EDGE_BCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_EDGE_BCAST_MAX_BYTES", str(256 << 20))
+)
+
 
 @register(
     "j_skew_salted_join",
@@ -536,9 +546,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one degree table serves both the orientation and the stats fold
     oriented = eager_checkpoint(orient_by_degree(pairs, deg=deg))
+    # The wedge stream (e1 join e2) is the only data-sized intermediate:
+    # ~wedge-count rows of three longs, shuffled AND sort-merge-sorted
+    # twice under the default plan (420 MB exchange + ~250 s of sort CPU
+    # at sf0.1) just so the closure join can probe the EDGE LIST — which
+    # is two longs per row. When the edge list fits an executor-memory
+    # budget, broadcast BOTH closure sides instead: wedges are then
+    # generated and consumed inside one stage (hash probes, no exchange,
+    # no sort). The gate is an exact row count on the checkpointed edge
+    # list (AQE cannot make this call: a LogicalRDD has no size stats),
+    # so at production scale, where edges outgrow the budget, the plan
+    # falls back to the bounded sort-merge shape unchanged.
+    n_edges_exact = oriented.count()
+    bcast_edges = (
+        n_edges_exact * _EDGE_BCAST_ROW_BYTES <= _EDGE_BCAST_MAX_BYTES
+    )
+    _side = F.broadcast if bcast_edges else (lambda d: d)
+    # Deliberately NOT fanned out: raising the probe stage from the
+    # checkpoint's 10 partitions to 32 slots left the wall unchanged
+    # (8.1-8.4s vs 7.8s best) while 2.5-3x'ing task CPU — 32 threads
+    # hammering the shared broadcast hash relations are memory-bound,
+    # so the extra slots buy contention, not throughput.
     e1 = oriented.alias("e1")
-    e2 = oriented.alias("e2")
-    e3 = oriented.alias("e3")
+    e2 = _side(oriented.alias("e2"))
+    e3 = _side(oriented.alias("e3"))
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(
