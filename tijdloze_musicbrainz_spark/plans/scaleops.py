@@ -43,6 +43,14 @@ _EDGE_BCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_EDGE_BCAST_MAX_BYTES", str(256 << 20))
 )
 
+# (node, hops) rows in the BFS frontier/visited broadcasts: long + int
+# plus UnsafeRow + hash-relation overhead.
+_NODE_BCAST_ROW_BYTES = 40
+
+
+def _node_set_fits_bcast(n_rows: int) -> bool:
+    return n_rows * _NODE_BCAST_ROW_BYTES <= _EDGE_BCAST_MAX_BYTES
+
 
 @register(
     "j_skew_salted_join",
@@ -732,6 +740,11 @@ def _copurchase_edges_and_seeds(
         )
         .distinct()
     )
+    # checkpoint BEFORE the symmetric union: the union's two legs each
+    # inline the full self-join + distinct otherwise (profiled: two
+    # extra 248 MB lineitem-scan stages per run just to re-derive the
+    # same pair set for the reversed leg)
+    pairs = eager_checkpoint(pairs)
     edges = eager_checkpoint(
         pairs.unionByName(
             pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -749,25 +762,37 @@ def _copurchase_edges_and_seeds(
 
 
 def _bfs_expand(
-    frontier: DataFrame, edges: DataFrame, visited: DataFrame
+    frontier: DataFrame,
+    edges: DataFrame,
+    visited: DataFrame,
+    bcast: bool = False,
 ) -> DataFrame:
     """One BFS round: frontier x edges, dedup, drop already-visited.
     min-hop semantics — a node already visited keeps its earlier
     (smaller) hop count; only genuinely new nodes join the level.
     The eager checkpoint truncates lineage so round k's anti-join
-    never re-derives rounds 0..k-1."""
+    never re-derives rounds 0..k-1.
+
+    ``bcast=True`` (caller gates it on the EXACT visited-set row count
+    — every block is a checkpoint, so the count is cheap and known)
+    broadcasts the frontier into the expansion join and the visited
+    set into the anti-join: the edge table then streams straight from
+    its checkpoint and the only exchange left per round is the
+    unavoidable new-node distinct. Above the budget the caller passes
+    False and the round keeps the shuffled shape."""
+    f = frontier.select(F.col("node").alias("u"), "hops")
+    v = visited.select("node")
+    if bcast:
+        f, v = F.broadcast(f), F.broadcast(v)
     nbrs = (
-        frontier.select(F.col("node").alias("u"), "hops")
-        .join(edges, "u")
+        f.join(edges, "u")
         .select(
             F.col("v").alias("node"),
             (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
         )
         .distinct()
     )
-    return eager_checkpoint(
-        nbrs.join(visited.select("node"), "node", "left_anti")
-    )
+    return eager_checkpoint(nbrs.join(v, "node", "left_anti"))
 
 
 @register(
@@ -816,8 +841,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, seeds = _copurchase_edges_and_seeds(spark, sf_dir)
     visited = seeds.withColumn("hops", F.lit(0).cast("int"))
     frontier = visited
+    n_visited = visited.count()
     for _ in range(BFS_MAX_HOPS):
-        new = _bfs_expand(frontier, edges, visited)
+        new = _bfs_expand(
+            frontier, edges, visited, bcast=_node_set_fits_bcast(n_visited)
+        )
+        n_visited += new.count()  # cheap: `new` is already materialized
         # visited stays a lazy union of CHECKPOINTED blocks (seeds +
         # new_1..new_k): shallow lineage, no re-materialization cost.
         visited = visited.unionByName(new)
@@ -885,10 +914,15 @@ def graph_bfs_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seeds.withColumn("hops", F.lit(0).cast("int"))
     frontier = visited
     rounds = 0
+    n_visited = visited.count()
     while True:
-        new = _bfs_expand(frontier, edges, visited)
-        if new.isEmpty():  # cheap: `new` is already materialized
+        new = _bfs_expand(
+            frontier, edges, visited, bcast=_node_set_fits_bcast(n_visited)
+        )
+        n_new = new.count()  # cheap: `new` is already materialized
+        if n_new == 0:
             break
+        n_visited += n_new
         rounds += 1
         if rounds > BFS_FIXPOINT_SAFETY:
             raise RuntimeError(
