@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .util import fan_out, t
+from .util import eager_checkpoint, fan_out, t
 
 N_PERMS = 64
 N_BANDS = 16
@@ -999,10 +999,18 @@ def _exact_substring_over(toks: DataFrame, k: int) -> DataFrame:
     base = toks.select(
         "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
     )
-    # per-position 128-bit gram fingerprints; empty when too short
-    grams = base.select(
-        "doc_id", F.posexplode(_gram_hashes(k)).alias("pos", "gh")
-    ).select("doc_id", "pos", "gh.h1", "gh.h2")
+    # per-position 128-bit gram fingerprints; empty when too short.
+    # fan_out: gram building (k-token slice + concat + double hash per
+    # position) is the CPU of this family and the single-row-group
+    # test scan runs it as ONE task otherwise. eager_checkpoint: the
+    # gram stream feeds BOTH the dup-hash aggregate and the semi-join
+    # probe leg — without it the whole tokenize+hash pipeline is
+    # inlined and paid twice (profiled as two ~equal Generate stages).
+    grams = eager_checkpoint(
+        fan_out(base)
+        .select("doc_id", F.posexplode(_gram_hashes(k)).alias("pos", "gh"))
+        .select("doc_id", "pos", "gh.h1", "gh.h2")
+    )
     dup_hashes = (
         grams.groupBy("h1", "h2")
         .count()
@@ -1213,10 +1221,15 @@ def dedup_exact_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tk", F.size("tk").cast("long").alias("n_tok")
     )
     # 128-bit (h1, h2) gram keys — a collision here would CUT unrelated
-    # text, the worst silent-failure mode (see _gram_hashes)
-    grams = base.select(
-        "doc_id", F.posexplode(_gram_hashes(K_SPAN)).alias("pos", "gh")
-    ).select("doc_id", "pos", "gh.h1", "gh.h2")
+    # text, the worst silent-failure mode (see _gram_hashes).
+    # fan_out + eager_checkpoint for the same reasons as
+    # _exact_substring_over: parallelize the gram CPU and stop the
+    # winners/losers legs from re-running the tokenize+hash pipeline.
+    grams = eager_checkpoint(
+        fan_out(base)
+        .select("doc_id", F.posexplode(_gram_hashes(K_SPAN)).alias("pos", "gh"))
+        .select("doc_id", "pos", "gh.h1", "gh.h2")
+    )
     winners = (
         grams.groupBy("h1", "h2")
         .agg(

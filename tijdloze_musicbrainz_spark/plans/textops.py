@@ -1709,7 +1709,18 @@ def _bpe_train_chain(
 ) -> tuple[list[DataFrame], DataFrame]:
     """(per-round winner frames, the corpus rewritten with all
     BPE_ROUNDS merges applied) — shared by the trainer query (reads
-    the winners) and text_bpe_apply_merges (reads the rewrite)."""
+    the winners) and text_bpe_apply_merges (reads the rewrite).
+
+    The head checkpoint fans the tokenized corpus out to cluster
+    parallelism first (the single-row-group test scan otherwise runs
+    EVERY round's pair-count and merge-fold as one task — each round's
+    checkpoint inherits the partitioning of its input, so a 1-task
+    head serializes the whole chain) and materializes it once, so
+    round 1's two consumers (pair counts + rewrite) don't re-tokenize.
+    fan_out is partition-count-gated: a no-op at production scale."""
+    from .util import fan_out  # noqa: PLC0415
+
+    docs = _round_checkpoint(fan_out(docs))
     merge_fold = F.expr(
         """
 aggregate(tk,
