@@ -211,7 +211,13 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _vecs(spark, sf_dir).withColumn(
+    # fan_out: every downstream scoring pass (subvector l2, centroid
+    # cosine, ADC) is CPU-bound array math, and the single-row-group
+    # test scan would run it all on one task. Partition-count-gated —
+    # a no-op at production scale.
+    from ..util import fan_out  # noqa: PLC0415
+
+    return fan_out(_vecs(spark, sf_dir)).withColumn(
         "iv",
         F.transform(F.col("v"), lambda x: F.floor(x * QUANT).cast("long")),
     )
@@ -264,15 +270,20 @@ def _l2i(a: Column, b: Column) -> Column:
 
 def _pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """(match_id, m, code): per (vector, subspace) argmin over the
-    broadcast codebook — PQ_M int codes per vector, the compression."""
+    broadcast codebook — PQ_M int codes per vector, the compression.
+
+    min_by over the (d, j) total order instead of a row_number window:
+    identical argmin (same tie-break), but a hash aggregate with
+    map-side partial combine — the window shape local-sorted the full
+    n x PQ_M x K scored stream before its exchange (the profiled CPU
+    hotspot of the encode stage)."""
     scored = subs.join(F.broadcast(cb), "m").select(
         "vec_id", "m", "j", _l2i(F.col("siv"), F.col("cbv")).alias("d")
     )
-    wc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
     return (
-        scored.withColumn("__rn", F.row_number().over(wc))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("vec_id").alias("match_id"), "m", F.col("j").alias("code"))
+        scored.groupBy("vec_id", "m")
+        .agg(F.min_by("j", F.struct("d", "j")).alias("code"))
+        .select(F.col("vec_id").alias("match_id"), "m", "code")
     )
 
 
@@ -290,6 +301,22 @@ def _nearest_cent(
         "cent_id",
         F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
     )
+    if k == 1:
+        # the corpus-wide list assignment: argmax by (sim desc, cent_id
+        # asc) as a map-side-combinable min_by instead of a window that
+        # local-sorts n x |cents| scored rows. NULL sims (zero-norm
+        # vector or centroid) must keep losing to every real sim, as
+        # under the window's desc-nulls-last order: coalesce to +inf so
+        # they sort greatest in the minimized struct.
+        ord_ = F.struct(
+            F.coalesce(-F.col("__sim"), F.lit(float("inf"))).alias("ns"),
+            F.col("cent_id"),
+        )
+        return (
+            sc.groupBy(id_col)
+            .agg(F.min_by("cent_id", ord_).alias("cent_id"))
+            .select(id_col, "cent_id")
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
     return (
         sc.withColumn("__rn", F.row_number().over(w))
