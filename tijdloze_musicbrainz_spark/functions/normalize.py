@@ -96,6 +96,17 @@ def unaccent_full(col: Column | str) -> Column:
     return _unidecode(F.col(col) if isinstance(col, str) else col)
 
 
+def _search_key_spark_sql(e: str) -> str:
+    """Spark-SQL rendering of search_key over an expression snippet —
+    the same functions the Column path composes, as ONE parse."""
+    for src, dst in _MULTI_FOLDS:
+        e = f"replace({e}, '{src}', '{dst}')"
+    e = f"translate({e}, '{_ACCENTED}', '{_FOLDED}')"
+    return (
+        f"regexp_replace(replace(lower({e}), '(live)', ''), '[^a-z0-9]+', '')"
+    )
+
+
 def search_key(col: Column | str) -> Column:
     """The reference's canonical matching key (src/util.py:14-16):
     unaccent → lower → drop "(live)" → strip non-[a-z0-9].
@@ -103,9 +114,17 @@ def search_key(col: Column | str) -> Column:
     The "(live)" removal happens before the strip, mirroring the
     reference exactly (it is a no-op on the final key because '(' and
     ')' are stripped anyway — kept for fidelity, see SURVEY F1).
+
+    A ``str`` argument is treated as a Spark-SQL expression snippet
+    (a bare column name still works) and rendered as a SINGLE
+    ``F.expr`` parse: the Column composition below costs ~40 py4j
+    round trips per call (~15 ms of pure driver latency), which the
+    fuzzy/benchmark builders pay dozens of times per bench trial.
+    The parsed plan is function-for-function the same expression.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.lower(unaccent(c))
+    if isinstance(col, str):
+        return F.expr(_search_key_spark_sql(col))
+    c = F.lower(unaccent(col))
     c = F.replace(c, F.lit("(live)"), F.lit(""))
     return F.regexp_replace(c, "[^a-z0-9]+", "")
 
@@ -130,8 +149,13 @@ def search_key_sql(expr: str) -> str:
 # reference maps … ’ “ ” ‐ to ASCII. '…' is a 1→3 fold so it goes
 # through replace(); the 1→1 folds go through translate().
 def clean(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    c = F.replace(c, F.lit("…"), F.lit("..."))
+    if isinstance(col, str):
+        # one parse instead of two py4j-built ops; '\'' escapes the
+        # ASCII apostrophe inside the SQL string literal
+        return F.expr(
+            f"translate(replace({col}, '…', '...'), '’“”‐', '\\'\"\"-')"
+        )
+    c = F.replace(col, F.lit("…"), F.lit("..."))
     return F.translate(c, "’“”‐", "'\"\"-")
 
 

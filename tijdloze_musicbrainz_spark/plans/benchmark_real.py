@@ -132,7 +132,7 @@ def _catalog(base: DataFrame) -> DataFrame:
     return (
         genuine.unionByName(impostor)
         .unionByName(decoy)
-        .withColumn("alias_key", search_key(F.col("title")))
+        .withColumn("alias_key", search_key("title"))
     )
 
 
@@ -146,7 +146,7 @@ def _aliases(base: DataFrame) -> DataFrame:
     )
     own = (
         a1.unionByName(a2)
-        .select("artist_id", search_key(F.col("name")).alias("akey"))
+        .select("artist_id", search_key("name").alias("akey"))
         .distinct()
     )
     perturbed = own.filter(F.col("artist_id") % ALIAS_PERTURB_MOD == 2).select(
@@ -205,8 +205,8 @@ def _resolve(qk: DataFrame, aliases: DataFrame) -> tuple[DataFrame, DataFrame, D
     keyed = qk.select(
         "qid",
         "artist_q",
-        search_key(F.col("artist_q")).alias("artist_key"),
-        search_key(F.col("title_q")).alias("title_key"),
+        search_key("artist_q").alias("artist_key"),
+        search_key("title_q").alias("title_key"),
     )
     direct = (
         fuzzy_key_join(
@@ -223,8 +223,10 @@ def _resolve(qk: DataFrame, aliases: DataFrame) -> tuple[DataFrame, DataFrame, D
     split = unresolved.select(
         "qid",
         "title_key",
-        search_key(F.element_at(parts, 1)).alias("main_key"),
-        search_key(F.array_join(F.slice(parts, 2, 99), "&")).alias("second_key"),
+        search_key("element_at(split(artist_q, '&'), 1)").alias("main_key"),
+        search_key(
+            "array_join(slice(split(artist_q, '&'), 2, 99), '&')"
+        ).alias("second_key"),
     )
     duet_main = (
         fuzzy_key_join(

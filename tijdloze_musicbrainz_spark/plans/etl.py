@@ -94,7 +94,7 @@ FROM k a JOIN k b ON a.name_key = b.name_key AND a.p_partkey < b.p_partkey
 )
 def p12_exact_key_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = t(spark, sf_dir, "part").select(
-        "p_partkey", search_key(F.col("p_name")).alias("name_key")
+        "p_partkey", search_key("p_name").alias("name_key")
     )
     a = k.alias("a")
     b = k.alias("b")

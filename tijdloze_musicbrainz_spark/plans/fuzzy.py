@@ -43,12 +43,22 @@ from .util import t
 # ---------------------------------------------------------------------------
 
 
-def deletion_variants(key: Column) -> Column:
+def deletion_variants(key: Column | str) -> Column:
     """The string plus every single-character deletion of it (array,
     deduplicated) — the distance-1 SymSpell neighborhood. Two strings
     with levenshtein distance <= 1 ALWAYS share at least one variant,
     so an equi-join on the exploded variant is a complete candidate
-    generator for a bounded-distance join. Pure JVM expressions."""
+    generator for a bounded-distance join. Pure JVM expressions; a
+    ``str`` argument (SQL expression snippet) parses as ONE F.expr —
+    the Column composition costs ~25 py4j round trips per call."""
+    if isinstance(key, str):
+        k = key
+        return F.expr(
+            f"array_union(array({k}), "
+            f"transform(sequence(1, greatest(length({k}), 1)), "
+            f"i -> concat(substring({k}, 1, i - 1), "
+            f"substring({k}, i + 1, length({k}) - i))))"
+        )
     idx = F.sequence(F.lit(1), F.greatest(F.length(key), F.lit(1)))
     dels = F.transform(
         idx,
@@ -77,8 +87,8 @@ def fuzzy_key_join(
     candidate with the threshold=1 early exit. Mirrors the reference's
     ``levenshtein_less_equal(alias, q, 1) < 2`` predicate
     (src/benchmark.py:77,90) including the LENGTH guard (:76)."""
-    lv = left.withColumn("__v", F.explode(deletion_variants(F.col(left_key))))
-    rv = right.withColumn("__v", F.explode(deletion_variants(F.col(right_key))))
+    lv = left.withColumn("__v", F.explode(deletion_variants(left_key)))
+    rv = right.withColumn("__v", F.explode(deletion_variants(right_key)))
     pairs = lv.join(rv, "__v").drop("__v").distinct()
     return pairs.filter(
         (F.length(F.col(right_key)) < length_guard)
@@ -112,7 +122,7 @@ def _songs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("recording_score"),
             F.min(F.year("o_orderdate")).cast("long").alias("release_year"),
         )
-        .withColumn("alias_key", search_key(F.col("title")))
+        .withColumn("alias_key", search_key("title"))
         .withColumn("is_single_from", F.col("song_id") % 7 == 0)
         .withColumn("is_main_album", F.col("song_id") % 3 == 0)
     )
@@ -161,8 +171,8 @@ def _queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("p_name"))
             .alias("title_q"),
         )
-        .withColumn("artist_key", search_key(F.col("artist_q")))
-        .withColumn("title_key", search_key(F.col("title_q")))
+        .withColumn("artist_key", search_key("artist_q"))
+        .withColumn("title_key", search_key("title_q"))
     )
 
 
@@ -197,7 +207,7 @@ def _resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "supplier")
         .select(
             F.col("s_suppkey").alias("artist_id"),
-            search_key(F.col("s_name")).alias("akey"),
+            search_key("s_name").alias("akey"),
         )
     )
     return (
@@ -403,14 +413,14 @@ def fuzzy_duet_split_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = F.split(F.col("artist_q"), "&")
     split = duet.select(
         "qid",
-        search_key(F.element_at(parts, 1)).alias("main_key"),
+        search_key("element_at(split(artist_q, '&'), 1)").alias("main_key"),
         search_key(
-            F.array_join(F.slice(parts, 2, 99), "&")
+            "array_join(slice(split(artist_q, '&'), 2, 99), '&')"
         ).alias("second_key"),
     )
     aliases = supp.select(
         F.col("s_suppkey").alias("artist_id"),
-        search_key(F.col("s_name")).alias("akey"),
+        search_key("s_name").alias("akey"),
     )
     main = (
         fuzzy_key_join(split, aliases, "main_key", "akey")

@@ -810,7 +810,7 @@ def set_union_distinct_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pick("nation", "n_name"))
     )
     return (
-        unioned.select(search_key(F.col("name")).alias("alias_key"))
+        unioned.select(search_key("name").alias("alias_key"))
         .filter(F.col("alias_key") != "")
         .distinct()
     )
@@ -910,7 +910,7 @@ SELECT DISTINCT {search_key_sql("p_name")} AS name_key FROM part
 def f_search_key_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "part")
-        .select(search_key(F.col("p_name")).alias("name_key"))
+        .select(search_key("p_name").alias("name_key"))
         .distinct()
     )
 
@@ -1169,7 +1169,7 @@ def f8_relevance_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = t(spark, sf_dir, "part")
     rel = relevance_generation(
-        search_key(F.col("p_name")) == "coldwidget", F.col("p_size")
+        search_key("p_name") == "coldwidget", F.col("p_size")
     )
     return part.select("p_partkey", round2(rel).alias("relevance"))
 

@@ -105,8 +105,8 @@ def _resolve_with_duet_fallback(golden: DataFrame, aliases: DataFrame) -> DataFr
     qk = golden.select(
         F.col("row_id").alias("qid"),
         F.col("artist_name"),
-        search_key(F.col("artist_name")).alias("artist_key"),
-        search_key(F.col("title")).alias("title_key"),
+        search_key("artist_name").alias("artist_key"),
+        search_key("title").alias("title_key"),
     )
     direct = (
         fuzzy_key_join(qk.select("qid", "artist_key", "title_key"), aliases, "artist_key", "akey")
@@ -120,10 +120,10 @@ def _resolve_with_duet_fallback(golden: DataFrame, aliases: DataFrame) -> DataFr
     duet = unresolved.filter(F.col("artist_name").contains("&")).select(
         "qid",
         "title_key",
-        search_key(F.split_part(F.col("artist_name"), F.lit("&"), F.lit(1))).alias(
+        search_key("split_part(artist_name, '&', 1)").alias(
             "main_key"
         ),
-        search_key(F.split_part(F.col("artist_name"), F.lit("&"), F.lit(2))).alias(
+        search_key("split_part(artist_name, '&', 2)").alias(
             "second_key"
         ),
     )
@@ -175,9 +175,9 @@ def benchmark_accuracy_replay_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         "song_id INT, artist_id INT, title STRING, mb_id STRING, "
         "recording_score INT, is_single_from BOOLEAN, is_main_album BOOLEAN, "
         "release_year BIGINT",
-    ).withColumn("alias_key", search_key(F.col("title")))
+    ).withColumn("alias_key", search_key("title"))
     aliases = values_df(spark, _ALIASES, "artist_id INT, name STRING").select(
-        "artist_id", search_key(F.col("name")).alias("akey")
+        "artist_id", search_key("name").alias("akey")
     )
 
     resolved = _resolve_with_duet_fallback(golden, aliases)
