@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..util import t  # noqa: F401
+from ..util import fan_out, t  # noqa: F401
 
 from .common import (  # noqa: F401
     BITS_PER_BAND,
@@ -38,6 +38,48 @@ from .common import (  # noqa: F401
     dot,
 )
 
+
+
+def _nearest(
+    df: DataFrame, cents: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """Top-k nearest centroids by (rounded cosine DESC NULLS LAST,
+    cent_id ASC), keeping the vector payload — the shared IVF
+    assignment step of the bucketed/partitioned-lists lanes.
+
+    k == 1 (the corpus-wide list assignment) computes the argmin as a
+    ``min_by`` hash aggregate over the same total order instead of a
+    row_number window: identical result incl. tie-breaks (NULL sims
+    coalesce to +inf on the negated axis, reproducing the window's
+    desc-nulls-last losing behaviour), but map-side partial combine
+    collapses the n x |cents| scored stream to one row per vector
+    BEFORE the exchange — the window shape shuffled and local-sorted
+    every scored row, each carrying the 64-dim payload. The vector
+    rides along as ``first(vec_col)``: every row of a group holds the
+    same vector (one source row fanned out across centroids), so
+    first() is value-deterministic. k > 1 (the bounded query probes)
+    keeps the window — WindowGroupLimit already bounds it."""
+    scored = df.join(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cent_id",
+        F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
+    )
+    if k == 1:
+        ord_ = F.struct(
+            F.coalesce(-F.col("__sim"), F.lit(float("inf"))).alias("ns"),
+            F.col("cent_id"),
+        )
+        return scored.groupBy(id_col).agg(
+            F.first(vec_col).alias(vec_col),
+            F.min_by("cent_id", ord_).alias("cent_id"),
+        )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__sim")
+    )
 
 
 # DuckDB twin of the IVF plan: the centroid set (`vec_id % 50 = 0`)
@@ -95,34 +137,24 @@ QUALIFY row_number() OVER (
     "probed partitions (partition pruning on the list table).",
 )
 def sim_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
+    # fan_out: the centroid-scoring passes are CPU-bound array math
+    # over a single-row-group scan — partition-count-gated, a no-op
+    # at production scale (see _pq_vecs)
+    vecs = fan_out(_vecs(spark, sf_dir))
     cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
 
-    def nearest(df, id_col, vec_col, k):
-        scored = df.join(F.broadcast(cents)).select(
-            id_col,
-            vec_col,
-            "cent_id",
-            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .drop("__rn", "__sim")
-        )
-
     # inverted lists: every vector in exactly one centroid bucket
-    lists = nearest(vecs, "vec_id", "v", 1).select(
+    lists = _nearest(vecs, cents, "vec_id", "v", 1).select(
         "cent_id", F.col("vec_id").alias("match_id"), F.col("v").alias("mv")
     )
     # queries probe their N_PROBE nearest buckets
-    queries = nearest(
+    queries = _nearest(
         vecs.filter(_query_filter()).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         ),
+        cents,
         "query_id",
         "qv",
         N_PROBE,
@@ -197,22 +229,16 @@ GROUP BY cent_id, pos
     "seed table (each round is one job, lineage stays flat).",
 )
 def ml_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
+    # fan_out: the centroid-scoring passes are CPU-bound array math
+    # over a single-row-group scan — partition-count-gated, a no-op
+    # at production scale (see _pq_vecs)
+    vecs = fan_out(_vecs(spark, sf_dir))
     cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    scored = vecs.join(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "cent_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("__sim"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    # same min_by argmin as the IVF list assignment (see _nearest) —
+    # the window shape shuffled n x |cents| vector-carrying rows
+    assigned = _nearest(vecs, cents, "vec_id", "v", 1)
     comp = assigned.select(
         "cent_id", F.posexplode("v").alias("pos", "x")
     ).select("cent_id", "pos", F.col("x").cast("decimal(25,12)").alias("x"))
@@ -296,26 +322,18 @@ FROM g1 FULL JOIN g2 USING (cent_id)
     "cluster deterministically, never a NaN sort poison).",
 )
 def ml_kmeans_lloyd_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vecs = _vecs(spark, sf_dir)
+    # fan_out: the centroid-scoring passes are CPU-bound array math
+    # over a single-row-group scan — partition-count-gated, a no-op
+    # at production scale (see _pq_vecs)
+    vecs = fan_out(_vecs(spark, sf_dir))
     seeds = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(cents)).select(
-            "vec_id",
-            "v",
-            "cent_id",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("__sim"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("__sim"), F.asc("cent_id")
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= 1)
-            .select("vec_id", "v", "cent_id")
-        )
+        # min_by argmin over the same (sim desc nulls-last, cent_id
+        # asc) order as the r7 window — see _nearest
+        return _nearest(vecs, cents, "vec_id", "v", 1)
 
     a1 = assign(seeds)
     comp = a1.select("cent_id", F.posexplode("v").alias("pos", "x")).select(
@@ -626,38 +644,28 @@ def sim_ann_ivf_partitioned_lists(
 
     from ..etl import SINK_ROOT  # noqa: PLC0415
 
-    vecs = _vecs(spark, sf_dir)
+    # fan_out: the centroid-scoring passes are CPU-bound array math
+    # over a single-row-group scan — partition-count-gated, a no-op
+    # at production scale (see _pq_vecs)
+    vecs = fan_out(_vecs(spark, sf_dir))
     cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
 
-    def nearest(df, id_col, vec_col, k):
-        scored = df.join(F.broadcast(cents)).select(
-            id_col,
-            vec_col,
-            "cent_id",
-            F.round(cosine(F.col(vec_col), F.col("cv")), 6).alias("__sim"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cent_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .drop("__rn", "__sim")
-        )
-
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     lists_path = f"{SINK_ROOT}/ivf_lists_{tag}"
     shutil.rmtree(lists_path, ignore_errors=True)
-    nearest(vecs, "vec_id", "v", 1).select(
+    _nearest(vecs, cents, "vec_id", "v", 1).select(
         F.col("vec_id").alias("match_id"), F.col("v").alias("mv"), "cent_id"
     ).repartition("cent_id").write.partitionBy("cent_id").parquet(
         lists_path
     )
 
-    probes = nearest(
+    probes = _nearest(
         vecs.filter(_query_filter()).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         ),
+        cents,
         "query_id",
         "qv",
         N_PROBE,
