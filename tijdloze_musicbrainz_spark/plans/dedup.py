@@ -205,10 +205,17 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
     )
-    sh = docs.select(
-        "doc_id",
-        F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
-        shingles_col(F.col("ws")).alias("sgs"),
+    # the tokenize+shingle fold is the profiled CPU hotspot and the
+    # self-join inlines it once per leg, single-task (one-row-group
+    # scan): fan out to cluster parallelism and checkpoint so the
+    # gram CPU runs ONCE and both legs read the materialized frame
+    # (the exact-substring precedent, guide §2.4/§1.2)
+    sh = eager_checkpoint(
+        fan_out(docs).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
+            shingles_col(F.col("ws")).alias("sgs"),
+        )
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -318,11 +325,17 @@ def dedup_ngram_jaccard_meta_blocked(
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
     )
-    sh = docs.select(
-        "doc_id",
-        F.element_at(F.col("ws"), 1).alias("blk1"),
-        F.concat_ws(" ", F.slice(F.col("ws"), 1, 2)).alias("blk2"),
-        shingles_col(F.col("ws")).alias("sgs"),
+    # sh is consumed by FIVE subtrees (b1, kept1, over1->b2/kept2, and
+    # the two bounded accounting actions) — without a checkpoint each
+    # one re-runs the single-task shingle fold; fanned out + pinned
+    # once (same rationale as dedup_ngram_jaccard_blocked)
+    sh = eager_checkpoint(
+        fan_out(docs).select(
+            "doc_id",
+            F.element_at(F.col("ws"), 1).alias("blk1"),
+            F.concat_ws(" ", F.slice(F.col("ws"), 1, 2)).alias("blk2"),
+            shingles_col(F.col("ws")).alias("sgs"),
+        )
     )
     b1 = sh.groupBy("blk1").agg(F.count("*").alias("c"))
     kept1 = (
