@@ -60,6 +60,8 @@ O(delta) accounting rule are shared via plans/lifecycle.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,7 +86,7 @@ from .lifecycle import (
     write_delta_key_manifest,
 )
 from .registry import register
-from .util import t
+from .util import eager_checkpoint, fan_out, t
 
 # Every CC_DELTA_MOD-th document "arrives" after the base clustering —
 # the same deterministic split as the MinHash index lifecycle. The
@@ -92,6 +94,18 @@ from .util import t
 CC_DELTA_MOD = 10
 CC_BATCH_MOD = 20
 CC_INDEX_BUCKETS = 16
+
+# Broadcast budget for the base-vs-base blocked self-join's build side
+# (shingle payload rows: blk string + ~100 3-gram shingles, ~4 KB/row
+# conservative). Same exact-count gating idea as the graph tier's
+# SPARK_GRAFT_EDGE_BCAST_MAX_BYTES: below the budget the payload
+# broadcasts (hash probes, no exchange), above it the plan falls back
+# to the sort-merge shape unchanged — scale-adaptive by an exact
+# count, not a stats estimate a checkpoint would erase.
+CC_PAY_BCAST_ROW_BYTES = 4096
+CC_PAY_BCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CC_PAY_BCAST_MAX_BYTES", str(256 << 20))
+)
 
 _CC_INC_ORACLE = f"""
 WITH RECURSIVE
@@ -138,11 +152,25 @@ def _payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_of(payload: DataFrame) -> DataFrame:
+def _pairs_of(payload: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Blocked exact-Jaccard pairs within one payload frame (the
-    build-time base-vs-base pass)."""
+    build-time base-vs-base pass).
+
+    ``n_rows``: exact payload row count, when the caller has one in
+    hand (the checkpointed payload makes it cheap). The checkpoint
+    that pins the payload (see _build_base) is a LogicalRDD with no
+    size stats, so the planner can no longer auto-broadcast the build
+    side of this self-join the way it did off the scan-backed plan —
+    the count-gated hint restores that decision EXACTLY where the
+    estimate-driven one applied, and above the budget (production
+    corpora) the sort-merge fallback is unchanged (the same
+    exact-count gate as the graph tier's closure joins)."""
     a = payload.alias("a")
     b = payload.alias("b")
+    if n_rows is not None and n_rows * CC_PAY_BCAST_ROW_BYTES <= (
+        CC_PAY_BCAST_MAX_BYTES
+    ):
+        b = F.broadcast(b)
     jac = jaccard(F.col("a.sgs"), F.col("b.sgs"))
     return (
         a.join(
@@ -168,17 +196,20 @@ def _build_base(
     time, never by re-scanning the store — and since r13 it lives in
     the snapshot manifest (the commit stats the rule always named)."""
     docs_all = t(spark, sf_dir, "documents").select("doc_id")
-    # NO fan_out here (unlike the minhash lifecycle): this pipeline
-    # issues ~40 separate write/count actions per run, each re-running
-    # the payload subtree — an injected repartition exchange + its
-    # local sort is paid per ACTION, and the payload compute is light
-    # (measured r15: 8.4 s -> 10.6 s WITH fan_out, reverted)
+    # Payload is computed ONCE: this pipeline issues ~40 separate
+    # write/count actions per run, and without the checkpoint every
+    # one re-ran the tokenize+shingle subtree as a single scan task
+    # (bare fan_out alone regressed 8.4 s -> 10.6 s in r15 because the
+    # injected exchange was ALSO paid per action; checkpointing after
+    # the fan-out pays tokenize+shingle+exchange exactly once, at
+    # cluster parallelism, and every action reads the materialized
+    # 4-long rows instead).
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
     )
-    pay = _payload(docs)
+    pay = eager_checkpoint(fan_out(_payload(docs)))
     base_pay = pay.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
 
     tag = sf_tag(sf_dir)
@@ -195,7 +226,7 @@ def _build_base(
 
     # -- build: the ONE corpus-linear clustering pass over the base ----
     base_labels, _ = connected_components(
-        _pairs_of(base_pay).select(
+        _pairs_of(base_pay, n_rows=base_pay.count()).select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
     )
@@ -737,17 +768,15 @@ def streaming_cluster_ingest_restart(
 
     root = index_root(sf_dir, "cc_stream")
     docs_all = t(spark, sf_dir, "documents").select("doc_id")
-    # NO fan_out here (unlike the minhash lifecycle): this pipeline
-    # issues ~40 separate write/count actions per run, each re-running
-    # the payload subtree — an injected repartition exchange + its
-    # local sort is paid per ACTION, and the payload compute is light
-    # (measured r15: 8.4 s -> 10.6 s WITH fan_out, reverted)
+    # Payload computed ONCE (checkpoint after fan-out) — same
+    # rationale as _build_base: every micro-batch action re-ran the
+    # tokenize+shingle subtree single-task without it.
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
     )
-    pay = _payload(docs)
+    pay = eager_checkpoint(fan_out(_payload(docs)))
 
     # -- base build, under the same ingest_batch=<id> subtree layout
     # as the streamed batches (one consistent partition scheme; the
@@ -756,7 +785,7 @@ def streaming_cluster_ingest_restart(
     # deterministic OVERWRITE unit, which a bucketed append is not).
     base_pay = pay.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
     base_labels, _ = connected_components(
-        _pairs_of(base_pay).select(
+        _pairs_of(base_pay, n_rows=base_pay.count()).select(
             F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
         )
     )

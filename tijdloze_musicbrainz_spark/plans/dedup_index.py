@@ -61,7 +61,7 @@ from .textops import (
     QUALITY_PUNCT_CLASS as Q_CLASS,
     quality_passes,
 )
-from .util import fan_out, t
+from .util import eager_checkpoint, fan_out, t
 
 # Every DEDUP_DELTA_MOD-th document "arrives" after the base index is
 # built — a deterministic split both engines can state.
@@ -246,11 +246,17 @@ def _build_base_index(
     (root, tag, base_docs, delta_docs)."""
     # fan_out: the minhash sign aggregate is the build's CPU-heavy
     # stage and the single-file scan would run it as one task
-    # (plans/util.fan_out — no-op at production partition counts)
-    docs = fan_out(
-        t(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", words_col().alias("ws"))
+    # (plans/util.fan_out — no-op at production partition counts).
+    # eager_checkpoint (r15): the build+ingest transaction issues ~6
+    # actions over base/delta (bands write, shingles write, count,
+    # staged-delta write, ...), each re-running the tokenize+fan-out
+    # subtree without it; the checkpoint pays tokenize+exchange once.
+    docs = eager_checkpoint(
+        fan_out(
+            t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", words_col().alias("ws"))
+        )
     )
     base = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD != 0)
     delta = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD == 0)

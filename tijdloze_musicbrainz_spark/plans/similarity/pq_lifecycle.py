@@ -215,6 +215,14 @@ def _pq_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine, ADC) is CPU-bound array math, and the single-row-group
     # test scan would run it all on one task. Partition-count-gated —
     # a no-op at production scale.
+    # NO eager_checkpoint here (r15, measured): pinning the source
+    # does kill the per-consumer recompute, but a LogicalRDD has no
+    # size stats, so every downstream id-join the planner had been
+    # auto-broadcasting (probes x lists, cand x codes, the rerank's
+    # by-id vector fetches) fell back to sort-merge — measured solo
+    # A/B at sf0.1: sim_ann_ivf_pq 2.60 -> 3.43 s, _persisted 5.59 ->
+    # 12.58 s WITH the checkpoint. The scan-backed source keeps real
+    # stats and the recompute is the cheaper side of the trade.
     from ..util import fan_out  # noqa: PLC0415
 
     return fan_out(_vecs(spark, sf_dir)).withColumn(
