@@ -74,7 +74,18 @@ GARBLE = " zzzqqxx"
 def _base(spark: SparkSession) -> DataFrame:
     """The real CSV with empty-string mb ids normalized to NULL (the
     reference's expected-answer column) — parse parity with DuckDB's
-    reader is proven in tests/test_golden_shape.py."""
+    reader is proven in tests/test_golden_shape.py.
+
+    Deliberately SCAN-BACKED (r15, measured): the classified pipeline
+    consumes _base in ~8 sibling subtrees, and two attempts to pay the
+    csv parse once both REGRESSED on an idle box (solo A/B, HEAD
+    4.5 s): a VALUES LocalRelation of the 2,954 rows → 7.1 s (the
+    literal rows are copied into the plan at every reference and each
+    optimizer pass walks all copies), an eager localCheckpoint →
+    7.0 s (the LogicalRDD loses size stats, so the tiny-dim joins the
+    planner had been auto-broadcasting degrade to sort-merge across
+    the whole resolve/search pipeline). The repeated warm csv parse
+    is ~0.2 s per subtree — the cheaper side of both trades."""
     raw = read_csv_golden(spark, REAL_CSV, schema=GOLDEN_SHAPE_SCHEMA)
     return raw.select(
         "id",

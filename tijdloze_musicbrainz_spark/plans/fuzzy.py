@@ -110,17 +110,33 @@ def _songs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     orders = t(spark, sf_dir, "orders")
+    # Aggregate BEFORE attaching the name (guide §2.3): p_name is
+    # functionally determined by p_partkey (one part row per key), so
+    # min(p_name) inside the big aggregate only "selected" the unique
+    # name — at the price of a string agg buffer, which forces the
+    # whole 600k-row pre-agg into SortAggregate (HashAggregate needs
+    # mutable primitive buffers). Keeping the aggregate primitive-only
+    # (count + min(year)) restores the hash aggregate with map-side
+    # partial combine, and part joins the ~|parts x suppliers| POST-agg
+    # rows instead of riding every lineitem. min(p_name) == p_name by
+    # uniqueness, so results are identical and the oracle is unchanged.
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             F.col("l_partkey").alias("song_id"),
             F.col("l_suppkey").alias("artist_id"),
         )
         .agg(
-            F.min("p_name").alias("title"),
             F.count("*").alias("recording_score"),
             F.min(F.year("o_orderdate")).cast("long").alias("release_year"),
+        )
+        .join(part, F.col("song_id") == part.p_partkey)
+        .select(
+            "song_id",
+            "artist_id",
+            F.col("p_name").alias("title"),
+            "recording_score",
+            "release_year",
         )
         .withColumn("alias_key", search_key("title"))
         .withColumn("is_single_from", F.col("song_id") % 7 == 0)

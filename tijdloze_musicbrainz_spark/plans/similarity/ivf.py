@@ -509,6 +509,11 @@ FROM assigned a LEFT JOIN dups d USING (vec_id)
     "coalesce(+inf) in the chunked reduce).",
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan_out here (r15, measured): the chunk loop re-runs the vecs
+    # subtree once per centroid chunk, so an injected repartition is
+    # paid per chunk — 2.0 s -> 3.7 s solo at sf0.1. The chunk scoring
+    # itself is interpreted higher-order-function math over only ~2k
+    # vectors; the exchange costs more than the parallelism buys.
     vecs = _vecs(spark, sf_dir)
     cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
