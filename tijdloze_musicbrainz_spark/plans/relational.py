@@ -84,12 +84,19 @@ def flagship_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     part = t(spark, sf_dir, "part")
 
+    # p_name is functionally determined by p_partkey (one part row per
+    # key), so carrying it through BOTH aggregates only widened every
+    # exchange by the name bytes on ~|lineitem| rows (guide §2.3 —
+    # shuffle fewer bytes). It is attached by one broadcast join to
+    # the ~|parts| argmin winners at the end instead; grouping on
+    # p_partkey alone produces the identical groups, and the argmin
+    # order never referenced the name, so results are unchanged (and
+    # the inner part join cannot drop or multiply rows: every
+    # l_partkey has exactly one part row).
     cand = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(
-            "p_partkey",
-            "p_name",
+            F.col("l_partkey").alias("p_partkey"),
             "o_orderkey",
             F.year("o_orderdate").cast("long").alias("order_year"),
             (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
@@ -99,7 +106,6 @@ def flagship_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.select(
         "p_partkey",
-        "p_name",
         "o_orderkey",
         "first_ship_epoch",
         F.when(F.col("is_urgent") | (F.col("status") == "F"), F.col("order_year"))
@@ -115,18 +121,24 @@ def flagship_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Argmin via min_by aggregation, not a window: map-side partial
     # combine keeps a hot p_partkey balanced at 100× (see
     # operators.canonical.argmin_per_group).
-    return argmin_per_group(
-        scored,
-        ["p_partkey"],
-        ["year_value", "ref_priority", "type_priority", "o_orderkey"],
-    ).select(
-        "p_partkey",
-        "p_name",
-        "o_orderkey",
-        "first_ship_epoch",
-        "year_value",
-        "ref_priority",
-        "type_priority",
+    return (
+        argmin_per_group(
+            scored,
+            ["p_partkey"],
+            ["year_value", "ref_priority", "type_priority", "o_orderkey"],
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_name")), "p_partkey"
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "o_orderkey",
+            "first_ship_epoch",
+            "year_value",
+            "ref_priority",
+            "type_priority",
+        )
     )
 
 
