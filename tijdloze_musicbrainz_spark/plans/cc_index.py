@@ -62,7 +62,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.bucketing import exclusive_append, write_bucketed
@@ -86,7 +86,7 @@ from .lifecycle import (
     write_delta_key_manifest,
 )
 from .registry import register
-from .util import eager_checkpoint, fan_out, t
+from .util import checkpointed_payload, t
 
 # Every CC_DELTA_MOD-th document "arrives" after the base clustering —
 # the same deterministic split as the MinHash index lifecycle. The
@@ -95,14 +95,22 @@ CC_DELTA_MOD = 10
 CC_BATCH_MOD = 20
 CC_INDEX_BUCKETS = 16
 
-# Broadcast budget for the base-vs-base blocked self-join's build side
-# (shingle payload rows: blk string + ~100 3-gram shingles, ~4 KB/row
-# conservative). Same exact-count gating idea as the graph tier's
+# Broadcast budget for the base-vs-base blocked self-join's build
+# side. Same exact-count gating idea as the graph tier's
 # SPARK_GRAFT_EDGE_BCAST_MAX_BYTES: below the budget the payload
 # broadcasts (hash probes, no exchange), above it the plan falls back
 # to the sort-merge shape unchanged — scale-adaptive by an exact
-# count, not a stats estimate a checkpoint would erase.
+# count, not a stats estimate a checkpoint would erase. r16 (ADVICE):
+# the estimate now starts from the checkpoint's MEASURED block bytes
+# (checkpointed_payload metrics) scaled by the base-row fraction —
+# a long-document corpus can no longer sneak a force-broadcast past a
+# hardcoded per-row constant; CC_PAY_BCAST_ROW_BYTES survives only as
+# the fallback when block bytes are unavailable (reliable-checkpoint
+# deployments). CC_PAY_BCAST_INFLATION covers the deserialized
+# broadcast hash relation running fatter than the serialized cached
+# blocks the measurement sees.
 CC_PAY_BCAST_ROW_BYTES = 4096
+CC_PAY_BCAST_INFLATION = 4
 CC_PAY_BCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_CC_PAY_BCAST_MAX_BYTES", str(256 << 20))
 )
@@ -141,6 +149,20 @@ FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
 """
 
 
+def _subset_bytes(pay_metrics: dict, subset_key: str) -> float | None:
+    """Measured byte estimate for a row subset of an observed
+    checkpoint: total block bytes scaled by the subset's row fraction.
+    None when block bytes are unavailable (reliable-checkpoint
+    deployments) — the caller then falls back to the per-row
+    constant."""
+    nbytes = pay_metrics.get("bytes")
+    n = pay_metrics.get("n_rows") or 0
+    k = int(pay_metrics.get(subset_key) or 0)
+    if nbytes is None or n <= 0:
+        return None
+    return nbytes * (k / n)
+
+
 def _payload(docs: DataFrame) -> DataFrame:
     """(doc_id, blk, sgs): the block key (first 5 tokens) that gates
     candidate generation plus the shingle set that verifies it — the
@@ -152,24 +174,37 @@ def _payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_of(payload: DataFrame, n_rows: int | None = None) -> DataFrame:
+def _pairs_of(
+    payload: DataFrame,
+    n_rows: int | None = None,
+    est_bytes: float | None = None,
+) -> DataFrame:
     """Blocked exact-Jaccard pairs within one payload frame (the
     build-time base-vs-base pass).
 
-    ``n_rows``: exact payload row count, when the caller has one in
-    hand (the checkpointed payload makes it cheap). The checkpoint
+    ``n_rows``/``est_bytes``: exact payload row count and a measured
+    byte estimate, when the caller has them in hand (the observed
+    checkpoint makes both free — checkpointed_payload). The checkpoint
     that pins the payload (see _build_base) is a LogicalRDD with no
     size stats, so the planner can no longer auto-broadcast the build
     side of this self-join the way it did off the scan-backed plan —
-    the count-gated hint restores that decision EXACTLY where the
+    the gated hint restores that decision EXACTLY where the
     estimate-driven one applied, and above the budget (production
     corpora) the sort-merge fallback is unchanged (the same
-    exact-count gate as the graph tier's closure joins)."""
+    exact-count gate as the graph tier's closure joins). The gate
+    prefers MEASURED bytes (block-manager size of the checkpoint,
+    scaled by the subset fraction and the deserialization inflation)
+    over the per-row constant, per the r15 ADVICE: row counts alone
+    mis-size long-document corpora."""
     a = payload.alias("a")
     b = payload.alias("b")
-    if n_rows is not None and n_rows * CC_PAY_BCAST_ROW_BYTES <= (
-        CC_PAY_BCAST_MAX_BYTES
-    ):
+    if est_bytes is not None:
+        fits = est_bytes * CC_PAY_BCAST_INFLATION <= CC_PAY_BCAST_MAX_BYTES
+    elif n_rows is not None:
+        fits = n_rows * CC_PAY_BCAST_ROW_BYTES <= CC_PAY_BCAST_MAX_BYTES
+    else:
+        fits = False
+    if fits:
         b = F.broadcast(b)
     jac = jaccard(F.col("a.sgs"), F.col("b.sgs"))
     return (
@@ -203,13 +238,23 @@ def _build_base(
     # injected exchange was ALSO paid per action; checkpointing after
     # the fan-out pays tokenize+shingle+exchange exactly once, at
     # cluster parallelism, and every action reads the materialized
-    # 4-long rows instead).
+    # rows instead). r16: the checkpoint is SIZED TO ITS DATA
+    # (checkpointed_payload — 7.7 MB no longer rides 32 partitions
+    # into ~100 downstream jobs), and the observation rides the
+    # checkpoint job so the broadcast-gate count costs no action.
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
     )
-    pay = eager_checkpoint(fan_out(_payload(docs)))
+    pay, pay_m = checkpointed_payload(
+        _payload(docs),
+        [
+            F.sum(
+                (F.col("doc_id") % CC_DELTA_MOD != 0).cast("long")
+            ).alias("n_base_pay")
+        ],
+    )
     base_pay = pay.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
 
     tag = sf_tag(sf_dir)
@@ -226,15 +271,20 @@ def _build_base(
 
     # -- build: the ONE corpus-linear clustering pass over the base ----
     base_labels, _ = connected_components(
-        _pairs_of(base_pay, n_rows=base_pay.count()).select(
-            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-        )
+        _pairs_of(base_pay, est_bytes=_subset_bytes(pay_m, "n_base_pay"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     base_ids = docs_all.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
+    # the labels write preserves base_ids 1:1 (left join on a unique
+    # key), so observing its row count IS the n_base accounting count
+    # — one job instead of two (r15 verdict item 3: batch the counts)
+    n_base_obs = Observation()
     base_ids.join(
         base_labels, base_ids.doc_id == base_labels.id, "left"
     ).select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    ).observe(
+        n_base_obs, F.count(F.lit(1)).alias("n")
     ).write.parquet(f"{paths['labels']}/gen=0")
     write_bucketed(
         base_pay.select("blk", "doc_id"),
@@ -247,7 +297,7 @@ def _build_base(
     base_pay.select("doc_id", "sgs").write.parquet(
         f"{paths['shingles']}/gen=0"
     )
-    n_base = base_ids.count()
+    n_base = int(n_base_obs.get["n"] or 0)
     commit_snapshot(
         root,
         {
@@ -312,9 +362,12 @@ def _ingest_batch(
         f"{paths['stage']}/delta_{gen}"
     )
     batch_ids = docs_all.filter(batch_pred)
-    batch_ids.write.mode("overwrite").parquet(
-        f"{paths['stage']}/delta_ids_{gen}"
-    )
+    # the accounting count rides the staged-ids write (same rows) —
+    # one job instead of two (r15 verdict item 3)
+    n_batch_obs = Observation()
+    batch_ids.observe(n_batch_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{paths['stage']}/delta_ids_{gen}")
     staged = spark.read.schema(
         "doc_id bigint, blk string, sgs array<string>"
     ).parquet(f"{paths['stage']}/delta_{gen}")
@@ -326,7 +379,7 @@ def _ingest_batch(
         staged, f"{t_blocks}_g{gen}", f"{paths['root']}/blocks_g{gen}"
     )
     _write_gen_shingles(staged, f"{paths['shingles']}/gen={gen}")
-    return batch_ids.count()
+    return int(n_batch_obs.get["n"] or 0)
 
 
 def _candidate_pairs(probes: DataFrame, stored_blocks: DataFrame) -> DataFrame:
@@ -768,15 +821,22 @@ def streaming_cluster_ingest_restart(
 
     root = index_root(sf_dir, "cc_stream")
     docs_all = t(spark, sf_dir, "documents").select("doc_id")
-    # Payload computed ONCE (checkpoint after fan-out) — same
-    # rationale as _build_base: every micro-batch action re-ran the
-    # tokenize+shingle subtree single-task without it.
+    # Payload computed ONCE (sized checkpoint) — same rationale as
+    # _build_base: every micro-batch action re-ran the tokenize+
+    # shingle subtree single-task without it.
     docs = (
         t(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", words_col().alias("ws"))
     )
-    pay = eager_checkpoint(fan_out(_payload(docs)))
+    pay, pay_m = checkpointed_payload(
+        _payload(docs),
+        [
+            F.sum(
+                (F.col("doc_id") % CC_DELTA_MOD != 0).cast("long")
+            ).alias("n_base_pay")
+        ],
+    )
 
     # -- base build, under the same ingest_batch=<id> subtree layout
     # as the streamed batches (one consistent partition scheme; the
@@ -785,15 +845,17 @@ def streaming_cluster_ingest_restart(
     # deterministic OVERWRITE unit, which a bucketed append is not).
     base_pay = pay.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
     base_labels, _ = connected_components(
-        _pairs_of(base_pay, n_rows=base_pay.count()).select(
-            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-        )
+        _pairs_of(base_pay, est_bytes=_subset_bytes(pay_m, "n_base_pay"))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )
     base_ids = docs_all.filter(F.col("doc_id") % CC_DELTA_MOD != 0)
+    n_base_obs = Observation()
     base_ids.join(
         base_labels, base_ids.doc_id == base_labels.id, "left"
     ).select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    ).observe(
+        n_base_obs, F.count(F.lit(1)).alias("n")
     ).write.parquet(f"{root}/labels/ingest_batch=base")
     base_pay.select("blk", "doc_id").write.parquet(
         f"{root}/blocks/ingest_batch=base"
@@ -801,7 +863,7 @@ def streaming_cluster_ingest_restart(
     base_pay.select("doc_id", "sgs").write.parquet(
         f"{root}/shingles/ingest_batch=base"
     )
-    n_base = base_ids.count()
+    n_base = int(n_base_obs.get["n"] or 0)
 
     # -- stage the arrivals as 3 files -> 3 micro-batches. The staged
     # rows are the SIGNED payload (blk + shingles computed once here);
@@ -809,9 +871,14 @@ def streaming_cluster_ingest_restart(
     # but still receive their self-label rows.
     delta_ids = docs_all.filter(F.col("doc_id") % CC_DELTA_MOD == 0)
     staged = delta_ids.join(pay, "doc_id", "left")
-    n_delta = delta_ids.count()
     stage = f"{root}/arrivals"
-    staged.repartition(3).write.parquet(stage)
+    # the arrivals count rides the staging write: the left join on the
+    # unique doc_id preserves delta_ids 1:1
+    n_delta_obs = Observation()
+    staged.observe(n_delta_obs, F.count(F.lit(1)).alias("n")).repartition(
+        3
+    ).write.parquet(stage)
+    n_delta = int(n_delta_obs.get["n"] or 0)
     # A proof needs >= 2 actual micro-batches (the torn commit fires
     # after batch 1); repartition(3) writes no file for an EMPTY
     # partition, so a tiny corpus can stage fewer than 3 files — fail

@@ -36,7 +36,7 @@ friendly; zero Python UDFs in any of these plans.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -754,7 +754,12 @@ def connected_components(
     # eager checkpoints throughout: a LAZY localCheckpoint recomputes
     # the plan a second time when the checkpoint materializes after the
     # first action (measured: +1 s per round at sf0.1) — the classic
-    # persist-before-checkpoint gotcha
+    # persist-before-checkpoint gotcha. Counts ride the checkpoint
+    # jobs as observations (r16): the fixpoint loop previously paid
+    # one count ACTION per round on top of each round's checkpoint
+    # job — on the lifecycle tier those driver round-trips, not stage
+    # wall, were the bound (r15 verdict items 3/5).
+    obs0 = Observation()
     edges = (
         edges.select(F.col("u").cast("long"), F.col("v").cast("long"))
         .filter(F.col("u") != F.col("v"))
@@ -762,9 +767,10 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
+    n_edges = int(obs0.get["n"] or 0)
     # nodes derive lazily from the checkpointed initial edge set; only
     # the final labels join computes them
     nodes = (
@@ -796,15 +802,17 @@ def connected_components(
         # neighbor and u itself to the group minimum
         smin = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(smin, "u")
+        obs_i = Observation()
         small = (
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs_i, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        new_n = small.count()
+        new_n = int(obs_i.get["n"] or 0)
         if new_n == n_edges and small.exceptAll(edges).limit(1).count() == 0:
             edges = small
             break

@@ -30,7 +30,7 @@ dying mid-transaction leaves readers on the old complete snapshot
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.bucketing import exclusive_append, write_bucketed
@@ -61,7 +61,7 @@ from .textops import (
     QUALITY_PUNCT_CLASS as Q_CLASS,
     quality_passes,
 )
-from .util import eager_checkpoint, fan_out, t
+from .util import checkpointed_payload, t
 
 # Every DEDUP_DELTA_MOD-th document "arrives" after the base index is
 # built — a deterministic split both engines can state.
@@ -180,10 +180,16 @@ def _ingest_generation(
         # previous write took (a failed renewal IS the fence firing
         # early, before any further work)
         lease.renew()
+        # one shingle row per delta doc, so the accounting count rides
+        # the shingle write as an observation (r15 verdict item 3)
+        n_delta_obs = Observation()
         _write_gen_shingles(
-            _shingle_sets(delta), f"{root}/shingles/gen={gen}"
+            _shingle_sets(delta).observe(
+                n_delta_obs, F.count(F.lit(1)).alias("n")
+            ),
+            f"{root}/shingles/gen={gen}",
         )
-        n_delta = delta.count()
+        n_delta = int(n_delta_obs.get["n"] or 0)
         commit_snapshot(
             root,
             snap={
@@ -247,16 +253,29 @@ def _build_base_index(
     # fan_out: the minhash sign aggregate is the build's CPU-heavy
     # stage and the single-file scan would run it as one task
     # (plans/util.fan_out — no-op at production partition counts).
-    # eager_checkpoint (r15): the build+ingest transaction issues ~6
-    # actions over base/delta (bands write, shingles write, count,
-    # staged-delta write, ...), each re-running the tokenize+fan-out
-    # subtree without it; the checkpoint pays tokenize+exchange once.
-    docs = eager_checkpoint(
-        fan_out(
-            t(spark, sf_dir, "documents")
-            .filter(F.col("text").isNotNull())
-            .select("doc_id", words_col().alias("ws"))
-        )
+    # checkpointed_payload (r15/r16): the build+ingest transaction
+    # issues ~6 actions over base/delta (bands write, shingles write,
+    # count, staged-delta write, ...), each re-running the tokenize+
+    # fan-out subtree without the checkpoint; the checkpoint pays
+    # tokenize+exchange once, is coalesced to its measured data size
+    # (a few MB no longer ride 32 partitions into every downstream
+    # job), and the base/delta accounting counts ride the checkpoint
+    # job as observations instead of costing separate count actions.
+    docs, docs_m = checkpointed_payload(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", words_col().alias("ws")),
+        [
+            F.sum(
+                (F.col("doc_id") % DEDUP_DELTA_MOD != 0).cast("long")
+            ).alias("n_base")
+        ],
+        # raw token arrays feed the 64-permutation sign aggregate —
+        # ~4x the per-byte CPU of the shingle payloads, so slice 4x
+        # smaller (measured: 5 parts serialized signing, 4.2 s vs
+        # 3.2 s baseline; 256 KB restores the parallelism while still
+        # shedding the 32-task overhead)
+        part_bytes=256 << 10,
     )
     base = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD != 0)
     delta = docs.filter(F.col("doc_id") % DEDUP_DELTA_MOD == 0)
@@ -271,7 +290,7 @@ def _build_base_index(
         {
             "bands": [t_bands],
             "shingle_dirs": [f"{root}/shingles/gen=0"],
-            "n_indexed": base.count(),
+            "n_indexed": int(docs_m["n_base"] or 0),
             "key_stats": None,
         },
     )

@@ -14,7 +14,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..util import eager_checkpoint, fan_out, t  # noqa: F401
+from ..util import (  # noqa: F401
+    checkpointed_payload,
+    eager_checkpoint,
+    fan_out,
+    t,
+)
 
 from .common import (  # noqa: F401
     BITS_PER_BAND,
@@ -658,10 +663,12 @@ def sim_ann_ivf_partitioned_lists(
     # fan_out: the centroid-scoring passes are CPU-bound array math
     # over a single-row-group scan — partition-count-gated, a no-op
     # at production scale (see _pq_vecs).
-    # eager_checkpoint (r15): this builder issues FIVE actions (lists
-    # write, probed-ids collect, two partition counts, final top-k),
-    # each re-running scan+fan-out+centroid scoring without it.
-    vecs = eager_checkpoint(fan_out(_vecs(spark, sf_dir)))
+    # checkpointed_payload (r15/r16): this builder issues FIVE actions
+    # (lists write, probed-ids collect, two partition counts, final
+    # top-k), each re-running scan+fan-out+centroid scoring without
+    # the checkpoint; r16 sizes the checkpoint to its measured bytes
+    # so tiny corpora stop paying 32-task overhead per action.
+    vecs, _ = checkpointed_payload(_vecs(spark, sf_dir))
     cents = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
