@@ -587,10 +587,17 @@ def commit_clustered(
     # yields exactly one file per entry dir (all rows of a key land
     # in one task — which the one-immutable-entry-per-key manifest
     # contract wants anyway, and the standard small-files lever at
-    # production scale, guide §6).
-    df.repartition(F.col(file_key_col)).write.mode("overwrite").partitionBy(
-        file_key_col
-    ).parquet(tmp)
+    # production scale, guide §6). The partition count is BOUNDED by
+    # the distinct key count (known for free from the stats collect
+    # above) so a small batch — a streaming micro-batch touching 3
+    # keys, say — never fans its write across a mostly-empty
+    # cluster-wide shuffle (r15 ADVICE).
+    n_write = max(
+        1, min(len(stats_rows), df.sparkSession.sparkContext.defaultParallelism)
+    )
+    df.repartition(n_write, F.col(file_key_col)).write.mode(
+        "overwrite"
+    ).partitionBy(file_key_col).parquet(tmp)
     os.makedirs(os.path.join(table, "data"), exist_ok=True)
     os.makedirs(_manifest_dir(table), exist_ok=True)
     for r in stats_rows:

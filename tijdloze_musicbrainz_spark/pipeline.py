@@ -100,9 +100,15 @@ def artist_export(
     scores = l_artist_url.groupBy(F.col("entity0").alias("artist_id")).agg(
         F.count("*").alias("score")
     )
+    # area_map is an aggregate over the area dimension — bounded by
+    # |areas of the world| (~120k rows, a few MB at the full dump), but
+    # the post-aggregate estimate is opaque to the planner, which
+    # sort-merge-joined it against every artist (r16 plan dump, node
+    # 64). Broadcast explicitly: the bound is structural (geography),
+    # not an SF-scaled table like `part`.
     return (
         artist.join(scores, artist.id == scores.artist_id, "left")
-        .join(area_map, artist.area == area_map.area_id, "left")
+        .join(F.broadcast(area_map), artist.area == area_map.area_id, "left")
         .select(
             "id",
             F.col("gid").alias("mb_id"),
@@ -333,8 +339,16 @@ def candidate_entries(tables: dict[str, DataFrame], artist_ids: DataFrame) -> Da
             F.col("artist_credit").alias("rec_ac"),
         )
         .join(first_credit, "rec_ac")
+        # the cut id set is the pipeline's selectivity lever — by
+        # design a small slice of the artist universe (BE-or-popular,
+        # ~tens of thousands of longs at the full dump). The cut's
+        # filter+aggregate chain hides that from the planner, which
+        # sort-merge-joined it — shuffling EVERY recording to apply
+        # the very filter meant to avoid touching most of them (r16
+        # plan dump, node 69). Broadcast: the recordings side then
+        # never exchanges for this semi join.
         .join(
-            artist_ids.select(F.col("id").alias("artist_id")),
+            F.broadcast(artist_ids.select(F.col("id").alias("artist_id"))),
             "artist_id",
             "left_semi",
         )

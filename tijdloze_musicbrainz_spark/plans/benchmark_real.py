@@ -51,6 +51,7 @@ from ..sources.readers import read_csv_golden
 from .fuzzy import fuzzy_key_join, rank_candidates, score_candidates
 from .golden_shape import GOLDEN_SHAPE_SCHEMA
 from .registry import register
+from .util import eager_checkpoint
 
 # resolvable from the environment so a machine without the reference
 # checkout can point at its own copy (r6 ADVICE); when the file is
@@ -76,18 +77,25 @@ def _base(spark: SparkSession) -> DataFrame:
     reference's expected-answer column) — parse parity with DuckDB's
     reader is proven in tests/test_golden_shape.py.
 
-    Deliberately SCAN-BACKED (r15, measured): the classified pipeline
-    consumes _base in ~8 sibling subtrees, and two attempts to pay the
-    csv parse once both REGRESSED on an idle box (solo A/B, HEAD
-    4.5 s): a VALUES LocalRelation of the 2,954 rows → 7.1 s (the
-    literal rows are copied into the plan at every reference and each
-    optimizer pass walks all copies), an eager localCheckpoint →
-    7.0 s (the LogicalRDD loses size stats, so the tiny-dim joins the
-    planner had been auto-broadcasting degrade to sort-merge across
-    the whole resolve/search pipeline). The repeated warm csv parse
-    is ~0.2 s per subtree — the cheaper side of both trades."""
+    The parse is paid ONCE per build by writing the 2,954 parsed rows
+    to a tiny parquet sink INSIDE the query and reading that back
+    (r15 verdict item 8): the classified pipeline consumes _base in
+    ~8 sibling subtrees, and the parquet scan — unlike the two r15
+    attempts — keeps REAL size stats, so every tiny-dim join the
+    planner auto-broadcasts off estimates still broadcasts. (r15,
+    measured, HEAD 4.5 s solo: a VALUES LocalRelation of the rows →
+    7.1 s — literal rows copied into the plan at every reference,
+    optimizer passes walk all copies; an eager localCheckpoint →
+    7.0 s — the LogicalRDD loses size stats and the broadcasts
+    degrade to sort-merge.) The sink is rmtree'd and rebuilt inside
+    every build, so each bench trial still computes from the CSV —
+    nothing persists across runs."""
+    import shutil  # noqa: PLC0415
+
+    from .etl import SINK_ROOT  # noqa: PLC0415
+
     raw = read_csv_golden(spark, REAL_CSV, schema=GOLDEN_SHAPE_SCHEMA)
-    return raw.select(
+    parsed = raw.select(
         "id",
         "title",
         "artist_id",
@@ -99,6 +107,10 @@ def _base(spark: SparkSession) -> DataFrame:
         .alias("db_mb_id"),
         F.col("release_year").cast("long").alias("release_year"),
     )
+    path = f"{SINK_ROOT}/golden_base"
+    shutil.rmtree(path, ignore_errors=True)
+    parsed.write.parquet(path)
+    return spark.read.schema(parsed.schema).parquet(path)
 
 
 def _catalog(base: DataFrame) -> DataFrame:
@@ -481,6 +493,17 @@ def _classified(spark: SparkSession) -> DataFrame:
     aliases = _aliases(base)
     golden = _golden_queries(base)
     direct, duet_main, duet_second = _resolve(golden, aliases)
+    # Truncate the plan at the resolve boundary (r16): each resolved
+    # set is tiny (<= |golden| rows) and EXPLICITLY broadcast by every
+    # consumer (_candidates hints them), so an eager localCheckpoint
+    # costs the planner no estimate-driven broadcast decision — unlike
+    # the r15 _base checkpoint attempt — while removing the fuzzy-join
+    # subtrees from the 3-way candidates union, the ranker and the
+    # final match join (the query is plan/codegen-bound: 146 codegen
+    # units, 2,954 rows).
+    direct = eager_checkpoint(direct)
+    duet_main = eager_checkpoint(duet_main)
+    duet_second = eager_checkpoint(duet_second)
     cand = _candidates(songs, direct, duet_main, duet_second)
     best = rank_candidates(cand)
     matched = best.join(songs.select("song_id", "mb_id"), "song_id").select(

@@ -121,15 +121,20 @@ def flagship_canonical_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Argmin via min_by aggregation, not a window: map-side partial
     # combine keeps a hot p_partkey balanced at 100× (see
     # operators.canonical.argmin_per_group).
+    # No broadcast hint on the name-attach join (r15 ADVICE): the
+    # part scan is parquet-backed, so the planner auto-broadcasts it
+    # off real size stats whenever it fits autoBroadcastJoinThreshold
+    # — and at a production |part| that would blow the broadcast
+    # budget, the estimate-driven fallback to a shuffled join is
+    # exactly what we want. A forced hint overrode that safety for
+    # zero plan benefit at any SF where the hint fires anyway.
     return (
         argmin_per_group(
             scored,
             ["p_partkey"],
             ["year_value", "ref_priority", "type_priority", "o_orderkey"],
         )
-        .join(
-            F.broadcast(part.select("p_partkey", "p_name")), "p_partkey"
-        )
+        .join(part.select("p_partkey", "p_name"), "p_partkey")
         .select(
             "p_partkey",
             "p_name",

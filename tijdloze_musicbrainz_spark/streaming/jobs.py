@@ -232,7 +232,18 @@ def run_stream_to_memory(
     """Drain a bounded stream (availableNow) into a memory sink and
     return the result as a batch DataFrame. The stream plan is
     started under STREAM_STATE_PARTITIONS (see note above); the
-    session's batch shuffle setting is restored after the drain."""
+    session's batch shuffle setting is restored after the drain.
+
+    SINGLE-THREADED DRAIN ASSUMPTION (r15 ADVICE): the set/restore
+    mutates session-global conf, so a query PLANNED concurrently on
+    this session during the drain would silently pick up the stream's
+    partition count, and nested/overlapping drains would restore a
+    stale value. Every caller in this engine is a registered builder
+    running on the driver thread (builders never overlap inside one
+    bench/sweep/driver process), so the window is provably
+    single-threaded today. If a concurrent-drain caller ever appears,
+    run the drain on a ``spark.newSession()`` clone — per-session
+    conf, same shared context — instead of adding a lock here."""
     table = name or f"stream_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
