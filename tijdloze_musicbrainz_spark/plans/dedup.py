@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register
-from .util import eager_checkpoint, fan_out, t
+from .util import checkpointed_payload, eager_checkpoint, fan_out, t
 
 N_PERMS = 64
 N_BANDS = 16
@@ -209,8 +209,10 @@ def dedup_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join inlines it once per leg, single-task (one-row-group
     # scan): fan out to cluster parallelism and checkpoint so the
     # gram CPU runs ONCE and both legs read the materialized frame
-    # (the exact-substring precedent, guide §2.4/§1.2)
-    sh = eager_checkpoint(
+    # (the exact-substring precedent, guide §2.4/§1.2); the checkpoint
+    # is then sized to its measured bytes (r16) so the join legs stop
+    # paying 32-task overhead on a few-MB frame
+    sh, _ = checkpointed_payload(
         fan_out(docs).select(
             "doc_id",
             F.concat_ws(" ", F.slice(F.col("ws"), 1, 5)).alias("blk"),
@@ -328,8 +330,9 @@ def dedup_ngram_jaccard_meta_blocked(
     # sh is consumed by FIVE subtrees (b1, kept1, over1->b2/kept2, and
     # the two bounded accounting actions) — without a checkpoint each
     # one re-runs the single-task shingle fold; fanned out + pinned
-    # once (same rationale as dedup_ngram_jaccard_blocked)
-    sh = eager_checkpoint(
+    # once (same rationale as dedup_ngram_jaccard_blocked), sized to
+    # its measured bytes (r16)
+    sh, _ = checkpointed_payload(
         fan_out(docs).select(
             "doc_id",
             F.element_at(F.col("ws"), 1).alias("blk1"),
